@@ -1,0 +1,166 @@
+"""Event-log operator semantics (SURVEY §2.1 O5-O12, O20) expressed as
+queries over the driver's ``events`` table, with ``event_id`` playing the
+role of the version.
+
+These mirror the reference's scan contract: forward/reverse iteration
+from a version with derived ``version_prev``/``version_next`` chain links
+(eventlog/inmem/inmem.go:93-168, file/file.go:207-306), head/initial
+version lookup (eventlog/eventlog.go:131-140), and the CheckIntegrity
+audit (eventlog/file/check_integrity.go:15-94).
+
+Scale note: for the real EventLog table (log.py) versions are dense, so
+chain links are pure arithmetic — no window, no shuffle. Here the window
+formulation is kept deliberately: it is the general-table scan operator
+(works for any unique ordering column, gaps allowed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .queries import register
+from .tables import load_table
+
+def _scan_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with derived prev/next chain. The unpartitioned window is a
+    single-partition sort at scale — the EventLog engine avoids it via
+    dense-version arithmetic (log.py); this query form exists for parity
+    with the reference's general scan."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("event_id")
+    return ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.coalesce(F.lag("event_id").over(w), F.lit(0)).alias("version_prev"),
+        F.coalesce(F.lead("event_id").over(w), F.lit(0)).alias("version_next"),
+    )
+
+
+@register(
+    "log_scan_forward",
+    oracle="""
+SELECT * FROM (
+    SELECT event_id, ts, user_id, event_type, value,
+           COALESCE(LAG(event_id)  OVER (ORDER BY event_id), 0) AS version_prev,
+           COALESCE(LEAD(event_id) OVER (ORDER BY event_id), 0) AS version_next
+    FROM events
+) WHERE event_id >= 100
+ORDER BY event_id
+LIMIT 50
+""",
+    doc="O5+O7: forward scan from version 100, batch cap 50, chain links.",
+)
+def log_scan_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _scan_base(spark, sf_dir).where(F.col("event_id") >= 100).orderBy("event_id").limit(50)
+
+
+@register(
+    "log_scan_reverse",
+    oracle="""
+SELECT * FROM (
+    SELECT event_id, ts, user_id, event_type, value,
+           COALESCE(LAG(event_id)  OVER (ORDER BY event_id), 0) AS version_prev,
+           COALESCE(LEAD(event_id) OVER (ORDER BY event_id), 0) AS version_next
+    FROM events
+) WHERE event_id <= 500
+ORDER BY event_id DESC
+LIMIT 50
+""",
+    doc="O6: reverse scan from version 500, batch cap 50.",
+)
+def log_scan_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _scan_base(spark, sf_dir)
+        .where(F.col("event_id") <= 500)
+        .orderBy(F.col("event_id").desc())
+        .limit(50)
+    )
+
+
+@register(
+    "log_scan_skip_first",
+    oracle="""
+SELECT event_id, event_type FROM events
+WHERE event_id > 100 ORDER BY event_id LIMIT 20
+""",
+    doc="O8: skip_first resume semantics ≡ strictly-greater predicate.",
+)
+def log_scan_skip_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.where(F.col("event_id") > 100).orderBy("event_id").limit(20).select(
+        "event_id", "event_type"
+    )
+
+
+@register(
+    "log_version_bounds",
+    oracle="""
+SELECT CAST(MAX(event_id) AS BIGINT) AS version,
+       CAST(MIN(event_id) AS BIGINT) AS version_initial,
+       COUNT(*) AS n_events
+FROM events
+""",
+    doc="O10+O11: head + initial version. Min/max aggregate pushes into parquet footer stats.",
+)
+def log_version_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.max("event_id").alias("version"),
+        F.min("event_id").alias("version_initial"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "log_integrity_audit",
+    oracle="""
+SELECT
+    COALESCE(SUM(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END), 0) AS ts_order_violations,
+    COALESCE(SUM(CASE WHEN prev_id IS NOT NULL AND event_id <= prev_id THEN 1 ELSE 0 END), 0) AS version_order_violations,
+    COALESCE(SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END), 0) AS payload_violations,
+    COUNT(*) AS n_checked
+FROM (
+    SELECT event_id, ts, props,
+           LAG(ts) OVER (ORDER BY event_id) AS prev_ts,
+           LAG(event_id) OVER (ORDER BY event_id) AS prev_id
+    FROM events
+)
+""",
+    doc="O20: CheckIntegrity as one validation query (ts order, version chain, payload validity).",
+)
+def log_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference audits sequentially (check_integrity.go:15-94); here
+    each per-row check is embarrassingly parallel and only the adjacency
+    checks need the ordering window (at scale: range-partition by version,
+    check within partitions + one tiny boundary pass)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("event_id")
+    checked = ev.select(
+        "event_id",
+        "ts",
+        "props",
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.lag("event_id").over(w).alias("prev_id"),
+    )
+    payload_ok = F.from_json("props", "map<string,string>").isNotNull()
+    return checked.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ts") < F.col("prev_ts"), 1).otherwise(0)), F.lit(0)
+        ).alias("ts_order_violations"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("prev_id").isNotNull() & (F.col("event_id") <= F.col("prev_id")), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("version_order_violations"),
+        F.coalesce(F.sum(F.when(payload_ok, 0).otherwise(1)), F.lit(0)).alias(
+            "payload_violations"
+        ),
+        F.count(F.lit(1)).alias("n_checked"),
+    )

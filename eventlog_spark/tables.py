@@ -1,0 +1,61 @@
+"""Testdata loaders.
+
+The driver testdata (TESTDATA.md) is one parquet file per table under
+``/root/testdata/sf*/``. At 100 TB each of these would be a partitioned
+directory (or Delta table) — the loader API is path-based so nothing
+else changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Column pruning + predicate pushdown reach
+    the parquet scan automatically because we return the raw reader
+    DataFrame (no caching, no materialization).
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the source parquet, which Spark's
+    vectorized reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong``
+    it arrives as nanosecond longs and we truncate to microsecond
+    timestamps here — the same truncation DuckDB applies, so oracle
+    comparisons stay exact."""
+    if name == "events":
+        # runtime-settable, so this also holds on sessions we didn't build
+        # (the correctness driver constructs its own SparkSession)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # integer div — float division would lose precision above 2^53 ns
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql() queries."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
