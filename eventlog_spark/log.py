@@ -1,0 +1,573 @@
+"""EventLog — the reference's versioned append-only log, Spark-native.
+
+Reference parity (SURVEY.md §2.1): O1/O2 append + append_multi
+(eventlog/eventlog.go:153-197), O3/O4 OCC appends (eventlog.go:199-255),
+O5-O8 scans (inmem.go:93-168, file/file.go:207-306), O10-O12 version /
+version_initial / metadata (eventlog.go:131-151), O13 subscribe
+(broadcast.go:19-56), O14 try_append (client/client.go:150-246),
+O19 checksum (file/internal/checksum.go:9-67), O20 check_integrity
+(file/check_integrity.go:15-94), O21/O22 open/create (file.go:67-161).
+
+Design (Spark-first, not a port):
+
+* Storage is a parquet directory with the fixed envelope schema below —
+  at scale, swap the directory for a partitioned table (version-range
+  partitions) or a Delta table; nothing above the write/read seam changes.
+* Versions are **dense sequence numbers** (1, 2, 3, …). The reference's
+  in-memory engine proves dense versions satisfy the contract
+  (inmem.go:71-75; SURVEY §1.1 — versions are opaque to clients). Density
+  makes chain links *arithmetic*: ``version_prev = version - 1`` and
+  ``version_next = version + 1 (0 at head)`` — scans need no window
+  function, no shuffle, and no sort beyond the parquet column order.
+* Appends serialize through a driver-side commit section (a lock), the
+  Spark rendition of the reference's writer mutex (file.go:57,396).
+  Throughput comes from batch size, not concurrent commits — identical
+  to the reference, where every append holds the lock for an fsync.
+  OCC (O3/O4) is a compare inside that section.
+* Each commit writes one parquet fragment via Spark and then publishes
+  the new head in ``_state.json`` (atomic rename). Readers never take
+  the lock: committed fragments are immutable (snapshot isolation).
+  A crash between fragment-write and state-publish leaves orphan rows
+  above the committed head; ``open()`` truncates them logically by
+  trusting the recovered state, and ``check_integrity`` flags them.
+* The integrity checksum is Spark's builtin ``xxhash64`` (same 64-bit
+  xxHash family as the reference's cespare/xxhash, file.go:18) over
+  ``(timestamp, label, payload, version_prev)`` — computed JVM-side at
+  commit, re-verifiable by any scan at full cluster parallelism.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import shutil
+import threading
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Callable, Iterable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .errors import InvalidVersion, MismatchingVersions
+from .validation import (
+    DEFAULT_MAX_PAYLOAD_LEN,
+    minify_json,
+    validate_label,
+    validate_payload,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("version", LongType(), False),
+        StructField("version_prev", LongType(), False),
+        StructField("timestamp", LongType(), False),  # unix seconds (parity: §1.1)
+        StructField("label", StringType(), False),
+        StructField("payload", StringType(), False),
+        StructField("checksum", LongType(), False),
+    ]
+)
+
+_STATE_FILE = "_state.json"  # leading underscore → invisible to parquet readers
+_META_FILE = "_eventlog_meta.json"
+
+
+def checksum_expr() -> Column:
+    """O19: integrity checksum over the same fields the reference hashes
+    (timestamp ‖ label ‖ payload ‖ version_prev; checksum.go:9-67)."""
+    return F.xxhash64("timestamp", "label", "payload", "version_prev")
+
+
+@dataclass(frozen=True)
+class AppendResult:
+    version_previous: int  # head before this commit
+    version_first: int  # first version written by this commit
+    version: int  # new head
+    timestamp: int  # shared unix-seconds timestamp of the batch
+
+
+class _Hub:
+    """O13 broadcast hub: at-most-once, latest-wins delivery.
+
+    Mirrors internal/broadcast/broadcast.go:19-56 — a non-blocking send
+    that drops the stale value when a subscriber is busy (we replace it
+    with the newest head, which is strictly better than dropping)."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._subs: dict[int, queue.Queue[int]] = {}
+        self._next_id = 0
+
+    def subscribe(self) -> tuple["queue.Queue[int]", Callable[[], None]]:
+        q: queue.Queue[int] = queue.Queue(maxsize=1)
+        with self._lock:
+            sid = self._next_id
+            self._next_id += 1
+            self._subs[sid] = q
+
+        def close() -> None:
+            with self._lock:
+                self._subs.pop(sid, None)
+
+        return q, close
+
+    def broadcast(self, version: int) -> None:
+        with self._lock:
+            subs = list(self._subs.values())
+        for q in subs:
+            try:
+                q.put_nowait(version)
+            except queue.Full:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    pass
+                try:
+                    q.put_nowait(version)
+                except queue.Full:
+                    pass
+
+
+class EventLog:
+    """A versioned append-only event log over a parquet directory."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._lock = threading.RLock()
+        self._hub = _Hub()
+        self._max_payload_len = DEFAULT_MAX_PAYLOAD_LEN
+        self._metadata: dict[str, str] = {}
+        self._latest = 0
+        self._initial = 0
+        self._last_ts = 0
+        self._load_meta()
+        self._load_state()
+
+    # -- lifecycle (O21/O22) ------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        metadata: dict[str, str] | None = None,
+    ) -> "EventLog":
+        """O22: create a new empty log with immutable metadata
+        (reference: file.go:127-161 + metadata pseudo-event header)."""
+        os.makedirs(path, exist_ok=False)
+        with open(os.path.join(path, _META_FILE), "w") as f:
+            json.dump({"metadata": metadata or {}, "format_version": 1}, f)
+        log = cls(spark, path)
+        log._write_state()
+        return log
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "EventLog":
+        """O21: open an existing log; if the state file is missing or
+        stale (crash between fragment write and publish), recover the
+        head from the data (reference recovers by scanning to the last
+        entry, file.go:67-125)."""
+        if not os.path.isdir(path):
+            raise FileNotFoundError(path)
+        return cls(spark, path)
+
+    def _load_meta(self) -> None:
+        meta_path = os.path.join(self.path, _META_FILE)
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                self._metadata = dict(json.load(f).get("metadata", {}))
+
+    def _state_path(self) -> str:
+        return os.path.join(self.path, _STATE_FILE)
+
+    def _load_state(self) -> None:
+        try:
+            with open(self._state_path()) as f:
+                st = json.load(f)
+            self._latest = int(st["latest_version"])
+            self._initial = int(st["version_initial"])
+            self._last_ts = int(st["last_timestamp"])
+        except (FileNotFoundError, KeyError, ValueError):
+            self._recover_state()
+
+    def _recover_state(self) -> None:
+        df = self._read_raw()
+        if df is None:
+            self._latest = self._initial = self._last_ts = 0
+            return
+        row = df.agg(
+            F.max("version").alias("mx"),
+            F.min("version").alias("mn"),
+            F.max("timestamp").alias("ts"),
+        ).collect()[0]
+        self._latest = row["mx"] or 0
+        self._initial = row["mn"] or 0
+        self._last_ts = row["ts"] or 0
+
+    def _write_state(self) -> None:
+        tmp = self._state_path() + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "latest_version": self._latest,
+                    "version_initial": self._initial,
+                    "last_timestamp": self._last_ts,
+                },
+                f,
+            )
+        os.replace(tmp, self._state_path())  # atomic publish
+
+    def _read_raw(self) -> DataFrame | None:
+        if not any(f.endswith(".parquet") for f in self._data_files()):
+            return None
+        return self.spark.read.schema(EVENT_SCHEMA).parquet(self.path)
+
+    def _data_files(self) -> list[str]:
+        try:
+            return [
+                f
+                for f in os.listdir(self.path)
+                if not f.startswith(("_", "."))
+            ]
+        except FileNotFoundError:
+            return []
+
+    # -- log-level state (O10-O12) -------------------------------------------
+
+    def version(self) -> int:
+        """O10: latest version; 0 if empty (eventlog.go:131-134). O(1)
+        from committed state — no table scan."""
+        with self._lock:
+            return self._latest
+
+    def version_initial(self) -> int:
+        """O11: first version; 0 if empty (eventlog.go:136-140)."""
+        with self._lock:
+            return self._initial if self._latest else 0
+
+    def metadata(self) -> dict[str, str]:
+        """O12: immutable creation-time metadata (eventlog.go:142-151)."""
+        return dict(self._metadata)
+
+    def metadata_len(self) -> int:
+        return len(self._metadata)
+
+    # -- append (O1-O4) --------------------------------------------------------
+
+    def append(self, label: str, payload: str) -> AppendResult:
+        """O1: validate → minify → commit one event (eventlog.go:153-171)."""
+        return self.append_multi([(label, payload)])
+
+    def append_multi(self, events: Iterable[tuple[str, str]]) -> AppendResult:
+        """O2: atomic multi-append — one shared timestamp, contiguous
+        versions, all-or-nothing (eventlog.go:173-197, file.go:412-463)."""
+        return self._commit(list(events), assumed_version=None)
+
+    def append_check(self, assumed_version: int, label: str, payload: str) -> AppendResult:
+        """O3: optimistic-concurrency append (eventlog.go:199-224)."""
+        return self._commit([(label, payload)], assumed_version=assumed_version)
+
+    def append_check_multi(
+        self, assumed_version: int, events: Iterable[tuple[str, str]]
+    ) -> AppendResult:
+        """O4: OCC multi-append (eventlog.go:226-255)."""
+        return self._commit(list(events), assumed_version=assumed_version)
+
+    def _commit(
+        self, events: list[tuple[str, str]], assumed_version: int | None
+    ) -> AppendResult:
+        if not events:
+            raise ValueError("append requires at least one event")
+        # Validate + canonicalize OUTSIDE the commit section, like the
+        # reference computes checksums outside its lock (file.go:383-396).
+        prepared: list[tuple[str, str]] = []
+        for label, payload in events:
+            validate_label(label)
+            validate_payload(payload, self._max_payload_len)
+            prepared.append((label, minify_json(payload)))
+
+        with self._lock:
+            if assumed_version is not None and assumed_version != self._latest:
+                raise MismatchingVersions(
+                    f"assumed version {assumed_version} != latest {self._latest}"
+                )
+            base = self._latest
+            # server-assigned, non-decreasing, whole seconds; one shared
+            # timestamp per batch (inmem.go:27, file.go:419-420)
+            ts = max(int(time.time()), self._last_ts)
+            rows = [
+                (base + i + 1, base + i, ts, label, payload)
+                for i, (label, payload) in enumerate(prepared)
+            ]
+            self._write_fragment(rows)
+            self._latest = base + len(rows)
+            if self._initial == 0:
+                self._initial = 1
+            self._last_ts = ts
+            self._write_state()
+        self._hub.broadcast(self._latest)
+        return AppendResult(
+            version_previous=base,
+            version_first=base + 1,
+            version=self._latest,
+            timestamp=ts,
+        )
+
+    def _write_fragment(self, rows: list[tuple[int, int, int, str, str]]) -> None:
+        df = self.spark.createDataFrame(
+            rows, "version long, version_prev long, timestamp long, label string, payload string"
+        ).withColumn("checksum", checksum_expr())
+        # One commit = one fragment. coalesce(1) keeps small interactive
+        # appends to a single file; the bulk path (append_dataframe)
+        # writes with full parallelism instead.
+        df.coalesce(1).write.mode("append").parquet(self.path)
+
+    def append_dataframe(
+        self,
+        df: DataFrame,
+        label_col: str = "label",
+        payload_col: str = "payload",
+        on_invalid: str = "error",
+        order_cols: list[str] | None = None,
+    ) -> AppendResult:
+        """Bulk-ingest path: append a whole DataFrame as one atomic batch.
+
+        Validation runs as JVM-side column expressions (validation.py),
+        version assignment uses the partition-offset technique (see
+        functions/versioning.py) — no single-partition shuffle, no Python
+        in the data path. This is how 100 TB enters the log; the tuple
+        API above is the interactive/serving path.
+
+        ``order_cols``: assign versions in this order (costs a range
+        repartition + local sort); default is partition-major arrival
+        order, which is free."""
+        from .validation import label_valid_expr, payload_valid_expr
+
+        keep = list(order_cols or [])
+        src = df.select(
+            F.col(label_col).cast("string").alias("label"),
+            F.col(payload_col).cast("string").alias("payload"),
+            *[F.col(c) for c in keep if c not in (label_col, payload_col)],
+        )
+        valid = label_valid_expr(F.col("label")) & payload_valid_expr(
+            F.col("payload"), self._max_payload_len
+        )
+        if on_invalid == "drop":
+            src = src.where(valid)
+        else:
+            src = src.withColumn("_valid", valid)
+
+        # Pin the scan: with_dense_versions reads the source twice (count
+        # pass + write pass); persistence guarantees both see identical
+        # partitions even for nondeterministic upstreams.
+        src = src.persist()
+        try:
+            return self._append_dataframe_locked(src, on_invalid, order_cols)
+        finally:
+            src.unpersist()
+
+    def _append_dataframe_locked(
+        self, src: DataFrame, on_invalid: str, order_cols: list[str] | None = None
+    ) -> AppendResult:
+        from .functions.versioning import with_dense_versions
+
+        with self._lock:
+            base = self._latest
+            ts = max(int(time.time()), self._last_ts)
+            versioned = with_dense_versions(src, base=base, order_cols=order_cols)
+            if order_cols:
+                versioned = versioned.drop(*[c for c in order_cols if c not in ("label", "payload")])
+            if on_invalid != "drop":
+                # all-or-nothing like the reference's multi-append
+                # rollback (file.go:343-360): probe for any invalid row
+                # before writing anything.
+                bad = versioned.where(~F.col("_valid")).limit(1).count()
+                if bad:
+                    from .errors import InvalidPayload
+
+                    raise InvalidPayload("append_dataframe: batch contains invalid events")
+                versioned = versioned.drop("_valid")
+            out = versioned.select(
+                F.col("version").cast("long"),
+                (F.col("version") - 1).cast("long").alias("version_prev"),
+                # cast matters: a plain lit(ts) is an int32 and xxhash64
+                # of int != xxhash64 of the long read back at verify time
+                F.lit(ts).cast("long").alias("timestamp"),
+                "label",
+                "payload",
+            ).withColumn("checksum", checksum_expr())
+            out.write.mode("append").parquet(self.path)
+            self._recover_state_after_bulk(base, ts)
+        self._hub.broadcast(self._latest)
+        return AppendResult(
+            version_previous=base,
+            version_first=base + 1,
+            version=self._latest,
+            timestamp=ts,
+        )
+
+    def _recover_state_after_bulk(self, base: int, ts: int) -> None:
+        df = self._read_raw()
+        mx = df.agg(F.max("version")).collect()[0][0] if df is not None else base
+        self._latest = int(mx or base)
+        if self._initial == 0 and self._latest > 0:
+            self._initial = 1
+        self._last_ts = ts
+        self._write_state()
+
+    # -- scan (O5-O8) ----------------------------------------------------------
+
+    def scan(
+        self,
+        version: int | None = None,
+        reverse: bool = False,
+        limit: int | None = None,
+        skip_first: bool = False,
+    ) -> DataFrame:
+        """O5-O8: scan from ``version`` (inclusive) toward the head
+        (or tail when ``reverse``), with derived chain links.
+
+        Dense versions ⇒ ``version_prev``/``version_next`` are arithmetic
+        (no window, no shuffle); the version-range predicate prunes
+        parquet row groups via min/max stats — the Spark analog of the
+        reference's O(1) offset seek (read_event.go:37)."""
+        with self._lock:
+            latest, initial = self._latest, self._initial
+        if latest == 0:
+            raise InvalidVersion("scan on empty log")
+        v = version if version is not None else (latest if reverse else initial)
+        if v < initial or v > latest:
+            raise InvalidVersion(f"version {v} out of bounds [{initial}, {latest}]")
+
+        df = self._read_raw()
+        df = df.where(F.col("version") <= latest)  # ignore orphans past head
+        df = df.where(F.col("version") <= v) if reverse else df.where(F.col("version") >= v)
+        if skip_first:
+            df = df.where(F.col("version") != v)
+        df = df.withColumn(
+            "version_next",
+            F.when(F.col("version") == latest, F.lit(0)).otherwise(F.col("version") + 1),
+        )
+        df = df.orderBy(F.col("version").desc() if reverse else F.col("version"))
+        if limit is not None:
+            df = df.limit(limit)
+        return df.select(
+            "version",
+            "version_prev",
+            "version_next",
+            "timestamp",
+            "label",
+            "payload",
+            "checksum",
+        )
+
+    def dataframe(self) -> DataFrame:
+        """The whole committed log as a DataFrame (analysis entry point)."""
+        df = self._read_raw()
+        if df is None:
+            return self.spark.createDataFrame([], EVENT_SCHEMA)
+        with self._lock:
+            latest = self._latest
+        return df.where(F.col("version") <= latest)
+
+    # -- integrity (O19/O20) ---------------------------------------------------
+
+    def check_integrity(self) -> DataFrame:
+        """O20: full-log audit as one aggregate query
+        (check_integrity.go:15-94). Per-row checks (checksum recompute,
+        payload validity) are embarrassingly parallel; with dense
+        versions the chain/adjacency checks are arithmetic too, so the
+        only global facts needed are count and min/max — no sort."""
+        from .validation import label_valid_expr, payload_valid_expr
+
+        df = self.dataframe()
+        with self._lock:
+            latest, initial = self._latest, self._initial
+        # adjacency context: running max of earlier timestamps. The
+        # unpartitioned window is acceptable for an offline audit; at
+        # scale, range-partition by version and check bucket boundaries
+        # with one extra tiny pass.
+        w = Window.orderBy("version").rowsBetween(Window.unboundedPreceding, -1)
+        df = df.withColumn("_prev_max_ts", F.max("timestamp").over(w))
+        return df.agg(
+            F.coalesce(
+                F.sum(F.when(checksum_expr() != F.col("checksum"), 1).otherwise(0)),
+                F.lit(0),
+            ).alias("checksum_violations"),
+            F.coalesce(
+                F.sum(F.when(F.col("version_prev") != F.col("version") - 1, 1).otherwise(0)),
+                F.lit(0),
+            ).alias("chain_violations"),
+            F.coalesce(
+                F.sum(F.when(~payload_valid_expr(F.col("payload")), 1).otherwise(0)),
+                F.lit(0),
+            ).alias("payload_violations"),
+            F.coalesce(
+                F.sum(F.when(~label_valid_expr(F.col("label")), 1).otherwise(0)),
+                F.lit(0),
+            ).alias("label_violations"),
+            (F.count(F.lit(1)) != F.lit(latest - initial + 1 if latest else 0))
+            .cast("int")
+            .alias("density_violation"),
+            F.coalesce(
+                F.sum(F.when(F.col("timestamp") < F.col("_prev_max_ts"), 1).otherwise(0)),
+                F.lit(0),
+            ).alias("ts_order_violations"),
+        )
+
+    # -- subscription (O13/O14) --------------------------------------------------
+
+    def subscribe(self) -> tuple["queue.Queue[int]", Callable[[], None]]:
+        """O13: returns (queue of head versions, close fn). Latest-wins,
+        at-most-once — the queue holds only the newest head, exactly like
+        the reference's non-blocking broadcast (broadcast.go:24-27)."""
+        return self._hub.subscribe()
+
+    def try_append(
+        self,
+        assumed_version: int,
+        transaction: Callable[[], tuple[str, str]],
+        max_retries: int = 64,
+    ) -> AppendResult:
+        """O14: client-side CAS retry loop (client/client.go:150-246) —
+        re-sync and re-run the user transaction until the OCC append
+        lands or retries are exhausted."""
+        assumed = assumed_version
+        for _ in range(max_retries):
+            label, payload = transaction()
+            try:
+                return self.append_check(assumed, label, payload)
+            except MismatchingVersions:
+                assumed = self.version()
+        raise MismatchingVersions(f"try_append: exhausted {max_retries} retries")
+
+    # -- maintenance -------------------------------------------------------------
+
+    def compact(self, target_partitions: int | None = None) -> None:
+        """Rewrite the accumulated per-commit fragments into few large
+        files. Interactive appends create one small parquet file per
+        commit (the analog of the reference's per-entry disk write);
+        compaction restores scan efficiency. At scale this is the
+        OPTIMIZE/bin-packing job, run out-of-band."""
+        with self._lock:
+            df = self.dataframe()
+            if df.isEmpty():
+                return
+            n = target_partitions or max(1, self.spark.sparkContext.defaultParallelism // 4)
+            tmp = self.path + f".compact.{uuid.uuid4().hex}"
+            df.repartitionByRange(n, "version").write.mode("overwrite").parquet(tmp)
+            for f in self._data_files():
+                os.remove(os.path.join(self.path, f))
+            for f in os.listdir(tmp):
+                if not f.startswith(("_", ".")):
+                    shutil.move(os.path.join(tmp, f), os.path.join(self.path, f))
+            shutil.rmtree(tmp, ignore_errors=True)

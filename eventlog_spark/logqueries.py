@@ -22,6 +22,43 @@ from pyspark.sql import functions as F
 from .queries import register
 from .tables import load_table
 
+@register(
+    "eventlog_engine_roundtrip",
+    oracle="""
+SELECT ROW_NUMBER() OVER (ORDER BY event_id) AS version,
+       event_type AS label,
+       REGEXP_REPLACE(props, ': ', ':') AS payload
+FROM events
+""",
+    doc="Full engine path: bulk-append events into an EventLog (dense "
+    "versions, validation, checksums), then scan forward — output must "
+    "equal the ordered source.",
+)
+def eventlog_engine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives log.py end-to-end: append_dataframe (JVM-side validation,
+    shuffle-free dense version assignment ordered by event_id, xxhash64
+    checksums) into a fresh log, then scan(). The oracle reproduces the
+    contract arithmetically: version == rank(event_id), payload ==
+    whitespace-minified props."""
+    import shutil
+    import tempfile
+
+    from .log import EventLog
+
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select(
+        F.col("event_type").alias("label"),
+        # minify '{"k": 87}' → '{"k":87}' (values are ints; safe)
+        F.regexp_replace("props", ": ", ":").alias("payload"),
+        "event_id",
+    )
+    path = tempfile.mkdtemp(prefix="eventlog_rt_")
+    shutil.rmtree(path)
+    log = EventLog.create(spark, path)
+    log.append_dataframe(src, on_invalid="error", order_cols=["event_id"])
+    return log.scan().select("version", "label", "payload")
+
+
 def _scan_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with derived prev/next chain. The unpartitioned window is a
     single-partition sort at scale — the EventLog engine avoids it via

@@ -278,13 +278,17 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+                    AND o_totalprice > 150000)
 """,
-    doc="Left-anti join (NOT EXISTS).",
+    doc="Left-anti join (NOT EXISTS): customers with no large urgent order.",
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000)
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
@@ -584,13 +588,17 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey AS key FROM customer
 EXCEPT
-SELECT o_custkey AS key FROM orders
+SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'F'
 """,
-    doc="EXCEPT (distinct semantics) — customers that never ordered.",
+    doc="EXCEPT (distinct) — customers with no finished order.",
 )
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
-    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("key"))
+    )
     return c.subtract(o)
 
 

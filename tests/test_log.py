@@ -1,0 +1,299 @@
+"""EventLog contract tests — PySpark rendition of the reference's
+engine-independent behavioral suite (eventlog/eventlog_test.go:22-603).
+Each test cites the reference case it ports."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from eventlog_spark.errors import (
+    InvalidLabel,
+    InvalidPayload,
+    InvalidVersion,
+    MismatchingVersions,
+    PayloadSizeLimitExceeded,
+)
+from eventlog_spark.log import EventLog
+from eventlog_spark.validation import minify_json
+
+
+@pytest.fixture()
+def log(spark, tmp_path):
+    return EventLog.create(spark, str(tmp_path / "log"), metadata={"name": "testlog"})
+
+
+def test_append_scan_roundtrip(log):
+    """eventlog_test.go:22-114 — append, scan forward, verify full chain."""
+    r1 = log.append("first", '{"ix": 1}')
+    r2 = log.append("second", '{"ix": 2}')
+    r3 = log.append("third", '{"ix": 3}')
+    assert (r1.version, r2.version, r3.version) == (1, 2, 3)
+    assert r2.version_previous == 1
+    assert log.version() == 3
+    assert log.version_initial() == 1
+
+    rows = log.scan().collect()
+    assert [r.version for r in rows] == [1, 2, 3]
+    assert [r.version_prev for r in rows] == [0, 1, 2]
+    assert [r.version_next for r in rows] == [2, 3, 0]  # head next == 0 (inmem.go:118-121)
+    assert [r.label for r in rows] == ["first", "second", "third"]
+    assert [json.loads(r.payload)["ix"] for r in rows] == [1, 2, 3]
+    ts = [r.timestamp for r in rows]
+    assert ts == sorted(ts)
+
+
+def test_append_multi_shared_timestamp(log):
+    """eventlog.go:173-197 — one timestamp, contiguous versions."""
+    r = log.append_multi([("a", '{"x":1}'), ("b", '{"x":2}'), ("c", '{"x":3}')])
+    assert r.version_first == 1
+    assert r.version == 3
+    assert r.version_previous == 0
+    rows = log.scan().collect()
+    assert len({row.timestamp for row in rows}) == 1
+    assert [row.version for row in rows] == [1, 2, 3]
+
+
+def test_append_check_occ(log):
+    """eventlog_test.go:305-335 — OCC mismatch."""
+    r = log.append("init", '{"x":0}')
+    ok = log.append_check(r.version, "next", '{"x":1}')
+    assert ok.version == 2
+    with pytest.raises(MismatchingVersions):
+        log.append_check(r.version, "stale", '{"x":2}')
+    with pytest.raises(MismatchingVersions):
+        log.append_check_multi(999, [("stale", '{"x":3}')])
+    assert log.version() == 2  # failed OCC writes nothing
+
+
+@pytest.mark.parametrize(
+    "payload",
+    ["{}", "[]", '"str"', "42", "null", "true", "{\"x\":}", "", "   ", "[{\"x\":1}]"],
+)
+def test_invalid_payload_truth_table(log, payload):
+    """eventlog/validate_payload_json.go truth table (eventlog_test.go:520-538)."""
+    with pytest.raises(InvalidPayload):
+        log.append("ok-label", payload)
+    assert log.version() == 0
+
+
+@pytest.mark.parametrize(
+    "payload",
+    ['{"x":0}', '{"x": {"y": [1,2,3]}}', '{"i18n":"идентификатор 標識 მაიდენტიფიცირებელი"}'],
+)
+def test_valid_payloads(log, payload):
+    """eventlog_test.go:180-213 — UTF-8 and nested payloads round-trip."""
+    log.append("ok", payload)
+    row = log.scan().collect()[-1]
+    assert json.loads(row.payload) == json.loads(payload)
+
+
+def test_label_charset(log):
+    """eventlog/validate_label.go:5-22 + eventlog_test.go:546-603."""
+    log.append("0-9A-Za-z_.~%-", '{"x":0}')  # full legal charset
+    log.append("", '{"x":0}')  # empty label allowed (test.go:596-600)
+    log.append("x" * 256, '{"x":0}')  # max length (resolved strict, SURVEY §7)
+    for bad in ["has space", "slash/", "tab\t", "ö", "emoji🙂", "x" * 257]:
+        with pytest.raises(InvalidLabel):
+            log.append(bad, '{"x":0}')
+    assert log.version() == 3
+
+
+def test_payload_size_limit(log):
+    """eventlog_test.go:251-271 / file.go:33-39."""
+    log._max_payload_len = 64
+    log.append("fits", '{"p":"' + "a" * 40 + '"}')
+    with pytest.raises(PayloadSizeLimitExceeded):
+        log.append("toobig", '{"p":"' + "a" * 100 + '"}')
+
+
+def test_minification(log):
+    """internal/jsonminify — whitespace outside strings stripped,
+    inside strings (incl. escapes) preserved."""
+    log.append("m", '{ "a" : 1 ,\n\t"b" : "ke ep \\" s" }')
+    row = log.scan().collect()[0]
+    assert row.payload == '{"a":1,"b":"ke ep \\" s"}'
+    assert minify_json('{ "x" : [1, 2] }') == '{"x":[1,2]}'
+
+
+def test_empty_log(log):
+    """eventlog_test.go:339-390 — empty log state + out-of-bounds scans."""
+    assert log.version() == 0
+    assert log.version_initial() == 0
+    with pytest.raises(InvalidVersion):
+        log.scan()
+
+
+def test_scan_out_of_bounds(log):
+    log.append("a", '{"x":1}')
+    with pytest.raises(InvalidVersion):
+        log.scan(version=99)
+    with pytest.raises(InvalidVersion):
+        log.scan(version=0)
+
+
+def test_scan_directions_and_limits(log):
+    """O5-O8: forward/reverse/limit/skip_first semantics."""
+    log.append_multi([(f"e{i}", f'{{"i":{i}}}') for i in range(10)])
+    fwd = [r.version for r in log.scan(version=4).collect()]
+    assert fwd == list(range(4, 11))
+    rev = [r.version for r in log.scan(version=7, reverse=True).collect()]
+    assert rev == list(range(7, 0, -1))
+    lim = [r.version for r in log.scan(version=2, limit=3).collect()]
+    assert lim == [2, 3, 4]
+    skip = [r.version for r in log.scan(version=2, limit=3, skip_first=True).collect()]
+    assert skip == [3, 4, 5]
+    # reverse + skip_first resumes below the cursor
+    rskip = [r.version for r in log.scan(version=7, reverse=True, limit=2, skip_first=True).collect()]
+    assert rskip == [6, 5]
+
+
+def test_metadata(spark, tmp_path):
+    """eventlog.go:142-151 — immutable creation-time metadata."""
+    log = EventLog.create(spark, str(tmp_path / "m"), metadata={"k1": "v1", "k2": "v2"})
+    assert log.metadata_len() == 2
+    assert log.metadata() == {"k1": "v1", "k2": "v2"}
+    reopened = EventLog.open(spark, str(tmp_path / "m"))
+    assert reopened.metadata() == {"k1": "v1", "k2": "v2"}
+
+
+def test_open_recovery(spark, tmp_path):
+    """O21: head recovered from data when state file is lost (file.go:67-125)."""
+    path = str(tmp_path / "rec")
+    log = EventLog.create(spark, path)
+    log.append_multi([("a", '{"x":1}'), ("b", '{"x":2}')])
+    os.remove(os.path.join(path, "_state.json"))
+    reopened = EventLog.open(spark, path)
+    assert reopened.version() == 2
+    assert reopened.version_initial() == 1
+    assert [r.version for r in reopened.scan().collect()] == [1, 2]
+
+
+def test_check_integrity_clean(log):
+    """check_integrity.go happy path: all violation counters zero."""
+    log.append_multi([(f"l{i}", f'{{"i":{i}}}') for i in range(5)])
+    row = log.check_integrity().collect()[0]
+    assert row.checksum_violations == 0
+    assert row.chain_violations == 0
+    assert row.payload_violations == 0
+    assert row.label_violations == 0
+    assert row.density_violation == 0
+    assert row.ts_order_violations == 0
+
+
+def test_check_integrity_detects_corruption(spark, tmp_path):
+    """check_integrity_test.go — corrupted payload flips the stored
+    checksum relation; a vanished row breaks density."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "corrupt")
+    log = EventLog.create(spark, path)
+    log.append_multi([(f"l{i}", f'{{"i":{i}}}') for i in range(4)])
+
+    # surgically corrupt one payload inside a committed fragment
+    frag = next(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    table = pq.read_table(frag)
+    data = table.to_pydict()
+    data["payload"][0] = '{"i":999}'  # payload no longer matches checksum
+    import pyarrow as pa
+
+    pq.write_table(pa.table(data, schema=table.schema), frag)
+    crc = os.path.join(path, f".{os.path.basename(frag)}.crc")
+    if os.path.exists(crc):  # stale Hadoop checksum sidecar would mask the corruption
+        os.remove(crc)
+
+    row = log.check_integrity().collect()[0]
+    assert row.checksum_violations == 1
+
+
+def test_subscribe_latest_wins(log):
+    """broadcast.go:24-27 — at-most-once, latest-wins delivery."""
+    q, close = log.subscribe()
+    log.append("a", '{"x":1}')
+    assert q.get(timeout=5) == 1
+    # subscriber busy: two appends conflate to the newest head
+    log.append("b", '{"x":2}')
+    log.append("c", '{"x":3}')
+    assert q.get(timeout=5) == 3
+    close()
+    log.append("d", '{"x":4}')
+    assert q.empty()
+
+
+def test_try_append_retry(log):
+    """client/client.go:150-246 — CAS retry loop resyncs and lands."""
+    log.append("init", '{"x":0}')
+    calls = {"n": 0}
+
+    def transaction():
+        calls["n"] += 1
+        if calls["n"] == 1:  # concurrent writer sneaks in before our commit
+            log.append("intruder", '{"x":99}')
+        return ("txn", '{"x":1}')
+
+    r = log.try_append(assumed_version=1, transaction=transaction)
+    assert r.version == 3
+    assert calls["n"] == 2  # one conflict, one success
+
+
+def test_append_dataframe_bulk(spark, log):
+    """Bulk path: dense gapless versions, valid checksums, atomicity."""
+    from pyspark.sql import functions as F
+
+    src = spark.range(1000).select(
+        F.concat(F.lit("bulk-"), F.col("id")).alias("label"),
+        F.concat(F.lit('{"id":'), F.col("id"), F.lit("}")).alias("payload"),
+    )
+    r = log.append_dataframe(src)
+    assert r.version_first == 1
+    assert r.version == 1000
+    assert log.version() == 1000
+
+    df = log.dataframe()
+    assert df.count() == 1000
+    versions = sorted(x.version for x in df.select("version").collect())
+    assert versions == list(range(1, 1001))
+
+    audit = log.check_integrity().collect()[0]
+    assert audit.checksum_violations == 0
+    assert audit.chain_violations == 0
+    assert audit.density_violation == 0
+
+    # atomicity: a batch containing one invalid payload writes nothing
+    bad = spark.range(5).select(
+        F.lit("ok").alias("label"),
+        F.when(F.col("id") == 3, F.lit("{}")).otherwise(F.lit('{"a":1}')).alias("payload"),
+    )
+    with pytest.raises(InvalidPayload):
+        log.append_dataframe(bad)
+    assert log.version() == 1000
+    # on_invalid='drop' keeps the good rows
+    r2 = log.append_dataframe(bad, on_invalid="drop")
+    assert r2.version == 1004
+
+
+def test_compact_preserves_data(spark, tmp_path):
+    path = str(tmp_path / "compacted")
+    log = EventLog.create(spark, path)
+    for i in range(8):
+        log.append(f"e{i}", f'{{"i":{i}}}')
+    files_before = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    before = sorted((r.version, r.label, r.payload) for r in log.dataframe().collect())
+    log.compact(target_partitions=1)
+    files_after = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    after = sorted((r.version, r.label, r.payload) for r in log.dataframe().collect())
+    assert before == after
+    assert len(files_after) < len(files_before)
+    assert log.check_integrity().collect()[0].checksum_violations == 0
+
+
+def test_hex_version_codec():
+    """internal/hex round-trip (O25)."""
+    from eventlog_spark.functions.versioning import py_hex_to_version, py_version_to_hex
+
+    for v in [0, 1, 15, 16, 255, 0xDEADBEEF, 2**62]:
+        assert py_hex_to_version(py_version_to_hex(v)) == v
