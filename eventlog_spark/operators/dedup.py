@@ -1,1 +1,351 @@
-"""Placeholder — filled in by the LLM-pipeline milestone."""
+"""Deduplication operators over the ``documents`` table — the core of a
+training-data pipeline at 100 TB.
+
+Five families, each a registered query with a DuckDB oracle wherever the
+semantics are SQL-expressible:
+
+* exact        — hash-groupBy on the full text (md5); one shuffle on the
+                 16-byte digest, never on the document body.
+* n-gram Jaccard — word-3-gram shingles, exact pairwise similarity via a
+                 shingle-inverted-index join (never an O(n²) cross join).
+* MinHash+LSH  — 8 permutation-min signatures, 4 bands × 2 rows,
+                 band-bucket self-join for candidate pairs. The scale
+                 path: cost ∝ colliding candidates, not pairs.
+* SimHash      — 32-bit sign-of-weighted-sum fingerprint per document.
+* embedding cosine — near-dup pairs by cosine over the 64-d embeddings.
+
+Cross-engine determinism: every hash is derived from ``md5`` (available
+and bit-identical in both Spark and DuckDB) — the first 15 hex chars
+parsed as a 60-bit integer, then mixed with integer-only arithmetic
+((a·x + b) mod p, p = 2^31-1, products bounded < 2^62). No engine-
+specific hash function appears anywhere, so the oracle can reproduce
+every signature exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import register
+from ..tables import load_table
+
+_HEX = "0123456789abcdef"
+P31 = 2_147_483_647  # 2^31 - 1, Mersenne prime
+# fixed odd mixing constants (a_j, b_j) for the 8 minhash permutations
+MINHASH_AB = [
+    (1_103_515_245, 12_345),
+    (214_013, 2_531_011),
+    (134_775_813, 1),
+    (1_664_525, 1_013_904_223),
+    (22_695_477, 1),
+    (69_069, 362_437),
+    (1_566_083_941, 1_732_584_193),
+    (747_796_405, 2_891_336_453 % P31),
+]
+N_BANDS = 4  # 4 bands × 2 rows = 8 signature slots
+SIMHASH_BITS = 32
+JACCARD_THRESHOLD = 0.5
+COSINE_THRESHOLD = 0.4
+
+
+# -- md5 → 60-bit integer, identical in both engines -------------------------
+
+
+def md5_int_col(c: Column) -> Column:
+    """First 15 hex chars of md5 as a non-negative 60-bit long (Spark)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def md5_int_sql(expr: str) -> str:
+    """Same value in portable SQL: positional hex-digit expansion
+    (DuckDB has no hex→int cast; strpos arithmetic is exact)."""
+    terms = [
+        f"(strpos('{_HEX}', substr(md5({expr}), {k}, 1)) - 1) * {16 ** (15 - k)}"
+        for k in range(1, 16)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+# -- shared shingle pipeline --------------------------------------------------
+
+
+def _words(df: DataFrame) -> DataFrame:
+    return df.withColumn("w", F.split("text", " "))
+
+
+def shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id → distinct word n-gram shingles. transform+slice stays in
+    whole-stage codegen; explode fans out JVM-side."""
+    arr = F.transform(
+        F.sequence(F.lit(1), F.size("w") - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice("w", i, n)),
+    )
+    return (
+        _words(df)
+        .where(F.size("w") >= n)
+        .select("doc_id", F.explode(arr).alias("sh"))
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = """
+SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - 1),
+                  i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    WHERE len(w) >= 3
+)
+"""
+
+
+# -- exact dedup ---------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+WITH corpus AS (
+    SELECT doc_id, text, 1 AS copy_no FROM documents
+    UNION ALL
+    SELECT doc_id, text, 2 AS copy_no FROM documents
+)
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM corpus
+GROUP BY md5(text)
+HAVING COUNT(*) > 1
+""",
+    doc="Exact dedup: hash-groupBy on content digest (double-crawl corpus).",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shuffle key is the 16-byte digest, not the document body —
+    at 100 TB the exchange moves hashes + ids only. The doubled corpus
+    simulates a re-crawl so the operator has real duplicates to collapse
+    (the synthetic table itself has none)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.withColumn("copy_no", F.lit(1)).unionByName(
+        docs.withColumn("copy_no", F.lit(2))
+    )
+    return (
+        corpus.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+# -- n-gram Jaccard -------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+""",
+    doc="Near-dup pairs by exact 3-gram Jaccard via inverted-index join.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index formulation: only documents sharing a shingle ever
+    meet, so cost tracks true overlap instead of n². The hot shuffle is
+    groupBy(shingle); a stop-shingle filter (drop shingles in > T docs)
+    caps skew at web scale — not needed at this corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# -- MinHash + LSH ---------------------------------------------------------------
+
+
+def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    x = md5_int_col(F.col("sh")) % P31
+    aggs = [
+        F.min((F.lit(a) * x + F.lit(b)) % P31).alias(f"mh{j}")
+        for j, (a, b) in enumerate(MINHASH_AB)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_signature_sql() -> str:
+    x = f"({md5_int_sql('sh')} % {P31})"
+    cols = ", ".join(
+        f"MIN(({a} * {x} + {b}) % {P31}) AS mh{j}" for j, (a, b) in enumerate(MINHASH_AB)
+    )
+    return f"WITH sh AS ({_SHINGLES_SQL}) SELECT doc_id, {cols} FROM sh GROUP BY doc_id"
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH sig AS ({_minhash_signature_sql()})
+SELECT DISTINCT doc_a, doc_b FROM (
+    {" UNION ALL ".join(
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b "
+        f"ON a.mh{2 * band} = b.mh{2 * band} AND a.mh{2 * band + 1} = b.mh{2 * band + 1} "
+        f"AND a.doc_id < b.doc_id"
+        for band in range(N_BANDS)
+    )}
+)
+""",
+    doc="MinHash(8) + LSH(4 bands × 2 rows) candidate pairs.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for near-dup: signatures are one groupBy over
+    shingles; candidate generation is equi-joins on band keys (hash
+    join, broadcast-able, AQE-skew-splittable) — no similarity is ever
+    computed for non-colliding pairs. Verify candidates with
+    dedup_ngram_jaccard semantics downstream if exactness is needed."""
+    sig = _minhash_signature(spark, sf_dir)
+    pairs = None
+    for band in range(N_BANDS):
+        a = sig.alias("a")
+        b = sig.alias("b")
+        cond = (
+            (F.col(f"a.mh{2 * band}") == F.col(f"b.mh{2 * band}"))
+            & (F.col(f"a.mh{2 * band + 1}") == F.col(f"b.mh{2 * band + 1}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+        p = a.join(b, cond).select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+# -- SimHash ----------------------------------------------------------------------
+
+
+def _simhash_bit_sums_sql() -> str:
+    h = md5_int_sql("word")
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h // {1 << j}) % 2 = 1 THEN tf ELSE -tf END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tfs AS (
+    SELECT doc_id, word, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ) GROUP BY doc_id, word
+),
+hashed AS (SELECT doc_id, tf, {h} AS h FROM tfs)
+SELECT doc_id, {sums} FROM hashed GROUP BY doc_id
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH bitsums AS ({_simhash_bit_sums_sql()})
+SELECT doc_id,
+       {" + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS))} AS simhash
+FROM bitsums
+""",
+    doc="32-bit SimHash fingerprint per document (tf-weighted).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One explode + two partial-aggregating groupBys; every bit test is
+    integer arithmetic on the md5-derived word hash, so the fingerprint
+    is engine-independent. Near-dup = small Hamming distance; pair it
+    with a band join on simhash prefixes for retrieval at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    tfs = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    h = md5_int_col(F.col("word"))
+    hashed = tfs.withColumn("h", h)
+    bit_sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when((F.col("h").bitwiseAND(F.lit(1 << j))) != 0, F.col("tf")).otherwise(
+                    -F.col("tf")
+                )
+            ).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    simhash = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return bit_sums.select("doc_id", simhash.alias("simhash"))
+
+
+# -- embedding cosine near-dup ------------------------------------------------------
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine over float arrays, computed exactly like the SQL oracle:
+    cast each element to double BEFORE multiplying, sum sequentially."""
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.aggregate(F.transform(da, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    nb = F.aggregate(F.transform(db, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+_COSINE_SQL = (
+    "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))"
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_COSINE_SQL} >= {COSINE_THRESHOLD}
+""",
+    doc="Embedding near-dup pairs by cosine (brute-force; LSH variant in similarity.py).",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force O(n²) pairs — correct baseline, only viable to ~10^5
+    vectors. The output carries only pair ids (no float column) so the
+    oracle comparison is immune to last-bit formatting; the threshold
+    decision itself is deterministic because both engines evaluate the
+    identical double-precision expression."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = cosine_expr(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(cos >= COSINE_THRESHOLD)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+    )

@@ -1,1 +1,115 @@
-"""Placeholder — filled in by the LLM-pipeline milestone."""
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+decoded/feature-extracted via Arrow-batched Pandas UDFs.
+
+This container has no image/audio codecs, so the decode step is a
+deterministic fake (clearly marked) — but everything Spark-side is
+real and tested: the binary column handling, the manifest schema, the
+``mapInPandas`` batch shape, and the partitioning strategy. Swapping
+``_fake_decode`` for PIL/ffmpeg is a one-function change.
+
+Scale notes: binary payloads ride in the same parquet row as their
+metadata (good to ~1 MB each; bigger media belongs in object storage
+with the row carrying a URI — same plumbing, the UDF fetches instead
+of decodes). ``mapInPandas`` streams Arrow batches, so executor memory
+is bounded by batch size, not partition size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import register
+from ..tables import load_table
+
+FEATURE_SCHEMA = (
+    "doc_id long, media_type string, byte_len int, mean_byte double, "
+    "first_byte int, n_frames int"
+)
+
+
+def manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → multimodal manifest: a binary payload column (here:
+    md5 digest bytes standing in for encoded media) + typed metadata."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.unhex(F.md5("text")).alias("payload"),
+        ((F.col("doc_id") % 64 + 1) * 16).cast("int").alias("width"),
+        ((F.col("doc_id") % 48 + 1) * 16).cast("int").alias("height"),
+    )
+
+
+@register(
+    "multimodal_manifest",
+    oracle="""
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       CAST(octet_length(unhex(md5(text))) AS INT) AS byte_len,
+       CAST((doc_id % 64 + 1) * 16 AS INT) AS width,
+       CAST((doc_id % 48 + 1) * 16 AS INT) AS height
+FROM documents
+""",
+    doc="Multimodal manifest: binary payload metadata projection.",
+)
+def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return manifest(spark, sf_dir).select(
+        "doc_id",
+        "media_type",
+        F.octet_length("payload").alias("byte_len"),
+        "width",
+        "height",
+    )
+
+
+def _fake_decode(payload: bytes, media_type: str) -> tuple[float, int, int]:
+    """STUB decode (no codecs in this container): deterministic features
+    from the raw bytes. A real deployment replaces this body with
+    PIL.Image.open / torchaudio.load / pyav frame sampling — the
+    signature and the Spark plumbing around it do not change."""
+    if not payload:
+        return 0.0, -1, 0
+    mean_byte = sum(payload) / len(payload)
+    n_frames = {"image": 1, "audio": 16, "video": 8}.get(media_type, 0)
+    return mean_byte, payload[0], n_frames
+
+
+def decode_features(mdf: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction: Arrow batches in, Arrow batches
+    out; one Python worker per core, zero row-at-a-time overhead."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _fake_decode(bytes(p) if p is not None else b"", m)
+                for p, m in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": [len(bytes(p)) if p is not None else 0 for p in pdf["payload"]],
+                    "mean_byte": [f[0] for f in feats],
+                    "first_byte": [f[1] for f in feats],
+                    "n_frames": [f[2] for f in feats],
+                }
+            )
+
+    return mdf.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+@register(
+    "multimodal_decode_features",
+    oracle=None,  # byte-level feature extraction isn't ANSI-SQL-expressible
+    doc="Pandas-UDF decode/feature-extract pipeline over binary payloads (rows-only check).",
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_features(manifest(spark, sf_dir))

@@ -1,1 +1,143 @@
-"""Placeholder — filled in by the LLM-pipeline milestone."""
+"""Similarity search over the ``embeddings`` table (64-d float vectors).
+
+Two tiers, as a 100 TB pipeline needs:
+
+* brute-force cosine top-k — exact baseline; one broadcast of the query
+  set, one scan of the corpus, a per-query top-k window. Cost O(n·q):
+  fine for any corpus when the query set is small, the reference answer
+  for recall measurement otherwise.
+* LSH-bucketed ANN — sign-random-projection buckets; candidate set =
+  same-bucket vectors only. The bucket join is an equi-join (hash,
+  AQE-skew-splittable); at 1000× data the probe cost stays ∝ bucket
+  occupancy, not corpus size.
+
+Hyperplanes are integer-seeded rationals (no RNG, no floats that differ
+across engines), so the oracle reproduces the exact bucket assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import register
+from ..tables import load_table
+from .dedup import cosine_expr
+
+QUERY_IDS = (0, 1, 2, 3, 4)
+TOP_K = 10
+N_PLANES = 8
+DIM = 64
+# deterministic pseudo-random rationals in (-0.5, 0.5): Knuth-style
+# integer mix, exact in any engine
+_MIX = 2_654_435_761
+_MOD = 1_000_003
+
+
+def _plane_coeff(j: int, i: int) -> float:
+    return ((j * DIM + i + 1) * _MIX % _MOD) / _MOD - 0.5
+
+
+def _dot_plane_col(emb: Column, j: int) -> Column:
+    """dot(plane_j, emb) with literal coefficients — unrolled, exact,
+    and identical to the SQL oracle's evaluation order."""
+    acc = F.lit(0.0)
+    for i in range(DIM):
+        acc = acc + F.lit(_plane_coeff(j, i)) * emb.getItem(i).cast("double")
+    return acc
+
+
+def _dot_plane_sql(j: int, tbl: str) -> str:
+    terms = " + ".join(
+        f"{_plane_coeff(j, i)!r} * CAST({tbl}.embedding[{i + 1}] AS DOUBLE)" for i in range(DIM)
+    )
+    return f"(0.0 + {terms})"
+
+
+def bucket_col(emb: Column) -> Column:
+    """LSH bucket id: sign bits of N_PLANES projections."""
+    acc = F.lit(0)
+    for j in range(N_PLANES):
+        acc = acc + F.when(_dot_plane_col(emb, j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return acc
+
+
+def bucket_sql(tbl: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {_dot_plane_sql(j, tbl)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    )
+    return f"({terms})"
+
+
+@register(
+    "ann_topk_bruteforce",
+    oracle=f"""
+SELECT query_id, neighbor_id, rk FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_sum(list_transform(range(1, {DIM + 1}),
+                            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                        / (sqrt(list_sum(list_transform(range(1, {DIM + 1}),
+                            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                         * sqrt(list_sum(list_transform(range(1, {DIM + 1}),
+                            i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) DESC,
+                        b.vec_id
+           ) AS rk
+    FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+    WHERE a.vec_id IN {QUERY_IDS}
+)
+WHERE rk <= {TOP_K}
+""",
+    doc="Exact cosine top-k for a fixed query set (brute force baseline).",
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The query set broadcasts; the corpus is scanned once; the
+    per-query top-k is a WindowGroupLimit (each task keeps k rows per
+    query before any shuffle). Ties break on vec_id so ordering is
+    deterministic across engines."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cos = cosine_expr(F.col("q_emb"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", cos)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rk")
+    )
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=f"""
+WITH bucketed AS (
+    SELECT vec_id, embedding, {bucket_sql("embeddings")} AS bucket FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket
+FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+""",
+    doc="Sign-random-projection LSH: same-bucket candidate pairs.",
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN scale path: bucket assignment is a narrow projection
+    (8 unrolled dot products, pure codegen), candidates come from an
+    equi-join on the bucket id. Tune N_PLANES for occupancy: 8 planes →
+    256 buckets; at 10^9 vectors use ~20 planes + multi-probe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.select("vec_id", "embedding", bucket_col(F.col("embedding")).alias("bucket"))
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.bucket").alias("bucket"),
+    )

@@ -1,1 +1,151 @@
-"""Placeholder — filled in by the LLM-pipeline milestone."""
+"""Text-analysis operators over ``documents``: quality scoring, token
+counting, language-ID heuristics, fingerprinting.
+
+All pure JVM-side column expressions (split / regexp / aggregate) —
+these run at full codegen speed over any corpus size; there is no
+Python in any of these paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import register
+from ..tables import load_table
+from .dedup import md5_int_col, md5_int_sql
+
+STOPWORDS = ("the", "a", "to", "of", "in", "and")
+_STOP_SQL = "('" + "','".join(STOPWORDS) + "')"
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+SELECT doc_id,
+       n_words,
+       n_stop,
+       CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+       CAST(sum_word_len AS DOUBLE) / n_words AS avg_word_len,
+       CASE WHEN n_words BETWEEN 20 AND 95
+             AND CAST(n_stop AS DOUBLE) / n_words >= 0.02
+            THEN 1 ELSE 0 END AS is_quality
+FROM (
+    SELECT doc_id,
+           len(w) AS n_words,
+           len(list_filter(w, x -> x IN {_STOP_SQL})) AS n_stop,
+           list_sum(list_transform(w, x -> length(x))) AS sum_word_len
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+)
+""",
+    doc="Per-doc quality features: word count, stopword ratio, avg word length.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality gate (the C4/Gopher-rule family): cheap
+    length/ratio features computed in one projection, used to filter a
+    crawl before expensive model-based scoring."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    base = docs.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).alias("n_stop"),
+        F.aggregate(
+            F.transform(w, lambda x: F.length(x)), F.lit(0), lambda acc, v: acc + v
+        ).alias("sum_word_len"),
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_words")
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_stop",
+        stop_ratio.alias("stop_ratio"),
+        (F.col("sum_word_len").cast("double") / F.col("n_words")).alias("avg_word_len"),
+        F.when(
+            F.col("n_words").between(20, 95) & (stop_ratio >= 0.02), 1
+        ).otherwise(0).alias("is_quality"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle=r"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(len(string_split(text, ' '))) AS ws_tokens,
+       SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS re_tokens,
+       SUM(n_chars) AS total_chars
+FROM documents
+GROUP BY source
+""",
+    doc="Corpus token accounting per source (whitespace + BPE-ish regex tokens).",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting for a training corpus: the regex tokenizer
+    approximates BPE pre-tokenization (letter runs / digit runs /
+    punctuation). regexp_extract_all is codegen'd — no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("ws_tokens"),
+        F.sum(
+            F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)))
+        ).alias("re_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "text_lang_stats",
+    oracle=f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       SUM(n_chars) AS total_chars,
+       SUM(CASE WHEN CAST(len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})) AS DOUBLE)
+                     / len(string_split(text, ' ')) >= 0.02
+                THEN 1 ELSE 0 END) AS predicted_en
+FROM documents
+GROUP BY lang
+""",
+    doc="Language-ID heuristic (stopword-vote) scored against the lang label.",
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID — the mechanism used before fasttext-
+    class models. NOTE: the synthetic corpus draws every language from
+    one English-ish vocabulary, so the predictor marks most docs 'en';
+    the query's value is the per-language accounting shape, which is
+    exactly what a real pipeline reports."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    stop_ratio = (
+        F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).cast("double") / F.size(w)
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.when(stop_ratio >= 0.02, 1).otherwise(0)).alias("predicted_en"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       substr(md5(text), 1, 16) AS fp_hex,
+       {md5_int_sql("text")} AS fp_int
+FROM documents
+""",
+    doc="Content fingerprint per document (md5-derived 60-bit int + hex).",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-friendly fixed-width fingerprints: the 60-bit int shuffles/
+    sorts as a primitive long (vs 32-char strings) — at corpus scale
+    that halves dedup shuffle volume."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.substring(F.md5("text"), 1, 16).alias("fp_hex"),
+        md5_int_col(F.col("text")).alias("fp_int"),
+    )

@@ -1,0 +1,77 @@
+"""Behavioral tests for the LLM-pipeline operators (beyond the oracle
+equality, which tests/test_oracle.py covers)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from eventlog_spark.operators import dedup, multimodal, similarity
+
+
+def test_minhash_candidates_cover_near_dups(spark, sf_dir):
+    """LSH candidates must include (almost all) truly similar pairs.
+    At J >= 0.8, P(miss) = (1 - J^2)^4 < 2%; the planted near-dups in
+    the testdata are well above that."""
+    jac = dedup.dedup_ngram_jaccard(spark, sf_dir).where(F.col("jaccard") >= 0.8)
+    truth = {(r.doc_a, r.doc_b) for r in jac.collect()}
+    cand = {(r.doc_a, r.doc_b) for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()}
+    assert truth, "testdata should contain planted near-duplicates"
+    missed = truth - cand
+    assert len(missed) <= max(1, len(truth) // 10), f"LSH missed too many: {missed}"
+
+
+def test_simhash_similar_docs_close(spark, sf_dir):
+    """Near-identical docs (J >= 0.9) must land within small Hamming
+    distance; random pairs should average ~16 bits apart."""
+    sim = {r.doc_id: r.simhash for r in dedup.dedup_simhash(spark, sf_dir).collect()}
+    pairs = dedup.dedup_ngram_jaccard(spark, sf_dir).where(F.col("jaccard") >= 0.9).collect()
+    assert pairs
+    for p in pairs:
+        ham = bin(sim[p.doc_a] ^ sim[p.doc_b]).count("1")
+        assert ham <= 8, f"docs {p.doc_a},{p.doc_b} J={p.jaccard:.2f} hamming={ham}"
+
+
+def test_md5_int_matches_python(spark):
+    """The engine-portable md5→int60 must equal a reference computation."""
+    df = spark.createDataFrame([("hello",), ("world",), ("",)], "s string")
+    got = {r.s: r.h for r in df.select("s", dedup.md5_int_col(F.col("s")).alias("h")).collect()}
+    for s, h in got.items():
+        expect = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        assert h == expect
+
+
+def test_ann_bruteforce_self_consistency(spark, sf_dir):
+    """Every query returns exactly TOP_K ranked neighbors, none itself."""
+    rows = similarity.ann_topk_bruteforce(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert r.neighbor_id != r.query_id
+    for q, rs in by_q.items():
+        assert sorted(x.rk for x in rs) == list(range(1, similarity.TOP_K + 1))
+    assert set(by_q) == set(similarity.QUERY_IDS)
+
+
+def test_lsh_buckets_partition_corpus(spark, sf_dir):
+    """Bucket ids are stable and within [0, 2^N_PLANES)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b = emb.select(similarity.bucket_col(F.col("embedding")).alias("bucket"))
+    stats = b.agg(F.min("bucket"), F.max("bucket"), F.countDistinct("bucket")).collect()[0]
+    assert stats[0] >= 0
+    assert stats[1] < 2**similarity.N_PLANES
+    assert stats[2] > 1  # corpus actually spreads across buckets
+
+
+def test_multimodal_decode_matches_reference(spark, sf_dir):
+    """mapInPandas features equal a pure-Python recomputation."""
+    feats = {r.doc_id: r for r in multimodal.multimodal_decode_features(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20).collect()
+    for d in docs:
+        payload = hashlib.md5(d.text.encode()).digest()
+        row = feats[d.doc_id]
+        assert row.byte_len == 16
+        assert row.first_byte == payload[0]
+        assert abs(row.mean_byte - sum(payload) / 16) < 1e-9
+        assert row.n_frames == {"image": 1, "audio": 16, "video": 8}[row.media_type]
