@@ -1,0 +1,128 @@
+"""Batch-checkable twins of the streaming window operators.
+
+Structured Streaming's window/session/dedup operators have exact batch
+semantics (the same expressions run in both modes); registering the
+batch form gives the driver's DuckDB oracle something to verify, while
+tests/test_streaming.py exercises the true streaming execution with
+watermarks, checkpoints and multi-batch replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import register
+from ..tables import load_table
+
+
+@register(
+    "stream_tumbling_window",
+    oracle="""
+SELECT DATE_TRUNC('hour', ts) AS window_start,
+       DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n,
+       SUM(CAST(value AS DECIMAL(12,2))) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+    doc="Tumbling 1h event-time windows (streaming twin: streams.tumbling_counts).",
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window() is epoch-aligned, so 1-hour tumbling == date_trunc —
+    lets DuckDB verify the exact window assignment Spark streams use."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+SELECT window_start, event_type, COUNT(*) AS n FROM (
+    SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type FROM events
+    UNION ALL
+    SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE, event_type FROM events
+)
+GROUP BY window_start, event_type
+""",
+    doc="Sliding 1h/30m windows — every event lands in exactly two windows.",
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n")
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM (
+    SELECT user_id, ts,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    )
+)
+GROUP BY user_id, session_id
+""",
+    doc="session_window(30m) per user; oracle re-derives sessions via lag "
+    "(note >=: session windows are end-exclusive).",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT event_id) AS n
+FROM (SELECT event_id, event_type FROM events
+      UNION ALL
+      SELECT event_id, event_type FROM events)
+GROUP BY event_type
+""",
+    doc="Exactly-once per key over a doubled stream (dropDuplicates twin).",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    doubled = ev.unionByName(ev)
+    return doubled.dropDuplicates(["event_id"]).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -66,6 +66,7 @@ def _ensure_loaded() -> None:
     from .operators import similarity  # noqa: F401
     from .operators import text  # noqa: F401
     from .operators import multimodal  # noqa: F401
+    from .operators import streamlike  # noqa: F401
     from . import logqueries  # noqa: F401
 
     _loaded = True

@@ -1,0 +1,141 @@
+"""Structured Streaming operators.
+
+Reference parity: O13 subscription (eventlog/eventlog.go:277-282,
+api/fasthttp/serve.go:381-463) — a subscriber learns the newest head
+version after every append. Spark rendition: ``readStream`` over the
+log directory + ``foreachBatch`` publishing ``max(version)``; multiple
+appends conflate into one micro-batch, which IS the reference's
+"drop-if-slow, latest-wins" delivery (broadcast.go:24-27).
+
+Beyond parity, the streaming analytics surface the task mandates:
+watermarked tumbling/sliding/session windows and within-watermark
+dedup over the events stream. Each helper takes a *streaming* frame
+and returns a transformed streaming frame — callers pick the sink and
+trigger (tests use availableNow + memory sink for determinism).
+
+Scale notes: all stateful ops key their state by (window, group key) —
+state size ∝ active windows × keys, bounded by the watermark horizon;
+``spark.sql.streaming.statestore`` backends (RocksDB on real clusters)
+keep it off-heap. File-source streams at 100 TB use
+``maxFilesPerTrigger`` to bound micro-batch size.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..log import EVENT_SCHEMA, EventLog
+
+
+# -- log tail / subscription (O13) -------------------------------------------
+
+
+def log_tail_stream(log: EventLog) -> DataFrame:
+    """Streaming view of the log: every committed fragment becomes part
+    of a micro-batch exactly once."""
+    return log.spark.readStream.schema(EVENT_SCHEMA).parquet(log.path)
+
+
+def subscribe_stream(
+    log: EventLog,
+    on_version: Callable[[int], None],
+    checkpoint_dir: str,
+    available_now: bool = False,
+):
+    """O13 over Structured Streaming: push the newest head version per
+    micro-batch. Conflation of many appends into one callback matches
+    the reference's at-most-once latest-wins contract."""
+
+    def publish(batch: DataFrame, batch_id: int) -> None:
+        row = batch.agg(F.max("version").alias("v")).collect()[0]
+        if row["v"] is not None:
+            on_version(int(row["v"]))
+
+    writer = (
+        log_tail_stream(log)
+        .writeStream.foreachBatch(publish)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def replay(log: EventLog, process: Callable[[DataFrame, int], None], checkpoint_dir: str):
+    """Batch replay of the full log through the streaming machinery
+    (availableNow trigger): processes all existing data as micro-batches
+    then stops — the reference's catch-up-scan (client/http.go:342-429)
+    expressed as a stream."""
+    return (
+        log_tail_stream(log)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# -- watermarked windows -------------------------------------------------------
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time windows with late-data cutoff."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows: merge per-user activity separated by < gap."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon — the streaming
+    twin of dedup_exact: state holds one entry per key, expired by the
+    watermark instead of growing forever."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])

@@ -1,0 +1,124 @@
+"""True Structured Streaming execution: tail/subscribe, replay,
+multi-batch watermarked dedup. (Window-assignment correctness is
+oracle-checked in batch via operators/streamlike.py — same expressions.)"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from eventlog_spark.log import EventLog
+from eventlog_spark.streaming import streams
+
+
+def _await(q, timeout=60):
+    q.awaitTermination(timeout)
+    q.stop()
+
+
+def test_subscribe_stream_latest_wins(spark, tmp_path):
+    """O13 via readStream+foreachBatch: subscriber sees the newest head;
+    multiple appends conflate into one callback (latest-wins)."""
+    log = EventLog.create(spark, str(tmp_path / "log"))
+    log.append("a", '{"x":1}')
+    log.append_multi([("b", '{"x":2}'), ("c", '{"x":3}')])
+    seen: list[int] = []
+    q = streams.subscribe_stream(
+        log, seen.append, str(tmp_path / "ckpt"), available_now=True
+    )
+    _await(q)
+    assert seen, "subscriber never notified"
+    assert seen[-1] == 3  # newest head wins
+
+
+def test_replay_processes_whole_log(spark, tmp_path):
+    log = EventLog.create(spark, str(tmp_path / "log"))
+    log.append_multi([(f"e{i}", f'{{"i":{i}}}') for i in range(25)])
+    got: list[int] = []
+
+    def process(batch, _bid):
+        got.extend(r.version for r in batch.collect())
+
+    q = streams.replay(log, process, str(tmp_path / "ckpt"))
+    _await(q)
+    assert sorted(got) == list(range(1, 26))
+
+    # incremental: a second replay from the same checkpoint sees ONLY new data
+    log.append("late", '{"x":99}')
+    got2: list[int] = []
+    q2 = streams.replay(log, lambda b, _:
+                        got2.extend(r.version for r in b.collect()), str(tmp_path / "ckpt"))
+    _await(q2)
+    assert got2 == [26]
+
+
+def test_dedup_within_watermark_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a duplicate key arriving in a later
+    micro-batch (within the watermark) is dropped — state survives the
+    checkpoint restart."""
+    src = str(tmp_path / "src")
+    out: list = []
+
+    def run():
+        stream = spark.readStream.schema("event_id long, ts timestamp, v string").parquet(src)
+        deduped = streams.dedup_within_watermark(stream, watermark="1 hour")
+        q = (
+            deduped.writeStream.foreachBatch(lambda b, _: out.extend(b.collect()))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+
+    base = "2024-01-01 10:{m:02d}:00"
+    spark.createDataFrame(
+        [(1, base.format(m=0), "a"), (2, base.format(m=1), "b")],
+        "event_id long, ts string, v string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode("append").parquet(src)
+    run()
+    assert sorted(r.event_id for r in out) == [1, 2]
+
+    # batch 2: one duplicate (id=2) + one new (id=3)
+    spark.createDataFrame(
+        [(2, base.format(m=2), "b-dup"), (3, base.format(m=3), "c")],
+        "event_id long, ts string, v string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode("append").parquet(src)
+    out.clear()
+    run()
+    assert sorted(r.event_id for r in out) == [3], f"duplicate leaked: {out}"
+
+
+def test_tumbling_counts_streaming_matches_batch(spark, tmp_path, sf_dir):
+    """The streaming aggregation (complete mode over availableNow) must
+    equal the batch computation over the same data."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(0)  # schema only
+    src = str(tmp_path / "src")
+    from eventlog_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    events.write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = streams.tumbling_counts(stream, width="1 hour", watermark="2 hours")
+    results: dict = {}
+
+    def capture(batch, _bid):
+        for r in batch.collect():
+            results[(r.window_start, r.event_type)] = r.n
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(capture)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q, timeout=120)
+
+    batch_expect = {
+        (r.window_start, r.event_type): r.n
+        for r in streams.tumbling_counts(events.withColumn("ts", F.col("ts")), "1 hour", "2 hours")
+        .collect()
+    }
+    assert results == batch_expect
