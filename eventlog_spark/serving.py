@@ -1,0 +1,237 @@
+"""O26 HTTP serving facade — the reference's 7-endpoint API over an
+EventLog (api/fasthttp/serve.go:20-93; README.md:16-67).
+
+Routes and response shapes are byte-compatible with the reference:
+
+* ``POST /log/``                  append (binary wire body, O24)
+* ``POST /log/:assumedVersion``   OCC append
+* ``GET  /log/:version?n=&reverse&skip_first``  scan (hex versions,
+  RFC3339 times, raw JSON payload inline)
+* ``GET  /version``               ``{"version":"<hex>"}``
+* ``GET  /version/initial``       ``{"version-initial":"<hex>"}``
+* ``GET  /meta``                  metadata JSON object
+* ``GET  /subscription``          head-version push. DIVERGENCE: the
+  reference uses a websocket (serve.go:381-463); the stdlib has no ws
+  server, so this facade long-polls — ``?known=<hex>&timeout=<sec>``
+  blocks until the head advances past ``known`` (or timeout → 204) and
+  returns the hex head. Latest-wins semantics are identical.
+
+Error strings mirror internal/internal.go (ErrInvalidPayload,
+ErrMismatchingVersions, ErrInvalidVersion, ErrMalformedVersion,
+ErrBadArgument, ErrPayloadSizeLimitExceeded) with status 400.
+
+Serving scans read only the head pages of the log table — heavy
+analytics stay on the Spark surface; this facade exists for drop-in
+client compatibility (SURVEY §7 phase 7).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from datetime import datetime, timezone
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from .errors import (
+    EventLogError,
+    InvalidLabel,
+    InvalidPayload,
+    InvalidVersion,
+    MismatchingVersions,
+    PayloadSizeLimitExceeded,
+)
+from .log import EventLog
+from .wire import WireCodecError, decode
+
+DEFAULT_MAX_READ_BATCH = 1000
+
+
+def adjust_batch_size(requested: int, limit: int) -> int:
+    """serve.go:473-483 verbatim semantics."""
+    if limit == 0:
+        return requested
+    if requested == 0 or requested > limit:
+        return limit
+    return requested
+
+
+def _rfc3339(ts: int) -> str:
+    return (
+        datetime.fromtimestamp(ts, tz=timezone.utc)
+        .isoformat(timespec="seconds")
+        .replace("+00:00", "Z")
+    )
+
+
+class EventLogHTTPServer(ThreadingHTTPServer):
+    daemon_threads = True
+
+    def __init__(self, addr, log: EventLog, max_read_batch_size: int = DEFAULT_MAX_READ_BATCH):
+        super().__init__(addr, _Handler)
+        self.log = log
+        self.max_read_batch_size = max_read_batch_size
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server: EventLogHTTPServer
+
+    def log_message(self, *a):  # silence default stderr access log
+        pass
+
+    # -- helpers -----------------------------------------------------------
+
+    def _send(self, status: int, body: str | bytes, ctype: str = "application/json"):
+        data = body.encode() if isinstance(body, str) else body
+        self.send_response(status)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _err(self, msg: str, status: int = 400):
+        self._send(status, msg, ctype="text/plain")
+
+    def _append_response(self, r) -> str:
+        doc = {
+            "version": format(r.version, "x"),
+            "version-previous": format(r.version_previous, "x"),
+        }
+        if r.version_first != r.version:
+            doc["version-first"] = format(r.version_first, "x")
+        doc["time"] = _rfc3339(r.timestamp)
+        return json.dumps(doc)
+
+    # -- POST --------------------------------------------------------------
+
+    def do_POST(self):
+        path = urlparse(self.path).path
+        if not path.startswith("/log/"):
+            self._send(404, "not found", ctype="text/plain")
+            return
+        body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+        try:
+            events = decode(body)
+        except WireCodecError:
+            self._err("ErrInvalidPayload")
+            return
+
+        log = self.server.log
+        suffix = path[len("/log/") :]
+        try:
+            if suffix:
+                try:
+                    assumed = int(suffix, 16)
+                except ValueError:
+                    self._err("ErrMalformedVersion")
+                    return
+                r = log.append_check_multi(assumed, events)
+            else:
+                r = log.append_multi(events)
+        except MismatchingVersions:
+            self._err("ErrMismatchingVersions")
+            return
+        except PayloadSizeLimitExceeded:
+            self._err("ErrPayloadSizeLimitExceeded")
+            return
+        except (InvalidPayload, InvalidLabel):
+            self._err("ErrInvalidPayload")
+            return
+        self._send(200, self._append_response(r))
+
+    # -- GET ---------------------------------------------------------------
+
+    def do_GET(self):
+        url = urlparse(self.path)
+        path, q = url.path, parse_qs(url.query, keep_blank_values=True)
+        log = self.server.log
+        if path == "/version":
+            self._send(200, '{"version":"%s"}' % format(log.version(), "x"))
+        elif path in ("/version/initial", "/version-initial"):
+            self._send(200, '{"version-initial":"%s"}' % format(log.version_initial(), "x"))
+        elif path == "/meta":
+            self._send(200, json.dumps(log.metadata()))
+        elif path == "/subscription":
+            self._subscription(q)
+        elif path.startswith("/log/"):
+            self._scan(path[len("/log/") :], q)
+        else:
+            self._send(404, "not found", ctype="text/plain")
+
+    def _scan(self, version_hex: str, q):
+        log = self.server.log
+        try:
+            version = int(version_hex, 16)  # empty → ValueError, like the
+            # reference's hex.ReadUint64 on an empty path segment
+        except ValueError:
+            self._err("ErrMalformedVersion")
+            return
+        try:
+            n = int(q["n"][0]) if "n" in q else 0
+        except ValueError:
+            self._err("ErrBadArgument")
+            return
+        n = adjust_batch_size(n, self.server.max_read_batch_size)
+        reverse = "reverse" in q
+        skip_first = "skip_first" in q
+        try:
+            rows = log.scan(
+                version=version, reverse=reverse, limit=n or None, skip_first=skip_first
+            ).collect()
+        except InvalidVersion:
+            self._err("ErrInvalidVersion")
+            return
+        except EventLogError:
+            self._err("ErrBadArgument")
+            return
+        parts = []
+        for e in rows:
+            parts.append(
+                '{"time":"%s","version":"%s","version-previous":"%s",'
+                '"version-next":"%s","label":"%s","payload":%s}'
+                % (
+                    _rfc3339(e.timestamp),
+                    format(e.version, "x"),
+                    format(e.version_prev, "x"),
+                    format(e.version_next, "x"),
+                    e.label,
+                    e.payload,
+                )
+            )
+        self._send(200, "[" + ",".join(parts) + "]")
+
+    def _subscription(self, q):
+        log = self.server.log
+        try:
+            known = int(q["known"][0], 16) if "known" in q else log.version()
+            timeout = float(q["timeout"][0]) if "timeout" in q else 30.0
+        except ValueError:
+            self._err("ErrBadArgument")
+            return
+        queue_, close = log.subscribe()
+        try:
+            head = log.version()
+            deadline = time.monotonic() + timeout
+            while head <= known:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    self.send_response(204)
+                    self.end_headers()
+                    return
+                try:
+                    head = queue_.get(timeout=remaining)
+                except Exception:
+                    continue
+            self._send(200, format(head, "x"), ctype="text/plain")
+        finally:
+            close()
+
+
+def serve(log: EventLog, host: str = "127.0.0.1", port: int = 8080) -> EventLogHTTPServer:
+    """Start the facade in a daemon thread; returns the server (call
+    ``.shutdown()`` to stop)."""
+    srv = EventLogHTTPServer((host, port), log)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv

@@ -1,0 +1,140 @@
+"""HTTP facade tests — the PySpark rendition of api/fasthttp/fasthttp_test.go:
+real server over a real log, error-status assertions, batch clamping."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+
+from eventlog_spark.log import EventLog
+from eventlog_spark.serving import adjust_batch_size, serve
+from eventlog_spark.wire import decode, encode
+
+
+@pytest.fixture()
+def server(spark, tmp_path):
+    log = EventLog.create(spark, str(tmp_path / "log"), metadata={"name": "served"})
+    srv = serve(log, port=0)  # ephemeral port
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield base, log
+    srv.shutdown()
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return r.status, r.read().decode()
+
+
+def _post(url: str, body: bytes):
+    req = urllib.request.Request(url, data=body, method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return r.status, r.read().decode()
+
+
+def test_wire_codec_roundtrip():
+    events = [("lbl", '{"x":1}'), ("", '{"y":"züm"}')]
+    assert decode(encode(events)) == events
+    with pytest.raises(Exception):
+        decode(b"")
+    with pytest.raises(Exception):
+        decode(encode(events)[:-2])  # truncated
+
+
+def test_append_and_scan_http(server):
+    base, _log = server
+    st, body = _post(f"{base}/log/", encode([("first", '{"i":1}')]))
+    assert st == 200
+    doc = json.loads(body)
+    assert doc["version"] == "1"
+    assert doc["version-previous"] == "0"
+    assert "T" in doc["time"] and doc["time"].endswith("Z")
+
+    # multi-append returns version-first
+    st, body = _post(f"{base}/log/", encode([("a", '{"i":2}'), ("b", '{"i":3}')]))
+    doc = json.loads(body)
+    assert doc["version-first"] == "2"
+    assert doc["version"] == "3"
+
+    st, body = _get(f"{base}/log/1")
+    events = json.loads(body)
+    assert [e["version"] for e in events] == ["1", "2", "3"]
+    assert [e["version-next"] for e in events] == ["2", "3", "0"]
+    assert events[0]["payload"] == {"i": 1}
+
+    # reverse + n + skip_first
+    st, body = _get(f"{base}/log/3?reverse&n=2&skip_first")
+    assert [e["version"] for e in json.loads(body)] == ["2", "1"]
+
+
+def test_occ_endpoint(server):
+    base, _ = server
+    _post(f"{base}/log/", encode([("x", '{"i":1}')]))
+    st, body = _post(f"{base}/log/1", encode([("y", '{"i":2}')]))
+    assert st == 200
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{base}/log/1", encode([("z", '{"i":3}')]))  # stale
+    assert e.value.code == 400
+    assert e.value.read().decode() == "ErrMismatchingVersions"
+
+
+def test_error_statuses(server):
+    """fasthttp_test.go error table: malformed version, invalid payload."""
+    base, _ = server
+    _post(f"{base}/log/", encode([("x", '{"i":1}')]))
+    for url, want in [
+        (f"{base}/log/zzz", "ErrMalformedVersion"),
+        (f"{base}/log/ff", "ErrInvalidVersion"),  # out of bounds
+        (f"{base}/log/1?n=abc", "ErrBadArgument"),
+    ]:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(url)
+        assert e.value.code == 400
+        assert e.value.read().decode() == want
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{base}/log/", encode([("bad", "{}")]))
+    assert e.value.read().decode() == "ErrInvalidPayload"
+
+
+def test_version_meta_endpoints(server):
+    base, _ = server
+    assert json.loads(_get(f"{base}/version")[1]) == {"version": "0"}
+    assert json.loads(_get(f"{base}/version/initial")[1]) == {"version-initial": "0"}
+    assert json.loads(_get(f"{base}/meta")[1]) == {"name": "served"}
+    _post(f"{base}/log/", encode([("x", '{"i":1}')]))
+    assert json.loads(_get(f"{base}/version")[1]) == {"version": "1"}
+
+
+def test_subscription_longpoll(server):
+    base, log = server
+    got: list[str] = []
+
+    def listen():
+        st, body = _get(f"{base}/subscription?known=0&timeout=30")
+        got.append(body)
+
+    t = threading.Thread(target=listen)
+    t.start()
+    import time
+
+    time.sleep(0.5)  # listener parked
+    log.append("wake", '{"x":1}')
+    t.join(timeout=60)
+    assert got == ["1"]
+
+    # timeout path: no append → 204, empty
+    req = urllib.request.Request(f"{base}/subscription?known=1&timeout=0.2")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.status == 204
+
+
+def test_batch_clamping():
+    """serve.go:473-483 table test."""
+    assert adjust_batch_size(0, 1000) == 1000
+    assert adjust_batch_size(5000, 1000) == 1000
+    assert adjust_batch_size(10, 1000) == 10
+    assert adjust_batch_size(7, 0) == 7
