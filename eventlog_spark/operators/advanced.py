@@ -1,0 +1,233 @@
+"""Advanced relational surface: outer joins, subquery decorrelation,
+pivot, array/collection functions, ranking-function suite, exact
+percentiles.
+
+Rounds out the SURVEY §2.2 checklist beyond the core demos in
+relational.py. Determinism rules are the shared ones from queries.py;
+collection outputs are rendered as sorted joined strings so the value
+hash is engine- and partition-order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..queries import register
+from ..tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(12,2)")
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+WITH cn AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust,
+                   SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS cust_bal
+            FROM customer WHERE c_acctbal > 5000 GROUP BY c_nationkey),
+     sn AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp,
+                   SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS supp_bal
+            FROM supplier GROUP BY s_nationkey)
+SELECT COALESCE(cn.nk, sn.nk) AS nationkey, n_cust, cust_bal, n_supp, supp_bal
+FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+""",
+    doc="Full-outer join of two pre-aggregated sides (nation balance rollup).",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-then-join: both sides shrink to ≤25 rows before the
+    full-outer, so the join is trivial regardless of input scale — the
+    pattern to prefer over outer-joining raw fact tables."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 5000)
+    s = _t(spark, sf_dir, "supplier")
+    cn = c.groupBy(F.col("c_nationkey").alias("c_nk")).agg(
+        F.count(F.lit(1)).alias("n_cust"), F.sum(_dec("c_acctbal")).alias("cust_bal")
+    )
+    sn = s.groupBy(F.col("s_nationkey").alias("s_nk")).agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum(_dec("s_acctbal")).alias("supp_bal")
+    )
+    return cn.join(sn, cn.c_nk == sn.s_nk, "full_outer").select(
+        F.coalesce("c_nk", "s_nk").alias("nationkey"),
+        "n_cust",
+        "cust_bal",
+        "n_supp",
+        "supp_bal",
+    )
+
+
+@register(
+    "subquery_above_group_avg",
+    oracle="""
+SELECT p_partkey, p_type, CAST(p_retailprice AS DECIMAL(12,2)) AS p_retailprice
+FROM part
+WHERE p_retailprice > (
+    SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+    FROM part p2 WHERE p2.p_type = part.p_type
+)
+""",
+    doc="Correlated scalar subquery (price above type average), decorrelated via window.",
+)
+def subquery_above_group_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated subquery decorrelates to a windowed group average —
+    one shuffle on p_type instead of a per-row subquery. This is exactly
+    the rewrite Catalyst applies to the SQL form; written explicitly here
+    to pin the plan. Average = exact decimal sum / count, so the filter
+    threshold is bit-identical across engines."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type")
+    avg_price = F.sum(_dec("p_retailprice")).over(w).cast("double") / F.count(F.lit(1)).over(w)
+    return (
+        p.withColumn("type_avg", avg_price)
+        .where(F.col("p_retailprice") > F.col("type_avg"))
+        .select("p_partkey", "p_type", _dec("p_retailprice").alias("p_retailprice"))
+    )
+
+
+@register(
+    "pivot_returnflag",
+    oracle="""
+SELECT l_linestatus,
+       SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS qty_a,
+       SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS qty_n,
+       SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS qty_r
+FROM lineitem
+GROUP BY l_linestatus
+""",
+    doc="Pivot (long→wide) on return flag; equals conditional aggregation.",
+)
+def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit pivot values keep the plan static (no extra job to
+    discover distinct keys) — required for predictable plans at scale.
+    Pivot compiles to exactly the oracle's conditional aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(_dec("l_quantity")))
+        .select(
+            "l_linestatus",
+            F.col("A").alias("qty_a"),
+            F.col("N").alias("qty_n"),
+            F.col("R").alias("qty_r"),
+        )
+    )
+
+
+@register(
+    "array_collect_ops",
+    oracle="""
+SELECT c_mktsegment,
+       ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT c_nationkey)), ',') AS nation_keys,
+       COUNT(DISTINCT c_nationkey) AS n_nations,
+       COUNT(*) AS n_customers
+FROM customer
+GROUP BY c_mktsegment
+""",
+    doc="collect_set + array_sort + array_join (grouped collection agg).",
+)
+def array_collect_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set is safe only when per-group cardinality is bounded
+    (25 nations here); for unbounded groups prefer re-aggregation or
+    top-k pruning first. Sorted-then-joined output makes the value
+    independent of partition arrival order."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.array_join(F.array_sort(F.collect_set("c_nationkey")), ",").alias("nation_keys"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@register(
+    "explode_unnest",
+    oracle="""
+SELECT word, COUNT(*) AS n, COUNT(DISTINCT p_brand) AS n_brands
+FROM (SELECT p_brand, UNNEST(STRING_SPLIT(p_type, ' ')) AS word FROM part)
+GROUP BY word
+""",
+    doc="split + explode (UNNEST): word frequencies across part types.",
+)
+def explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode is a narrow transformation (no shuffle) — rows fan out
+    within their partition; only the word-count agg shuffles, keyed on a
+    small vocabulary."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select("p_brand", F.explode(F.split("p_type", " ")).alias("word"))
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("p_brand").alias("n_brands"),
+        )
+    )
+
+
+@register(
+    "window_rank_suite",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+       RANK()         OVER w AS rnk,
+       DENSE_RANK()   OVER w AS drnk,
+       NTILE(4)       OVER w AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST()    OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+""",
+    doc="Ranking-function suite: rank/dense_rank/ntile/percent_rank/cume_dist.",
+)
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All five ranking functions share one window spec → a single
+    shuffle+sort on (o_orderstatus, o_totalprice desc, o_orderkey) feeds
+    one WindowExec. The tie-breaking o_orderkey makes every rank (and
+    therefore the hash) deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        _dec("o_totalprice").alias("o_totalprice"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       QUANTILE_CONT(l_quantity, 0.25) AS qty_p25,
+       QUANTILE_CONT(l_quantity, 0.5)  AS qty_median,
+       QUANTILE_CONT(l_quantity, 0.75) AS qty_p75,
+       MIN(l_quantity) AS qty_min,
+       MAX(l_quantity) AS qty_max,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Exact percentiles (quartiles) of quantity per return flag.",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile materializes each group's values — fine for a
+    3-group key; at 100 TB with high-cardinality groups switch to
+    percentile_approx (t-digest sketch, mergeable map-side). l_quantity
+    is integer-valued so linear interpolation is exact in FP on both
+    engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("qty_p25"),
+        F.expr("percentile(l_quantity, 0.5)").alias("qty_median"),
+        F.expr("percentile(l_quantity, 0.75)").alias("qty_p75"),
+        F.min("l_quantity").alias("qty_min"),
+        F.max("l_quantity").alias("qty_max"),
+        F.count(F.lit(1)).alias("n"),
+    )
