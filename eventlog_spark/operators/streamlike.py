@@ -110,6 +110,47 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_threshold_alert",
+    oracle="""
+SELECT user_id, event_id, ts, cum_value FROM (
+    SELECT user_id, event_id, ts, cum_value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+    FROM (
+        SELECT user_id, event_id, ts,
+               SUM(CAST(value AS DECIMAL(12,2))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_value
+        FROM events
+    ) WHERE cum_value >= 500
+)
+WHERE rk = 1
+""",
+    doc="First event where a user's cumulative value reaches 500 "
+    "(batch twin of streams.threshold_alerts, the applyInPandasWithState op).",
+)
+def stream_threshold_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch formulation: running decimal sum per user, keep the first
+    crossing row. The streaming twin keeps (cum, alerted) per user in the
+    state store and fires exactly once — test_streaming.py proves both
+    agree on the same data and that state survives micro-batch
+    boundaries."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = F.sum(F.col("value").cast("decimal(12,2)")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("cum_value", cum)
+        .where(F.col("cum_value") >= 500)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("user_id", "event_id", "ts", "cum_value")
+    )
+
+
+@register(
     "stream_dedup",
     oracle="""
 SELECT event_type, COUNT(DISTINCT event_id) AS n

@@ -139,3 +139,60 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> Data
     twin of dedup_exact: state holds one entry per key, expired by the
     watermark instead of growing forever."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+# -- custom stateful operator (applyInPandasWithState) ------------------------
+
+ALERT_SCHEMA = "user_id long, event_id long, ts timestamp, cum_value double"
+_ALERT_STATE_SCHEMA = "cum double, alerted boolean"
+
+
+def threshold_alerts(events: DataFrame, threshold: float = 500.0) -> DataFrame:
+    """Emit exactly one alert per user: the first event at which the
+    user's cumulative ``value`` reaches ``threshold``.
+
+    This is a genuinely custom stateful operator — built-in streaming
+    aggregates can't express "fire once on first crossing, then stay
+    silent" — so it uses ``applyInPandasWithState``: per-user state is
+    a (cumulative_sum, alerted) pair, Arrow-batched per micro-batch.
+    Batch-verifiable twin: ``stream_threshold_alert`` in
+    operators/streamlike.py (running-sum window + first crossing row).
+
+    Scale: state is two scalars per user — O(distinct users) bytes in
+    the state store (RocksDB off-heap on a real cluster), independent of
+    event volume. Rows are processed in (ts, event_id) order *within*
+    each micro-batch; cross-batch order is the stream's arrival order,
+    same as the reference log's append order.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fire(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            cum, alerted = state.get
+        else:
+            cum, alerted = 0.0, False
+        out = []
+        for pdf in pdf_iter:
+            if alerted:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, row in pdf.iterrows():
+                cum += float(row["value"])
+                if cum >= threshold:
+                    out.append((user_id, int(row["event_id"]), row["ts"], cum))
+                    alerted = True
+                    break
+        state.update((cum, alerted))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "event_id", "ts", "cum_value"])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fire,
+        outputStructType=ALERT_SCHEMA,
+        stateStructType=_ALERT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -89,6 +89,47 @@ def test_dedup_within_watermark_across_batches(spark, tmp_path):
     assert sorted(r.event_id for r in out) == [3], f"duplicate leaked: {out}"
 
 
+def test_threshold_alerts_stateful_across_batches(spark, tmp_path, sf_dir):
+    """applyInPandasWithState: per-user cumulative state survives
+    micro-batch boundaries, each user alerts at most once, and the
+    crossing events match the batch-twin window query on the full data."""
+    from eventlog_spark.queries import REGISTRY, _ensure_loaded
+    from eventlog_spark.tables import load_table
+
+    _ensure_loaded()
+    events = load_table(spark, sf_dir, "events")
+    # split by event-time so batch order == time order (stream contract)
+    cut = events.selectExpr("percentile(unix_timestamp(ts), 0.5) AS c").collect()[0]["c"]
+    src = str(tmp_path / "src")
+    events.where(F.unix_timestamp("ts") <= cut).write.mode("append").parquet(src)
+
+    alerts: list = []
+
+    def run():
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            streams.threshold_alerts(stream, threshold=500.0)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda b, _: alerts.extend(b.collect()))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q, timeout=120)
+
+    run()
+    events.where(F.unix_timestamp("ts") > cut).write.mode("append").parquet(src)
+    run()
+
+    got = {(r.user_id, r.event_id) for r in alerts}
+    assert len(got) == len(alerts), "duplicate alert for a user"
+    expect = {
+        (r.user_id, r.event_id)
+        for r in REGISTRY["stream_threshold_alert"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
 def test_tumbling_counts_streaming_matches_batch(spark, tmp_path, sf_dir):
     """The streaming aggregation (complete mode over availableNow) must
     equal the batch computation over the same data."""
