@@ -32,10 +32,30 @@ lowercase hex strings at the API edge.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+from typing import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _PARTITION_BITS = 33  # monotonically_increasing_id: id = pid << 33 | row_idx
+
+
+@dataclass
+class VersionedBatch:
+    """Result of :func:`with_dense_versions_counted`.
+
+    ``df``: input + dense version column. ``total``: exact row count
+    (free from the per-partition count pass — the committer publishes the
+    new head without re-scanning). ``invalid``: rows failing
+    ``valid_col`` (0 when not requested) — folded into the same count
+    pass so validation costs no extra job. ``unpersist``: release the
+    cached tagged frame once the last downstream action has run."""
+
+    df: DataFrame
+    total: int
+    invalid: int
+    unpersist: Callable[[], None]
 
 
 def with_dense_versions(
@@ -45,6 +65,27 @@ def with_dense_versions(
     order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Add a dense 1-based sequence column ``base+1 .. base+count``."""
+    batch = with_dense_versions_counted(df, base, col_name, order_cols)
+    batch.unpersist()
+    return batch.df
+
+
+def with_dense_versions_counted(
+    df: DataFrame,
+    base: int = 0,
+    col_name: str = "version",
+    order_cols: list[str] | None = None,
+    persist: bool = False,
+    valid_col: str | None = None,
+) -> VersionedBatch:
+    """Dense versioning with the count pass doubling as a validity audit.
+
+    With ``persist=True`` the post-shuffle tagged frame is cached, so the
+    count pass *and* every later action on the returned frame (the final
+    write) reuse one materialization instead of re-running the upstream
+    scan/shuffle. With ``valid_col`` set (a boolean column present on
+    ``df``), invalid rows are tallied inside the same per-partition
+    aggregate — no separate probe job."""
     if order_cols:
         df = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
 
@@ -55,17 +96,27 @@ def with_dense_versions(
         .withColumn("_rn", F.col("_mid").bitwiseAND(F.lit(mask)))
         .drop("_mid")
     )
+    if persist:
+        numbered = numbered.persist()
 
-    counts = numbered.groupBy("_pid").count().collect()  # ≤ #partitions rows
+    aggs = [F.count(F.lit(1)).alias("count")]
+    if valid_col is not None:
+        aggs.append(
+            F.sum(F.when(~F.col(valid_col), 1).otherwise(0)).alias("invalid")
+        )
+    counts = numbered.groupBy("_pid").agg(*aggs).collect()  # ≤ #partitions rows
     offsets: list[tuple[int, int]] = []
     acc = 0
+    bad = 0
     for row in sorted(counts, key=lambda r: r["_pid"]):
         offsets.append((row["_pid"], acc))
         acc += row["count"]
+        if valid_col is not None:
+            bad += int(row["invalid"] or 0)
 
     spark = df.sparkSession
     offset_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _offset long")
-    return (
+    out = (
         numbered.join(F.broadcast(offset_df), "_pid", "left")
         .withColumn(
             col_name,
@@ -73,6 +124,8 @@ def with_dense_versions(
         )
         .drop("_pid", "_rn", "_offset")
     )
+    unpersist = (lambda: numbered.unpersist()) if persist else (lambda: None)
+    return VersionedBatch(df=out, total=acc, invalid=bad, unpersist=unpersist)
 
 
 # -- hex version codec (O25) -------------------------------------------------

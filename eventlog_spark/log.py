@@ -358,6 +358,16 @@ class EventLog:
             F.col(payload_col).cast("string").alias("payload"),
             *[F.col(c) for c in keep if c not in (label_col, payload_col)],
         )
+        # Shuffle BEFORE computing the (expensive) JSON-validation column:
+        # a narrow source (e.g. one parquet file) would otherwise evaluate
+        # from_json for every row inside a single task. Post-shuffle the
+        # validation runs at full cluster parallelism.
+        if order_cols:
+            src = src.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+        elif src.rdd.getNumPartitions() < (
+            min_parts := self.spark.sparkContext.defaultParallelism
+        ):
+            src = src.repartition(min_parts)
         valid = label_valid_expr(F.col("label")) & payload_valid_expr(
             F.col("payload"), self._max_payload_len
         )
@@ -366,47 +376,67 @@ class EventLog:
         else:
             src = src.withColumn("_valid", valid)
 
-        # Pin the scan: with_dense_versions reads the source twice (count
-        # pass + write pass); persistence guarantees both see identical
-        # partitions even for nondeterministic upstreams.
-        src = src.persist()
-        try:
-            return self._append_dataframe_locked(src, on_invalid, order_cols)
-        finally:
-            src.unpersist()
+        return self._append_dataframe_locked(src, on_invalid, order_cols)
 
     def _append_dataframe_locked(
         self, src: DataFrame, on_invalid: str, order_cols: list[str] | None = None
     ) -> AppendResult:
-        from .functions.versioning import with_dense_versions
+        from .functions.versioning import with_dense_versions_counted
 
         with self._lock:
             base = self._latest
             ts = max(int(time.time()), self._last_ts)
-            versioned = with_dense_versions(src, base=base, order_cols=order_cols)
-            if order_cols:
-                versioned = versioned.drop(*[c for c in order_cols if c not in ("label", "payload")])
-            if on_invalid != "drop":
-                # all-or-nothing like the reference's multi-append
-                # rollback (file.go:343-360): probe for any invalid row
-                # before writing anything.
-                bad = versioned.where(~F.col("_valid")).limit(1).count()
-                if bad:
-                    from .errors import InvalidPayload
+            # One materialization serves everything: the versioning pass
+            # persists the post-shuffle tagged frame, so the count pass,
+            # the validity probe, and the final write all reuse it
+            # (pinning also guarantees identical partitions for
+            # nondeterministic upstreams).
+            # order_cols=None: append_dataframe already applied the
+            # ordering shuffle (pre-validation); re-shuffling here would
+            # both waste a pass and bury validation below the exchange.
+            # The invalid tally rides along in the count pass, so the
+            # all-or-nothing check (reference multi-append rollback,
+            # file.go:343-360) costs no extra job.
+            batch = with_dense_versions_counted(
+                src,
+                base=base,
+                order_cols=None,
+                persist=True,
+                valid_col="_valid" if on_invalid != "drop" else None,
+            )
+            versioned, total, unpersist = batch.df, batch.total, batch.unpersist
+            try:
+                if on_invalid != "drop":
+                    if batch.invalid:
+                        from .errors import InvalidPayload
 
-                    raise InvalidPayload("append_dataframe: batch contains invalid events")
-                versioned = versioned.drop("_valid")
-            out = versioned.select(
-                F.col("version").cast("long"),
-                (F.col("version") - 1).cast("long").alias("version_prev"),
-                # cast matters: a plain lit(ts) is an int32 and xxhash64
-                # of int != xxhash64 of the long read back at verify time
-                F.lit(ts).cast("long").alias("timestamp"),
-                "label",
-                "payload",
-            ).withColumn("checksum", checksum_expr())
-            out.write.mode("append").parquet(self.path)
-            self._recover_state_after_bulk(base, ts)
+                        raise InvalidPayload(
+                            "append_dataframe: batch contains invalid events"
+                        )
+                    versioned = versioned.drop("_valid")
+                if order_cols:
+                    versioned = versioned.drop(
+                        *[c for c in order_cols if c not in ("label", "payload")]
+                    )
+                out = versioned.select(
+                    F.col("version").cast("long"),
+                    (F.col("version") - 1).cast("long").alias("version_prev"),
+                    # cast matters: a plain lit(ts) is an int32 and xxhash64
+                    # of int != xxhash64 of the long read back at verify time
+                    F.lit(ts).cast("long").alias("timestamp"),
+                    "label",
+                    "payload",
+                ).withColumn("checksum", checksum_expr())
+                out.write.mode("append").parquet(self.path)
+            finally:
+                unpersist()
+            # head is known exactly from the versioning count pass — no
+            # re-scan of the log to publish state
+            self._latest = base + total
+            if self._initial == 0 and self._latest > 0:
+                self._initial = 1
+            self._last_ts = ts
+            self._write_state()
         self._hub.broadcast(self._latest)
         return AppendResult(
             version_previous=base,
@@ -414,15 +444,6 @@ class EventLog:
             version=self._latest,
             timestamp=ts,
         )
-
-    def _recover_state_after_bulk(self, base: int, ts: int) -> None:
-        df = self._read_raw()
-        mx = df.agg(F.max("version")).collect()[0][0] if df is not None else base
-        self._latest = int(mx or base)
-        if self._initial == 0 and self._latest > 0:
-            self._initial = 1
-        self._last_ts = ts
-        self._write_state()
 
     # -- scan (O5-O8) ----------------------------------------------------------
 
