@@ -75,8 +75,14 @@ def _words(df: DataFrame) -> DataFrame:
 
 
 def shingles(df: DataFrame, n: int = 3) -> DataFrame:
-    """doc_id → distinct word n-gram shingles. transform+slice stays in
-    whole-stage codegen; explode fans out JVM-side."""
+    """doc_id → distinct word n-gram shingles, hashed to 60-bit ints
+    *before* the distinct so every downstream shuffle (distinct, index
+    join, signature groupBy) carries an 8-byte key instead of the
+    shingle text — at 100 TB that is the difference between shuffling
+    terabytes of n-gram strings and shuffling longs. transform+slice
+    stays in whole-stage codegen; explode fans out JVM-side. Hash
+    collisions (≈ n²/2⁶¹) merge two shingles identically in Spark and
+    the DuckDB oracle, so comparisons stay exact."""
     arr = F.transform(
         F.sequence(F.lit(1), F.size("w") - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice("w", i, n)),
@@ -85,12 +91,13 @@ def shingles(df: DataFrame, n: int = 3) -> DataFrame:
         _words(df)
         .where(F.size("w") >= n)
         .select("doc_id", F.explode(arr).alias("sh"))
+        .select("doc_id", md5_int_col(F.col("sh")).alias("shh"))
         .distinct()
     )
 
 
-_SHINGLES_SQL = """
-SELECT DISTINCT doc_id, sh FROM (
+_SHINGLES_SQL = f"""
+SELECT DISTINCT doc_id, {md5_int_sql('sh')} AS shh FROM (
     SELECT doc_id,
            unnest(list_transform(range(1, len(w) - 1),
                   i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS sh
@@ -146,7 +153,7 @@ WITH sh AS ({_SHINGLES_SQL}),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    FROM sh a JOIN sh b ON a.shh = b.shh AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
@@ -169,7 +176,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.shh") == F.col("b.shh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("i"))
     )
@@ -190,7 +197,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = shingles(docs)
-    x = md5_int_col(F.col("sh")) % P31
+    x = F.col("shh") % P31
     aggs = [
         F.min((F.lit(a) * x + F.lit(b)) % P31).alias(f"mh{j}")
         for j, (a, b) in enumerate(MINHASH_AB)
@@ -199,7 +206,7 @@ def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_signature_sql() -> str:
-    x = f"({md5_int_sql('sh')} % {P31})"
+    x = f"(shh % {P31})"
     cols = ", ".join(
         f"MIN(({a} * {x} + {b}) % {P31}) AS mh{j}" for j, (a, b) in enumerate(MINHASH_AB)
     )
@@ -223,25 +230,37 @@ SELECT DISTINCT doc_a, doc_b FROM (
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale path for near-dup: signatures are one groupBy over
-    shingles; candidate generation is equi-joins on band keys (hash
-    join, broadcast-able, AQE-skew-splittable) — no similarity is ever
-    computed for non-colliding pairs. Verify candidates with
-    dedup_ngram_jaccard semantics downstream if exactness is needed."""
+    shingles; candidate generation is ONE equi-join on (band, band-key)
+    after melting the signature into 4 band rows per doc — not a join
+    per band. Both join sides then share an identical exchange, which
+    Spark's ReuseExchange computes once; a per-band join loop would
+    re-run the whole shingle+signature pipeline for every band. The
+    band key is an equi-join key (hash join, AQE-skew-splittable) — no
+    similarity is ever computed for non-colliding pairs. Verify
+    candidates with dedup_ngram_jaccard semantics downstream if
+    exactness is needed."""
     sig = _minhash_signature(spark, sf_dir)
-    pairs = None
-    for band in range(N_BANDS):
-        a = sig.alias("a")
-        b = sig.alias("b")
-        cond = (
-            (F.col(f"a.mh{2 * band}") == F.col(f"b.mh{2 * band}"))
-            & (F.col(f"a.mh{2 * band + 1}") == F.col(f"b.mh{2 * band + 1}"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-        )
-        p = a.join(b, cond).select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.col(f"mh{2 * band}").alias("k1"),
+                F.col(f"mh{2 * band + 1}").alias("k2"),
+            )
+            for band in range(N_BANDS)
+        ]
+    )
+    keys = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", "bk.band", "bk.k1", "bk.k2"
+    )
+    a = keys.alias("a")
+    b = keys.alias("b")
+    return (
+        a.join(b, ["band", "k1", "k2"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
 
 
 # -- SimHash ----------------------------------------------------------------------
