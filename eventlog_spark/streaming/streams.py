@@ -141,6 +141,42 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> Data
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+# -- streaming ingest (O1 streaming form) -------------------------------------
+
+
+def append_stream(
+    log: EventLog,
+    source: DataFrame,
+    checkpoint_dir: str,
+    label_col: str = "label",
+    payload_col: str = "payload",
+    on_invalid: str = "error",
+    available_now: bool = False,
+):
+    """O1 as a stream: every micro-batch commits atomically through the
+    engine's bulk-append path (validation, dense versions, one shared
+    timestamp, checksums) — SURVEY §2.1 O1 "streaming:
+    writeStream.foreachBatch(append_batch)". Checkpointing makes the
+    ingest exactly-once: a replayed batch re-runs the same commit,
+    and versions stay dense because assignment happens inside the
+    commit lock, not in the stream."""
+
+    def commit(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        log.append_dataframe(
+            batch, label_col=label_col, payload_col=payload_col, on_invalid=on_invalid
+        )
+
+    writer = (
+        source.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 # -- custom stateful operator (applyInPandasWithState) ------------------------
 
 ALERT_SCHEMA = "user_id long, event_id long, ts timestamp, cum_value double"

@@ -89,6 +89,45 @@ def test_dedup_within_watermark_across_batches(spark, tmp_path):
     assert sorted(r.event_id for r in out) == [3], f"duplicate leaked: {out}"
 
 
+def test_append_stream_ingests_into_log(spark, tmp_path):
+    """O1 streaming form: a parquet stream commits through the engine's
+    bulk-append path per micro-batch — versions stay dense across
+    batches and a checkpointed restart ingests only new data."""
+    src = str(tmp_path / "src")
+    log = EventLog.create(spark, str(tmp_path / "log"))
+
+    def feed(rows):
+        spark.createDataFrame(rows, "label string, payload string").write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema("label string, payload string").parquet(src)
+        q = streams.append_stream(
+            log, stream, str(tmp_path / "ckpt"), available_now=True
+        )
+        _await(q)
+
+    feed([("a", '{"i":1}'), ("b", '{"i":2}')])
+    run()
+    assert log.version() == 2
+
+    feed([("c", '{"i":3}')])
+    run()
+    assert log.version() == 3  # only the new batch was ingested
+    got = log.scan().orderBy("version").collect()
+    assert [r.version for r in got] == [1, 2, 3]
+    assert {r.label for r in got} == {"a", "b", "c"}
+    assert log.check_integrity().collect()[0].asDict() == {
+        "checksum_violations": 0,
+        "chain_violations": 0,
+        "payload_violations": 0,
+        "label_violations": 0,
+        "density_violation": 0,
+        "ts_order_violations": 0,
+    }
+
+
 def test_threshold_alerts_stateful_across_batches(spark, tmp_path, sf_dir):
     """applyInPandasWithState: per-user cumulative state survives
     micro-batch boundaries, each user alerts at most once, and the
