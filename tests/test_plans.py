@@ -1,0 +1,118 @@
+"""Plan regression tests: the SCALE.md invariants, enforced.
+
+Each assertion pins a physical-plan property that a 100 TB deployment
+depends on. If a refactor loses a pushdown or degrades a broadcast to a
+shuffle join, this file fails — locally, at sf0.001, in seconds.
+
+Note AQE: plans here are pre-execution (initial plan). Broadcast
+assertions therefore check the *static* planning decision produced by
+our explicit broadcast() hints; AQE can only improve on it at runtime.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from eventlog_spark.plans import (
+    count_nodes,
+    has_node,
+    pushed_filters,
+    read_schemas,
+)
+from eventlog_spark.queries import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+
+def q(spark, sf_dir, name):
+    return REGISTRY[name].fn(spark, sf_dir)
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    df = q(spark, sf_dir, "q1_pricing_summary")
+    pf = pushed_filters(df)
+    assert pf and "l_shipdate" in pf[0], f"shipdate not pushed: {pf}"
+    (schema,) = read_schemas(df)
+    # 7 of 11 lineitem columns read; body columns pruned
+    assert "l_partkey" not in schema and "l_suppkey" not in schema
+    assert "l_quantity" in schema and "l_returnflag" in schema
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    df = q(spark, sf_dir, "q6_forecast_revenue")
+    pf = pushed_filters(df)
+    assert pf, "no pushed filters"
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pf[0], f"{col} not pushed: {pf[0]}"
+    (schema,) = read_schemas(df)
+    assert schema.count(":") == 4, f"expected 4-column scan, got {schema}"
+
+
+@pytest.mark.parametrize("name,n_broadcasts", [
+    ("q3_shipping_priority", 1),   # customer broadcast into the fact join
+    ("q5_local_supplier_volume", 4),  # c, s, n, r all broadcast
+    ("q10_returned_items", 3),     # o(filtered)→? c, n broadcast; orders side may shuffle
+    ("join_broadcast_dim", 2),     # nation + region
+])
+def test_dim_joins_broadcast(spark, sf_dir, name, n_broadcasts):
+    df = q(spark, sf_dir, name)
+    assert count_nodes(df, "BroadcastExchange") >= n_broadcasts
+    assert has_node(df, "BroadcastHashJoin")
+
+
+def test_topk_never_globally_sorts(spark, sf_dir):
+    df = q(spark, sf_dir, "topk_orders")
+    assert has_node(df, "TakeOrderedAndProject")
+    assert not has_node(df, "Sort [")  # no standalone global sort node
+
+
+def test_group_topk_uses_window_group_limit(spark, sf_dir):
+    df = q(spark, sf_dir, "window_topk_per_group")
+    assert has_node(df, "WindowGroupLimit")
+
+
+def test_semi_anti_compile_to_semi_anti_joins(spark, sf_dir):
+    plan_semi = q(spark, sf_dir, "join_semi")
+    plan_anti = q(spark, sf_dir, "join_anti")
+    assert has_node(plan_semi, "LeftSemi")
+    assert has_node(plan_anti, "LeftAnti")
+
+
+def test_range_join_is_broadcast_nlj(spark, sf_dir):
+    df = q(spark, sf_dir, "join_range")
+    assert has_node(df, "BroadcastNestedLoopJoin")
+
+
+def test_log_scan_is_exchange_free_before_output_sort(spark, sf_dir):
+    """Dense versions: chain links are arithmetic, so a limited scan
+    plans as scan→filter→TakeOrdered — no window exchange, no
+    aggregation, no join anywhere in the plan."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from eventlog_spark.log import EventLog
+
+    path = tempfile.mkdtemp(prefix="plan_scan_")
+    shutil.rmtree(path)
+    log = EventLog.create(spark, path)
+    log.append_multi([(f"e{i}", f'{{"i":{i}}}') for i in range(10)])
+    df = log.scan(version=3, limit=5)
+    assert has_node(df, "TakeOrderedAndProject")
+    for forbidden in ("Window", "HashAggregate", "Join", "Exchange"):
+        assert not has_node(df, forbidden), f"unexpected {forbidden} in scan plan"
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_shingle_shuffles_carry_hashed_keys(spark, sf_dir):
+    """The dedup shuffle keys are 60-bit longs, not n-gram strings: no
+    string shingle column survives past the first projection."""
+    df = q(spark, sf_dir, "dedup_minhash_lsh")
+    plan = __import__("eventlog_spark.plans.audit", fromlist=["formatted_plan"]).formatted_plan(df)
+    assert "shh" in plan
+    # the raw shingle string column must not appear in any Exchange output
+    import re
+
+    for m in re.finditer(r"\(\d+\) Exchange\n(?:.*\n){1,4}", plan):
+        assert "sh#" not in m.group(0) or "shh#" in m.group(0)
