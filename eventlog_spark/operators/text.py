@@ -129,6 +129,46 @@ def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROLL_B = 31
+ROLL_M = 1_000_003
+
+
+@register(
+    "text_rolling_hash",
+    oracle=f"""
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split_regex(text, ''), x -> CAST(ascii(x) AS BIGINT))),
+                   (a, c) -> (a * {ROLL_B} + c) % {ROLL_M}) AS roll_full,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split_regex(substr(text, 1, 64), ''), x -> CAST(ascii(x) AS BIGINT))),
+                   (a, c) -> (a * {ROLL_B} + c) % {ROLL_M}) AS roll_prefix
+FROM documents
+""",
+    doc="Rabin-Karp polynomial rolling hash (full doc + 64-char prefix).",
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash (base 31 mod 1e6+3) folded over the
+    character stream with a built-in higher-order aggregate — no UDF,
+    no Python. The same fold over a sliding k-char window (subtract the
+    outgoing char's B^(k-1) term, multiply, add) gives winnowing-style
+    local fingerprints; per-doc full/prefix hashes are the degenerate
+    windows and the join-friendly corpus fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def poly(col):
+        codes = F.transform(F.split(col, ""), lambda x: F.ascii(x).cast("long"))
+        return F.aggregate(
+            codes, F.lit(0).cast("long"), lambda a, c: (a * ROLL_B + c) % ROLL_M
+        )
+
+    return docs.select(
+        "doc_id",
+        poly(F.col("text")).alias("roll_full"),
+        poly(F.substring("text", 1, 64)).alias("roll_prefix"),
+    )
+
+
 @register(
     "text_fingerprint",
     oracle=f"""
