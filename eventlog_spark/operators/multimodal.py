@@ -106,10 +106,30 @@ def decode_features(mdf: DataFrame) -> DataFrame:
     return mdf.mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
+def _byte_sql(k: int) -> str:
+    """k-th byte (1-based) of unhex(md5(text)) as an int, in portable SQL."""
+    hi = f"(strpos('0123456789abcdef', substr(md5(text), {2 * k - 1}, 1)) - 1)"
+    lo = f"(strpos('0123456789abcdef', substr(md5(text), {2 * k}, 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
+
+
 @register(
     "multimodal_decode_features",
-    oracle=None,  # byte-level feature extraction isn't ANSI-SQL-expressible
-    doc="Pandas-UDF decode/feature-extract pipeline over binary payloads (rows-only check).",
+    # The STUB decode is deterministic byte arithmetic over the md5
+    # payload, so even the Python decode path is oracle-checkable: the
+    # SQL recomputes each payload byte from the hex digest. A real
+    # codec swap would drop this oracle (becoming a rows-only check) —
+    # that is the expected trade, not a regression.
+    oracle=f"""
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       CAST(16 AS INT) AS byte_len,
+       ({" + ".join(_byte_sql(k) for k in range(1, 17))}) / 16.0 AS mean_byte,
+       CAST({_byte_sql(1)} AS INT) AS first_byte,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 16 ELSE 8 END AS INT) AS n_frames
+FROM documents
+""",
+    doc="Pandas-UDF decode/feature-extract pipeline over binary payloads.",
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(manifest(spark, sf_dir))
