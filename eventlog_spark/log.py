@@ -149,6 +149,7 @@ class EventLog:
         self._latest = 0
         self._initial = 0
         self._last_ts = 0
+        self._stream_commits: dict[str, int] = {}  # foreachBatch idempotence
         self._load_meta()
         self._load_state()
 
@@ -196,6 +197,9 @@ class EventLog:
             self._latest = int(st["latest_version"])
             self._initial = int(st["version_initial"])
             self._last_ts = int(st["last_timestamp"])
+            self._stream_commits = {
+                str(k): int(v) for k, v in st.get("stream_commits", {}).items()
+            }
         except (FileNotFoundError, KeyError, ValueError):
             self._recover_state()
 
@@ -221,6 +225,7 @@ class EventLog:
                     "latest_version": self._latest,
                     "version_initial": self._initial,
                     "last_timestamp": self._last_ts,
+                    "stream_commits": self._stream_commits,
                 },
                 f,
             )
@@ -338,7 +343,9 @@ class EventLog:
         payload_col: str = "payload",
         on_invalid: str = "error",
         order_cols: list[str] | None = None,
-    ) -> AppendResult:
+        spread: bool = True,
+        txn: tuple[str, int] | None = None,
+    ) -> AppendResult | None:
         """Bulk-ingest path: append a whole DataFrame as one atomic batch.
 
         Validation runs as JVM-side column expressions (validation.py),
@@ -349,7 +356,19 @@ class EventLog:
 
         ``order_cols``: assign versions in this order (costs a range
         repartition + local sort); default is partition-major arrival
-        order, which is free."""
+        order, which is free.
+
+        ``spread``: repartition a narrow source (fewer partitions than
+        cores) before the expensive validation expressions. Right for
+        large batches; pass ``False`` for small interactive/micro-batch
+        commits where a 32-way shuffle of a 2-row frame is pure
+        overhead (streaming.append_stream does).
+
+        ``txn``: an (id, sequence) idempotence marker. A commit whose
+        sequence is ≤ the last recorded sequence for that id is skipped
+        (returns None). The marker is published atomically with the head
+        version, which makes foreachBatch replays exactly-once — pass
+        (stream_id, batch_id)."""
         from .validation import label_valid_expr, payload_valid_expr
 
         keep = list(order_cols or [])
@@ -364,26 +383,38 @@ class EventLog:
         # validation runs at full cluster parallelism.
         if order_cols:
             src = src.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
-        elif src.rdd.getNumPartitions() < (
+        elif spread and src.rdd.getNumPartitions() < (
             min_parts := self.spark.sparkContext.defaultParallelism
         ):
             src = src.repartition(min_parts)
-        valid = label_valid_expr(F.col("label")) & payload_valid_expr(
-            F.col("payload"), self._max_payload_len
+        # coalesce(…, false): a NULL label/payload (e.g. a JSONL line
+        # missing the field) must count as INVALID, not slip through
+        # three-valued logic (NULL & true = NULL, which when()/sum()
+        # would silently treat as "not invalid").
+        valid = F.coalesce(
+            label_valid_expr(F.col("label"))
+            & payload_valid_expr(F.col("payload"), self._max_payload_len),
+            F.lit(False),
         )
         if on_invalid == "drop":
             src = src.where(valid)
         else:
             src = src.withColumn("_valid", valid)
 
-        return self._append_dataframe_locked(src, on_invalid, order_cols)
+        return self._append_dataframe_locked(src, on_invalid, order_cols, txn)
 
     def _append_dataframe_locked(
-        self, src: DataFrame, on_invalid: str, order_cols: list[str] | None = None
-    ) -> AppendResult:
+        self,
+        src: DataFrame,
+        on_invalid: str,
+        order_cols: list[str] | None = None,
+        txn: tuple[str, int] | None = None,
+    ) -> AppendResult | None:
         from .functions.versioning import with_dense_versions_counted
 
         with self._lock:
+            if txn is not None and self._stream_commits.get(txn[0], -1) >= txn[1]:
+                return None  # replayed batch: already committed, skip
             base = self._latest
             ts = max(int(time.time()), self._last_ts)
             # One materialization serves everything: the versioning pass
@@ -430,12 +461,22 @@ class EventLog:
                 out.write.mode("append").parquet(self.path)
             finally:
                 unpersist()
-            # head is known exactly from the versioning count pass — no
-            # re-scan of the log to publish state
+            # Head is known exactly from the versioning count pass — no
+            # re-scan of the log to publish state. Caveat (documented
+            # trade): this trusts that the persisted tagged frame served
+            # both the count and the write. On a cluster, losing a cached
+            # partition of a NONdeterministic upstream between the two
+            # jobs could recompute different rows; callers with such
+            # sources should checkpoint upstream or verify post-write
+            # (max(version) == head). The reference's analog is its
+            # mid-batch rollback (file.go:343-360).
             self._latest = base + total
             if self._initial == 0 and self._latest > 0:
                 self._initial = 1
             self._last_ts = ts
+            if txn is not None:
+                # idempotence marker rides in the same atomic publish
+                self._stream_commits[txn[0]] = txn[1]
             self._write_state()
         self._hub.broadcast(self._latest)
         return AppendResult(
@@ -528,12 +569,23 @@ class EventLog:
                 F.sum(F.when(F.col("version_prev") != F.col("version") - 1, 1).otherwise(0)),
                 F.lit(0),
             ).alias("chain_violations"),
+            # coalesce(valid, false): a NULL label/payload is a violation,
+            # not a three-valued-logic blind spot
             F.coalesce(
-                F.sum(F.when(~payload_valid_expr(F.col("payload")), 1).otherwise(0)),
+                F.sum(
+                    F.when(
+                        ~F.coalesce(payload_valid_expr(F.col("payload")), F.lit(False)),
+                        1,
+                    ).otherwise(0)
+                ),
                 F.lit(0),
             ).alias("payload_violations"),
             F.coalesce(
-                F.sum(F.when(~label_valid_expr(F.col("label")), 1).otherwise(0)),
+                F.sum(
+                    F.when(
+                        ~F.coalesce(label_valid_expr(F.col("label")), F.lit(False)), 1
+                    ).otherwise(0)
+                ),
                 F.lit(0),
             ).alias("label_violations"),
             (F.count(F.lit(1)) != F.lit(latest - initial + 1 if latest else 0))

@@ -73,15 +73,23 @@ def events_from_wire_bytes(spark: SparkSession, body: bytes) -> DataFrame:
 def _public_projection(df: DataFrame) -> DataFrame:
     """Envelope → the reference's public JSON shape: hex versions
     (internal/hex/writeUint64.go), RFC3339 UTC time (serve.go:227-231),
-    raw payload passthrough."""
+    raw payload passthrough.
+
+    ``date_format`` renders in the SESSION timezone, so UTC output is
+    pinned by shifting the instant by the session zone's offset first
+    (identity when the session is already UTC, as this engine's
+    ``get_spark`` configures) and appending a literal 'Z'."""
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+    ts = F.timestamp_seconds("timestamp")
+    if session_tz not in ("UTC", "Etc/UTC", "GMT", "Z"):
+        ts = F.to_utc_timestamp(ts, session_tz)
     return df.select(
         version_to_hex("version").alias("version"),
         F.when(F.col("version_prev") == 0, F.lit("0"))
         .otherwise(version_to_hex("version_prev"))
         .alias("version-previous"),
-        F.date_format(
-            F.to_utc_timestamp(F.timestamp_seconds("timestamp"), "UTC"),
-            "yyyy-MM-dd'T'HH:mm:ssXXX",
+        F.concat(
+            F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"), F.lit("Z")
         ).alias("time"),
         "label",
         "payload",

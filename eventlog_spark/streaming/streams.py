@@ -152,20 +152,31 @@ def append_stream(
     payload_col: str = "payload",
     on_invalid: str = "error",
     available_now: bool = False,
+    stream_id: str | None = None,
 ):
     """O1 as a stream: every micro-batch commits atomically through the
     engine's bulk-append path (validation, dense versions, one shared
     timestamp, checksums) — SURVEY §2.1 O1 "streaming:
-    writeStream.foreachBatch(append_batch)". Checkpointing makes the
-    ingest exactly-once: a replayed batch re-runs the same commit,
-    and versions stay dense because assignment happens inside the
-    commit lock, not in the stream."""
+    writeStream.foreachBatch(append_batch)".
+
+    foreachBatch alone is at-least-once (a crash between the log commit
+    and the checkpoint write re-delivers the batch); exactly-once comes
+    from the (stream_id, batch_id) idempotence marker the engine
+    publishes atomically with the head version — a replayed batch_id is
+    a no-op. ``spread=False``: micro-batches are small; a per-commit
+    32-way shuffle would be pure overhead (log.py)."""
+    sid = stream_id or checkpoint_dir
 
     def commit(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         log.append_dataframe(
-            batch, label_col=label_col, payload_col=payload_col, on_invalid=on_invalid
+            batch,
+            label_col=label_col,
+            payload_col=payload_col,
+            on_invalid=on_invalid,
+            spread=False,
+            txn=(sid, batch_id),
         )
 
     writer = (
@@ -211,11 +222,15 @@ def threshold_alerts(events: DataFrame, threshold: float = 500.0) -> DataFrame:
         else:
             cum, alerted = 0.0, False
         out = []
-        for pdf in pdf_iter:
-            if alerted:
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for _, row in pdf.iterrows():
+        # A micro-batch group arrives as MULTIPLE Arrow chunks (capped by
+        # arrow.maxRecordsPerBatch) in arbitrary post-shuffle order —
+        # sorting per-chunk would accumulate out of time order for large
+        # groups. Materialize the group's batch, sort once; memory is
+        # bounded by one user's events per micro-batch.
+        chunks = [pdf for pdf in pdf_iter if not alerted]
+        if chunks and not alerted:
+            batch = pd.concat(chunks).sort_values(["ts", "event_id"])
+            for _, row in batch.iterrows():
                 cum += float(row["value"])
                 if cum >= threshold:
                     out.append((user_id, int(row["event_id"]), row["ts"], cum))

@@ -57,6 +57,48 @@ def test_export_jsonl_public_shape(spark, tmp_path):
     assert by_version["1"]["time"].endswith("Z") or "+" in by_version["1"]["time"]
 
 
+def test_jsonl_missing_label_rejected_not_null_committed(spark, tmp_path):
+    """Regression: a JSONL line without the label field yields label=NULL;
+    three-valued logic (NULL & true = NULL) must not let it slip past
+    the all-or-nothing validity audit."""
+    import pytest
+
+    from eventlog_spark.errors import InvalidPayload
+
+    p = tmp_path / "in.jsonl"
+    p.write_text('{"payload":{"x":1}}\n{"label":"ok","payload":{"x":2}}\n')
+    log = _mklog(spark, tmp_path)
+    df = sources.events_from_jsonl(spark, str(p))
+    with pytest.raises(InvalidPayload):
+        log.append_dataframe(df, on_invalid="error")
+    assert log.version() == 0  # nothing committed
+
+    log.append_dataframe(df, on_invalid="drop")
+    assert log.version() == 1  # only the valid row
+    assert log.scan().collect()[0].label == "ok"
+
+
+def test_export_jsonl_utc_under_non_utc_session(spark, tmp_path):
+    """The export pins UTC rendering even when the session timezone is
+    not UTC (date_format renders in session tz — regression guard)."""
+    log = _mklog(spark, tmp_path)
+    log.append("a", '{"i":1}')
+    out_utc = str(tmp_path / "out_utc")
+    sources.export_log_jsonl(log, out_utc)
+    t_utc = json.loads(spark.read.text(out_utc).collect()[0].value)["time"]
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        out_ny = str(tmp_path / "out_ny")
+        sources.export_log_jsonl(log, out_ny)
+        t_ny = json.loads(spark.read.text(out_ny).collect()[0].value)["time"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert t_ny == t_utc
+    assert t_utc.endswith("Z")
+
+
 def test_export_parquet_roundtrip(spark, tmp_path):
     log = _mklog(spark, tmp_path)
     log.append_multi([(f"e{i}", f'{{"i":{i}}}') for i in range(20)])

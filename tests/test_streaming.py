@@ -115,6 +115,13 @@ def test_append_stream_ingests_into_log(spark, tmp_path):
     feed([("c", '{"i":3}')])
     run()
     assert log.version() == 3  # only the new batch was ingested
+
+    # exactly-once: re-delivering an already-committed batch_id is a no-op
+    replay = spark.createDataFrame(
+        [("a", '{"i":1}'), ("b", '{"i":2}')], "label string, payload string"
+    )
+    assert log.append_dataframe(replay, txn=(str(tmp_path / "ckpt"), 0)) is None
+    assert log.version() == 3
     got = log.scan().orderBy("version").collect()
     assert [r.version for r in got] == [1, 2, 3]
     assert {r.label for r in got} == {"a", "b", "c"}
