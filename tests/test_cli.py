@@ -1,0 +1,49 @@
+"""CLI command tree (reference: cmd/eventlog/cli/cli_test.go) driven
+in-process — create / append / version / scan / check round trip."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from eventlog_spark import cli
+
+
+def run(capsys, *argv) -> tuple[int, str]:
+    code = cli.main(list(argv))
+    return code, capsys.readouterr().out
+
+
+def test_cli_roundtrip(spark, tmp_path, capsys):
+    path = str(tmp_path / "log")
+    code, out = run(capsys, "create", path, "-m", "env:test", "-m", "owner:ci")
+    assert code == 0 and "created" in out
+
+    code, out = run(capsys, "append", path, "greet", '{"msg":"hi"}')
+    assert code == 0
+    assert json.loads(out)["version"] == "1"
+
+    code, out = run(capsys, "append", path, "greet", '{"msg":"again"}')
+    assert json.loads(out)["version"] == "2"
+
+    code, out = run(capsys, "version", path)
+    assert json.loads(out) == {"version": "2", "version-initial": "1"}
+
+    code, out = run(capsys, "scan", path)
+    lines = [json.loads(line) for line in out.strip().splitlines()]
+    assert [e["version"] for e in lines] == ["1", "2"]
+    assert lines[0]["payload"] == {"msg": "hi"}
+
+    code, out = run(capsys, "scan", path, "--reverse", "-n", "1")
+    (top,) = [json.loads(line) for line in out.strip().splitlines()]
+    assert top["version"] == "2"
+
+    code, out = run(capsys, "check", path)
+    assert code == 0
+    assert all(v == 0 for v in json.loads(out).values())
+
+
+def test_cli_bad_metadata_flag(tmp_path):
+    with pytest.raises(SystemExit):
+        cli.main(["create", str(tmp_path / "x"), "-m", "no-colon"])
