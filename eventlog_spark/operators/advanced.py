@@ -202,6 +202,77 @@ def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_range_frame",
+    oracle="""
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER w AS n_last_hour,
+       SUM(CAST(value AS DECIMAL(12,2))) OVER w AS sum_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+    doc="RANGE frame: per-user trailing-1-hour count and sum at each event.",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) frame — the sliding-window aggregate the
+    events stream needs in batch form. One shuffle on user_id; within a
+    partition the frame is maintained incrementally by WindowExec (two
+    moving pointers), so cost is O(rows), not O(rows × frame). Frame
+    bounds are value-based so peer rows (equal ts) share results —
+    deterministic without an event_id tie-break.
+
+    The DataFrame API needs a numeric ORDER BY for value ranges:
+    cast(ts as double) = epoch seconds incl. fractional micros. A flip
+    vs DuckDB's exact interval arithmetic would need two events exactly
+    3600.000000s apart (micro-resolution data) — not present, and
+    vanishingly unlikely in real event streams."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("double"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(12,2)")).over(w).alias("sum_last_hour"),
+    )
+
+
+@register(
+    "subquery_argmin_per_group",
+    oracle="""
+SELECT s_suppkey, s_name, s_nationkey, CAST(s_acctbal AS DECIMAL(12,2)) AS s_acctbal
+FROM supplier
+WHERE s_acctbal = (SELECT MIN(s2.s_acctbal) FROM supplier s2
+                   WHERE s2.s_nationkey = supplier.s_nationkey)
+""",
+    doc="Argmin per group (TPC-H Q2 pattern): suppliers with their nation's minimum balance.",
+)
+def subquery_argmin_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Q2 min-cost-supplier pattern on the columns this schema has:
+    correlated MIN subquery ≡ windowed group-min + equality filter (one
+    shuffle on the group key, no join back). Ties all qualify in both
+    engines, so no arbitrary row choice exists and results hash-match.
+    min() on doubles is exact (no accumulation), so the equality filter
+    is safe."""
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey")
+    return (
+        s.withColumn("nation_min", F.min("s_acctbal").over(w))
+        .where(F.col("s_acctbal") == F.col("nation_min"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            "s_nationkey",
+            _dec("s_acctbal").alias("s_acctbal"),
+        )
+    )
+
+
+@register(
     "agg_percentiles",
     oracle="""
 SELECT l_returnflag,

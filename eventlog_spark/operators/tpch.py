@@ -182,6 +182,298 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q4_priority_late_ship",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+""",
+    doc="TPC-H Q4 (adapted): priority histogram of orders with a late-shipping lineitem (EXISTS → semi join).",
+)
+def q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4's plan shape on the columns that exist: the reference Q4 tests
+    EXISTS-decorrelation (commitdate < receiptdate); here the correlated
+    predicate is l_shipdate > o_orderdate + 60 days. Spark compiles the
+    semi join; duplicate lineitems can't double-count orders. The date
+    filter pushes into the orders scan; at 100 TB the semi join shuffles
+    only [orderkey, orderdate] pairs from the filtered quarter."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "q7_volume_shipping",
+    oracle="""
+SELECT supp_nation, cust_nation, l_year,
+       SUM(volume) AS revenue, COUNT(*) AS n_items
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(YEAR FROM l_shipdate) AS l_year,
+           CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2)) AS volume
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+)
+GROUP BY supp_nation, cust_nation, l_year
+""",
+    doc="TPC-H Q7: shipping volume between two nations by year (6-way join, disjunctive nation pair filter).",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-way join with a disjunctive cross-table predicate. supplier,
+    customer and both nation copies broadcast; lineitem ⋈ orders is the
+    one real shuffle (orderkey). The nation-pair OR can't be pushed into
+    either scan alone, but each side's IN ('NATION_1','NATION_2') residual
+    CAN — applied below so 23/25 of nations drop at the broadcast build,
+    which at 100 TB shrinks the probe output ~150× before the shuffle."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    pair = ["NATION_1", "NATION_2"]
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n.where(F.col("n_name").isin(pair))), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n.where(F.col("n_name").isin(pair))), F.col("c_nationkey") == n.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_disc_price()).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+SELECT o_year,
+       CAST(SUM(CASE WHEN nation = 'NATION_2' THEN volume ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+       / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+       COUNT(*) AS n_items
+FROM (
+    SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+           CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2)) AS volume,
+           n2.n_name AS nation
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region   ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+)
+GROUP BY o_year
+""",
+    doc="TPC-H Q8: a supplier nation's market share within a region for one part type, by year.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eight-way join; every dimension (part filtered to one type,
+    supplier+nation, customer+nation+region) broadcasts, so the only
+    shuffle is lineitem ⋈ orders on orderkey. The market-share ratio
+    divides two exact decimal sums cast to double — identical expression
+    shape in the oracle, so hashes match bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    asia_cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("c_custkey")
+    )
+    vol = _disc_price()
+    nation_vol = F.when(F.col("nation") == "NATION_2", vol).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(asia_cust), o.o_custkey == asia_cust.c_custkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(nation_vol).cast("double") / F.sum(vol).cast("double")).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2))) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+    doc="TPC-H Q15: supplier(s) with the maximum quarterly revenue (scalar MAX subquery over a derived view).",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The revenue view aggregates once and is used twice (rows + scalar
+    MAX); Spark evaluates it once per use but the second use is one
+    column of the already-shuffled agg. The scalar max comes back as a
+    1-row broadcast cross join — no second shuffle, no window over a
+    single partition. Revenue sums are exact decimals so the equality
+    against MAX is safe; ties all qualify in both engines."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_disc_price()).alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("max_revenue"))
+        .join(s, s.s_suppkey == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q17_small_quantity",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN (SELECT l_partkey AS agg_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+             COUNT(*) AS cnt_qty
+      FROM lineitem GROUP BY l_partkey) pa
+  ON agg_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND CAST(l_quantity AS DOUBLE) * 5.0 * CAST(cnt_qty AS DOUBLE) < CAST(sum_qty AS DOUBLE)
+""",
+    doc="TPC-H Q17: revenue from small-quantity lineitems (correlated per-part AVG, decorrelated to an agg join).",
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17's correlated `l_quantity < 0.2 * AVG(l_quantity per part)`
+    decorrelated the standard way: pre-aggregate per partkey, join back.
+    The avg comparison is rewritten float-safely as
+    qty * 5 * cnt < sum(qty) — sum is an exact decimal, the double
+    products have identical shape in both engines, so no rounding flip.
+    The brand filter broadcasts part; the per-part agg and the join-back
+    share one shuffle key (l_partkey), so AQE reuses the exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    per_part = li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        F.sum(_dec("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt_qty"),
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(per_part, F.col("agg_partkey") == li.l_partkey)
+        .where(
+            F.col("l_quantity").cast("double") * F.lit(5.0) * F.col("cnt_qty").cast("double")
+            < F.col("sum_qty").cast("double")
+        )
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q22_idle_customers",
+    oracle="""
+SELECT c_nationkey,
+       COUNT(*) AS numcust,
+       SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS totacctbal
+FROM customer
+JOIN (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_bal, COUNT(*) AS cnt_bal
+      FROM customer WHERE c_acctbal > 0.0) g
+  ON CAST(c_acctbal AS DOUBLE) * CAST(cnt_bal AS DOUBLE) > CAST(sum_bal AS DOUBLE)
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+""",
+    doc="TPC-H Q22 (adapted): wealthy customers with no orders, by nation (NOT EXISTS → anti join + global scalar).",
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22's shape minus the phone prefix (column absent): a global
+    scalar aggregate (avg positive balance, float-safely rewritten as
+    bal * cnt > sum with an exact decimal sum), an anti join against
+    orders, and a final group-by. The scalar comes back as a 1-row
+    broadcast; the anti join shuffles only custkeys; at 100 TB orders
+    can pre-project o_custkey distinct-per-partition to cut the probe."""
+    c = _t(spark, sf_dir, "customer")
+    g = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.sum(_dec("c_acctbal")).alias("sum_bal"), F.count(F.lit(1)).alias("cnt_bal")
+    )
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(
+            F.broadcast(g),
+            F.col("c_acctbal").cast("double") * F.col("cnt_bal").cast("double")
+            > F.col("sum_bal").cast("double"),
+        )
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+@register(
     "q18_large_volume_customer",
     oracle="""
 SELECT c_custkey, c_name, o_orderkey, o_orderdate,
