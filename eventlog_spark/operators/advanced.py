@@ -302,3 +302,47 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_quantity").alias("qty_max"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+N_SALTS = 8
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2))) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+    doc="Skew-resistant salted shuffle join (lineitem ⋈ orders), result identical to the plain join.",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manual answer to shuffle-join key skew, for when AQE's
+    skew-split can't apply (e.g. the skewed side feeds a same-keyed
+    aggregate, or stream-static joins where AQE is off): the fact side
+    gets a salt in [0, 8) derived from a non-join column, the dimension
+    side is exploded ×8 with every salt, and the join key becomes
+    (orderkey, salt) — a hot orderkey now lands on 8 reducers instead
+    of one. Cost: 8× the dimension-side shuffle volume, zero extra on
+    the fact side; result provably identical to the unsalted join (each
+    fact row meets each matching dim row exactly once, at its own salt).
+    The shuffle_hash hint forces a real exchange so the demo exercises
+    the salted path even where stats would pick a broadcast (where
+    broadcast fits, salting is moot — the skewed key never shuffles).
+    The oracle IS the plain join: equivalence is the test."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.col("l_linenumber"), F.lit(N_SALTS))
+    )
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(N_SALTS)]))
+    )
+    disc = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(12,2)")
+    return (
+        li.join(o.hint("shuffle_hash"), (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_items"), F.sum(disc).alias("revenue"))
+    )

@@ -1,0 +1,212 @@
+"""Approximate / sampled analytics with bit-exact cross-engine oracles.
+
+Sketch-based aggregation is what makes interactive analytics possible at
+100 TB: a KMV or HyperLogLog pass answers COUNT(DISTINCT) in one
+map-side-combinable aggregate over fixed-size state, where the exact
+answer needs a full shuffle of every distinct key. The reference has no
+sketches (its queries are key-addressed scans); these are part of the
+relational surface this engine adds (SURVEY §2.2 aggregation).
+
+The novelty here is that the sketches are *deterministic and
+cross-engine exact*: instead of engine-private hash functions
+(Spark's HLL++ vs DuckDB's approx_count_distinct would never agree),
+every hash is the md5-derived 60-bit integer from dedup.py, the
+estimator state is kept in exact integer arithmetic (order-independent),
+and the final float expressions have identical shapes in both engines.
+So the DuckDB oracle reproduces the Spark estimate bit-for-bit — the
+approximation itself is hash-verified, not just sanity-checked.
+
+* sample_hash_stats   — deterministic hash-sampling (TABLESAMPLE analog
+                        that is reproducible across engines and runs).
+* approx_distinct_kmv — k-minimum-values distinct-count estimator
+                        (order statistics of the hash space).
+* approx_distinct_hll — HyperLogLog with integer-exact register state
+                        (max-rank per bucket, powers of two summed as
+                        longs, one shared float constant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import register
+from ..tables import load_table
+from .dedup import md5_int_col, md5_int_sql
+
+# -- shared constants ---------------------------------------------------------
+
+KMV_K = 256
+HASH_SPACE = float(1 << 60)  # md5_int is uniform on [0, 2^60)
+
+HLL_M = 512  # 2^9 buckets
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# alpha * m^2 * 2^52 folded into ONE double literal so both engines
+# evaluate a single constant-over-sum division (no ordering ambiguity).
+HLL_EST_NUM = _HLL_ALPHA * HLL_M * HLL_M * float(1 << 52)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "sample_hash_stats",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n_sampled,
+       SUM(CAST(value AS DECIMAL(12,2))) AS sum_value
+FROM events
+WHERE {md5_int_sql("CAST(event_id AS VARCHAR)")} % 20 = 0
+GROUP BY event_type
+""",
+    doc="Deterministic 5% hash-sample of events + per-type aggregate (reproducible TABLESAMPLE).",
+)
+def sample_hash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLESAMPLE BERNOULLI is non-deterministic and varies by engine;
+    hash-sampling on a key (md5(event_id) mod 20 = 0 → 5%) gives the
+    same sample everywhere, is stable under re-runs and appends, and
+    composes with pushdown: the predicate evaluates in the scan stage,
+    so only the sample is ever shuffled. The same technique scales a
+    100 TB exploratory query down to any fraction without a prior
+    pass."""
+    ev = _t(spark, sf_dir, "events")
+    keep = md5_int_col(F.col("event_id").cast("string")) % 20 == 0
+    return (
+        ev.where(keep)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "approx_distinct_kmv",
+    oracle=f"""
+WITH h AS (
+    SELECT DISTINCT {md5_int_sql("CAST(l_orderkey AS VARCHAR)")} AS h FROM lineitem
+),
+kmin AS (SELECT h FROM h ORDER BY h LIMIT {KMV_K}),
+s AS (SELECT MAX(h) AS kth_hash, COUNT(*) AS k FROM kmin),
+ex AS (SELECT COUNT(DISTINCT l_orderkey) AS exact_distinct FROM lineitem)
+SELECT k, kth_hash,
+       (CAST(k AS DOUBLE) - 1.0) * {HASH_SPACE!r} / CAST(kth_hash AS DOUBLE) AS est_distinct,
+       exact_distinct,
+       ((CAST(k AS DOUBLE) - 1.0) * {HASH_SPACE!r} / CAST(kth_hash AS DOUBLE))
+         / CAST(exact_distinct AS DOUBLE) - 1.0 AS rel_err
+FROM s, ex
+""",
+    doc="K-minimum-values distinct estimator (k=256) for COUNT(DISTINCT l_orderkey), with exact-count comparison.",
+)
+def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV: hash every key onto [0, 2^60); if n distinct values fall
+    uniformly, the k-th smallest hash sits near k/n of the space, so
+    n ≈ (k-1) * 2^60 / kth_hash. The k smallest hashes come back via
+    TakeOrdered (per-partition top-k, then a k-row merge on one
+    reducer) — state is O(k) regardless of input size, which is the
+    whole point at 100 TB. The estimate and the exact count (computed
+    alongside for the error column) are joined as two 1-row broadcasts.
+    Hash-exact vs the oracle because kth_hash is an integer order
+    statistic and the float estimator has one shape on both sides."""
+    li = _t(spark, sf_dir, "lineitem")
+    hs = li.select(md5_int_col(F.col("l_orderkey").cast("string")).alias("h")).distinct()
+    s = (
+        hs.orderBy("h")
+        .limit(KMV_K)
+        .agg(F.max("h").alias("kth_hash"), F.count(F.lit(1)).alias("k"))
+    )
+    ex = li.agg(F.count_distinct("l_orderkey").alias("exact_distinct"))
+    est = (F.col("k").cast("double") - F.lit(1.0)) * F.lit(HASH_SPACE) / F.col(
+        "kth_hash"
+    ).cast("double")
+    return (
+        s.crossJoin(F.broadcast(ex))
+        .select(
+            "k",
+            "kth_hash",
+            est.alias("est_distinct"),
+            "exact_distinct",
+            (est / F.col("exact_distinct").cast("double") - F.lit(1.0)).alias("rel_err"),
+        )
+    )
+
+
+@register(
+    "approx_distinct_hll",
+    oracle=f"""
+WITH h AS (
+    SELECT DISTINCT {md5_int_sql("CAST(l_orderkey AS VARCHAR)")} AS h FROM lineitem
+),
+ranks AS (
+    SELECT h % {HLL_M} AS bucket,
+           CASE WHEN h // {HLL_M} = 0 THEN 52
+                ELSE 52 - length(bin(h // {HLL_M})) END AS rank
+    FROM h
+),
+regs AS (SELECT bucket, MAX(rank) AS max_rank FROM ranks GROUP BY bucket),
+buckets AS (SELECT t.range AS bucket FROM range({HLL_M}) t),
+weights AS (
+    SELECT b.bucket,
+           CAST(pow(2.0, 52 - COALESCE(r.max_rank, 0)) AS BIGINT) AS weight
+    FROM buckets b LEFT JOIN regs r ON b.bucket = r.bucket
+),
+s AS (SELECT SUM(weight) AS sum_weights, COUNT(*) AS n_buckets FROM weights),
+ex AS (SELECT COUNT(DISTINCT l_orderkey) AS exact_distinct FROM lineitem)
+SELECT n_buckets, sum_weights,
+       {HLL_EST_NUM!r} / CAST(sum_weights AS DOUBLE) AS est_distinct,
+       exact_distinct,
+       ({HLL_EST_NUM!r} / CAST(sum_weights AS DOUBLE))
+         / CAST(exact_distinct AS DOUBLE) - 1.0 AS rel_err
+FROM s, ex
+""",
+    doc="HyperLogLog (m=512) distinct estimator with integer-exact registers, vs the exact count.",
+)
+def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog with every engine-divergence squeezed out: bucket =
+    low 9 hash bits, rank = leading-zero count of the remaining 51 bits
+    + 1 (computed exactly as 52 - length(bin(suffix)) — no float log),
+    registers combine with MAX (order-free), and the harmonic-mean
+    denominator Σ 2^-rank is scaled by 2^52 into a LONG sum (≤ 2^61,
+    exact, order-free). The only float op is one constant/sum division.
+
+    As a Spark plan this is the textbook sketch shape: the ranks agg is
+    map-side combinable to ≤ m rows per task, the 512-bucket join is a
+    broadcast, and the final state is O(m) no matter the input — the
+    100 TB COUNT DISTINCT without the 100 TB shuffle. (The standard
+    small-range linear-counting correction is omitted: it needs ln(),
+    whose libm rounding differs across engines; at this cardinality the
+    raw estimator is in range anyway.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    hs = li.select(md5_int_col(F.col("l_orderkey").cast("string")).alias("h")).distinct()
+    suffix = F.shiftright(F.col("h"), 9)  # h // 512 in exact integer arithmetic
+    rank = F.when(suffix == 0, F.lit(52)).otherwise(
+        F.lit(52) - F.length(F.bin(suffix))
+    )
+    regs = (
+        hs.select((F.col("h") % HLL_M).alias("bucket"), rank.alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+    buckets = spark.range(HLL_M).select(F.col("id").alias("bucket"))
+    weights = buckets.join(F.broadcast(regs), "bucket", "left").select(
+        F.pow(F.lit(2.0), F.lit(52) - F.coalesce(F.col("max_rank"), F.lit(0)))
+        .cast("long")
+        .alias("weight")
+    )
+    s = weights.agg(
+        F.sum("weight").alias("sum_weights"), F.count(F.lit(1)).alias("n_buckets")
+    )
+    ex = li.agg(F.count_distinct("l_orderkey").alias("exact_distinct"))
+    est = F.lit(HLL_EST_NUM) / F.col("sum_weights").cast("double")
+    return (
+        s.crossJoin(F.broadcast(ex))
+        .select(
+            "n_buckets",
+            "sum_weights",
+            est.alias("est_distinct"),
+            "exact_distinct",
+            (est / F.col("exact_distinct").cast("double") - F.lit(1.0)).alias("rel_err"),
+        )
+    )

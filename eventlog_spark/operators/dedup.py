@@ -213,9 +213,7 @@ def _minhash_signature_sql() -> str:
     return f"WITH sh AS ({_SHINGLES_SQL}) SELECT doc_id, {cols} FROM sh GROUP BY doc_id"
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
+_LSH_PAIRS_SQL = f"""
 WITH sig AS ({_minhash_signature_sql()})
 SELECT DISTINCT doc_a, doc_b FROM (
     {" UNION ALL ".join(
@@ -225,11 +223,14 @@ SELECT DISTINCT doc_a, doc_b FROM (
         for band in range(N_BANDS)
     )}
 )
-""",
-    doc="MinHash(8) + LSH(4 bands × 2 rows) candidate pairs.",
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scale path for near-dup: signatures are one groupBy over
+"""
+
+
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs with doc_a < doc_b — the LSH body,
+    shared by dedup_minhash_lsh and dedup_connected_components.
+
+    The scale path for near-dup: signatures are one groupBy over
     shingles; candidate generation is ONE equi-join on (band, band-key)
     after melting the signature into 4 band rows per doc — not a join
     per band. Both join sides then share an identical exchange, which
@@ -261,6 +262,99 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_LSH_PAIRS_SQL,
+    doc="MinHash(8) + LSH(4 bands × 2 rows) candidate pairs.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See lsh_candidate_pairs for the plan rationale."""
+    return lsh_candidate_pairs(spark, sf_dir)
+
+
+# -- duplicate clustering: connected components ---------------------------------
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+WITH RECURSIVE
+pairs AS ({_LSH_PAIRS_SQL}),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, lab) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, MIN(lab) AS component_id FROM reach GROUP BY node
+""",
+    doc="Duplicate clustering: connected components over LSH candidate pairs (iterative min-label propagation).",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair lists aren't enough to deduplicate a corpus — near-dup is
+    not transitive, so A~B and B~C must land in ONE keep-group. This
+    clusters the LSH candidate graph into components by iterative
+    min-label propagation (the standard large-graph method: Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14):
+    every vertex starts labeled with its own id; each round every
+    vertex takes the min of its own and its neighbors' labels; fixpoint
+    after diameter rounds. component_id = min doc_id of the cluster —
+    exactly what a keep-one-per-cluster dedup policy needs.
+
+    Each round is one join (edges ⋈ labels on vertex) + one groupBy
+    min — both shuffle on doc_id, so AQE reuses the exchange layout;
+    state per round is O(V+E), never materializing pairs².
+    localCheckpoint truncates the growing lineage (on a cluster, use
+    checkpoint() to HDFS for executor-loss tolerance). Convergence is
+    detected with an exact decimal label-sum fingerprint (labels only
+    ever decrease, so an unchanged sum ⟺ fixpoint) — one scalar per
+    round instead of a changed-row join. Dup clusters have tiny
+    diameter, so rounds ≈ 3; the hard cap is a safety net.
+
+    The oracle reaches the same fixpoint as a recursive CTE (min over
+    all reachable labels in the undirected graph)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = lsh_candidate_pairs(spark, sf_dir)
+    return connected_components(docs, pairs)
+
+
+def connected_components(
+    vertices: DataFrame, pairs: DataFrame, max_rounds: int = 15
+) -> DataFrame:
+    """Min-label propagation over an undirected graph.
+
+    vertices: one column ``doc_id``; pairs: ``doc_a``, ``doc_b``.
+    Returns (doc_id, component_id) with component_id = min doc_id of the
+    component. See dedup_connected_components for the scale rationale.
+    """
+    edges = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .localCheckpoint()
+    )
+    labels = vertices.select("doc_id", F.col("doc_id").alias("lab"))
+    prev_fp = None
+    for _ in range(max_rounds):
+        msgs = edges.join(labels, edges.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), "lab"
+        )
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint()
+        )
+        fp = labels.agg(F.sum(F.col("lab").cast("decimal(38,0)"))).first()[0]
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    return labels.select("doc_id", F.col("lab").alias("component_id"))
 
 
 # -- SimHash ----------------------------------------------------------------------

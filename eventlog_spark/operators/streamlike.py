@@ -167,3 +167,33 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doubled.dropDuplicates(["event_id"]).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+SELECT c.user_id, c.event_id AS click_id, b.event_id AS buy_id,
+       c.ts AS click_ts, b.ts AS buy_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON c.user_id = b.user_id
+ AND b.ts > c.ts
+ AND b.ts <= c.ts + INTERVAL 1 HOUR
+""",
+    doc="Click→purchase attribution within 1h (batch twin of the stream-stream interval join).",
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of streams.conversion_join — identical expressions, so
+    the DuckDB hash-check verifies exactly what the streaming plan
+    computes; test_streaming drives the true stream-stream execution
+    (watermarks, state expiry, multi-batch) against this result. As a
+    batch plan it's an equi-join on user_id with a time-range residual;
+    at 100 TB both sides partition by user_id and the range predicate
+    filters inside each match — no interval explosion."""
+    ev = load_table(spark, sf_dir, "events")
+    from ..streaming.streams import conversion_join
+
+    return conversion_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+    )

@@ -64,6 +64,7 @@ def _ensure_loaded() -> None:
     from .operators import relational  # noqa: F401
     from .operators import tpch  # noqa: F401
     from .operators import advanced  # noqa: F401
+    from .operators import approx  # noqa: F401
     from .operators import dedup  # noqa: F401
     from .operators import similarity  # noqa: F401
     from .operators import text  # noqa: F401

@@ -78,6 +78,42 @@ def replay(log: EventLog, process: Callable[[DataFrame, int], None], checkpoint_
     )
 
 
+# -- stream-stream interval join -----------------------------------------------
+
+
+def conversion_join(
+    clicks: DataFrame, buys: DataFrame, horizon: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join: purchases attributed to a same-user
+    click within `horizon` (strictly after the click).
+
+    The canonical funnel/attribution operator. Both inputs are
+    watermarked and the join condition bounds buy_ts to a finite range
+    of click_ts, so Spark can expire state: a click is dropped from the
+    join buffer once the watermark passes click_ts + horizon, a buy once
+    it passes buy_ts — state is O(events inside the watermark window),
+    not O(stream). Without the time bounds the state store would grow
+    forever; with them this runs indefinitely on a cluster. Batch twin
+    (same expressions, DuckDB-verified): operators/streamlike.py
+    stream_interval_join."""
+    c = clicks.withWatermark("ts", watermark).select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    b = buys.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("buy_user"),
+        F.col("event_id").alias("buy_id"),
+        F.col("ts").alias("buy_ts"),
+    )
+    return c.join(
+        b,
+        (c.user_id == b.buy_user)
+        & (b.buy_ts > c.click_ts)
+        & (b.buy_ts <= c.click_ts + F.expr(f"INTERVAL {horizon}")),
+    ).select("user_id", "click_id", "buy_id", "click_ts", "buy_ts")
+
+
 # -- watermarked windows -------------------------------------------------------
 
 

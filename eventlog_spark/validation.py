@@ -37,9 +37,11 @@ MAX_LABEL_LEN = 256
 MIN_PAYLOAD_LEN = 7  # len('{"x":0}'), reference file.go:33-36
 DEFAULT_MAX_PAYLOAD_LEN = 1024 * 1024
 
-_LABEL_RE = re.compile(r"^[0-9A-Za-z_\-.~%]*$")
-# Same charset, Java regex dialect (identical here).
-_LABEL_RE_JAVA = "^[0-9A-Za-z_.~%-]*$"
+# \A..\Z, not ^..$ — both Python's and Java's $ match BEFORE a trailing
+# newline, so "x\n" (or just "\n") would pass a ^..$ charset check.
+_LABEL_RE = re.compile(r"\A[0-9A-Za-z_\-.~%]*\Z")
+# Same charset, Java regex dialect (\z is Java's absolute end-of-input).
+_LABEL_RE_JAVA = "\\A[0-9A-Za-z_.~%-]*\\z"
 
 
 def validate_label(label: str) -> None:

@@ -88,3 +88,30 @@ def test_multimodal_decode_matches_reference(spark, sf_dir):
         assert row.first_byte == payload[0]
         assert abs(row.mean_byte - sum(payload) / 16) < 1e-9
         assert row.n_frames == {"image": 1, "audio": 16, "video": 8}[row.media_type]
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """Multi-hop merging: a 4-chain collapses to one component labeled by
+    its min id; an isolated vertex keeps its own label; a separate pair
+    forms its own component."""
+    vertices = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (6, 7)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.component_id
+        for r in dedup.connected_components(vertices, pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6}
+
+
+def test_connected_components_label_flows_against_edge_direction(spark):
+    """Edges are undirected: min label must propagate from doc_b to doc_a
+    too (pair (5,1): 5 adopts 1)."""
+    vertices = spark.createDataFrame([(i,) for i in (1, 5, 9)], "doc_id long")
+    pairs = spark.createDataFrame([(5, 9), (5, 1)], "doc_a long, doc_b long")
+    got = {
+        r.doc_id: r.component_id
+        for r in dedup.connected_components(vertices, pairs).collect()
+    }
+    assert got == {1: 1, 5: 1, 9: 1}

@@ -116,3 +116,28 @@ def test_shingle_shuffles_carry_hashed_keys(spark, sf_dir):
 
     for m in re.finditer(r"\(\d+\) Exchange\n(?:.*\n){1,4}", plan):
         assert "sh#" not in m.group(0) or "shh#" in m.group(0)
+
+
+def test_salted_join_really_shuffles(spark, sf_dir):
+    """The skew demo must exercise the salted SHUFFLE path — if it
+    silently degrades to a broadcast, the salt proves nothing."""
+    df = q(spark, sf_dir, "join_skew_salted")
+    assert has_node(df, "ShuffledHashJoin")
+
+
+@pytest.mark.parametrize("name", ["q7_volume_shipping", "q8_market_share"])
+def test_deep_joins_have_one_fact_shuffle(spark, sf_dir, name):
+    """Q7/Q8: every dimension broadcasts; only lineitem ⋈ orders may
+    shuffle. More than one shuffle join = a dimension degraded."""
+    df = q(spark, sf_dir, name)
+    shuffles = count_nodes(df, "SortMergeJoin") + count_nodes(df, "ShuffledHashJoin")
+    assert shuffles <= 1
+    assert count_nodes(df, "BroadcastHashJoin") >= 3
+
+
+def test_kmv_uses_take_ordered(spark, sf_dir):
+    """The k smallest hashes must come via per-partition top-k
+    (TakeOrderedAndProject), never a global sort of all hashes."""
+    df = q(spark, sf_dir, "approx_distinct_kmv")
+    assert has_node(df, "TakeOrderedAndProject")
+    assert not has_node(df, "GlobalLimit")

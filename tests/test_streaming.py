@@ -209,3 +209,44 @@ def test_tumbling_counts_streaming_matches_batch(spark, tmp_path, sf_dir):
         .collect()
     }
     assert results == batch_expect
+
+
+def test_conversion_join_streaming_matches_batch(spark, tmp_path, sf_dir):
+    """Stream-stream interval join (two watermarked sources, bounded
+    state) must emit exactly the batch twin's click→purchase pairs."""
+    from eventlog_spark.tables import load_table
+    from eventlog_spark.operators.streamlike import stream_interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    events.write.mode("append").parquet(src)
+
+    def stream_of(etype):
+        return (
+            spark.readStream.schema(events.schema)
+            .parquet(src)
+            .where(F.col("event_type") == etype)
+        )
+
+    joined = streams.conversion_join(stream_of("click"), stream_of("purchase"))
+    got = set()
+
+    def capture(batch, _bid):
+        for r in batch.collect():
+            got.add((r.user_id, r.click_id, r.buy_id))
+
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(capture)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q, timeout=120)
+
+    expect = {
+        (r.user_id, r.click_id, r.buy_id)
+        for r in stream_interval_join(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert len(got) > 0
