@@ -2,11 +2,12 @@
 
 The testdata is a trimmed TPC-H star schema (no partsupp, no
 l_shipmode/l_commitdate/l_receiptdate, no p_container — see TESTDATA.md),
-so the classic queries that need those columns (Q2, Q4, Q9, Q11, Q12,
-Q16, Q19, Q20) are adapted or out of scope; the ones below preserve the
-original plan shapes — selective scans, multi-way joins, group-aggregate
-with HAVING, left-outer + double aggregation, conditional aggregation —
-on the columns that exist.
+so the classic queries that need those columns are adapted; the ones
+below preserve the original plan shapes — selective scans, multi-way
+joins, group-aggregate with HAVING, left-outer + double aggregation,
+conditional aggregation — on the columns that exist. The remaining 8
+adaptations (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21) live in tpch2.py; together
+the registry covers all 22 TPC-H query shapes.
 
 Determinism: all money sums go through DECIMAL(12,2) (exact, order
 independent); ratios divide two identically-derived doubles. Same rules

@@ -1,0 +1,472 @@
+"""TPC-H completion: the 8 queries whose original text needs columns the
+testdata lacks (partsupp, l_shipmode, l_commitdate, l_receiptdate,
+p_container, comments — see TESTDATA.md), adapted to preserve the exact
+plan shape on the columns that exist:
+
+* Q2  — correlated MIN subquery per part (decorrelated via window)
+* Q9  — 6-way join + LIKE filter, profit by nation × year
+* Q11 — group-agg filtered by a global scalar subquery (HAVING share)
+* Q12 — join + conditional (CASE) aggregation on date arithmetic
+* Q16 — distinct-count agg + NOT-IN anti join
+* Q19 — OR-of-ANDs disjunctive join predicate
+* Q20 — nested aggregate subquery feeding a chained semi-join
+* Q21 — EXISTS + NOT-EXISTS correlated self-joins (semi + anti)
+
+The substitute semantics are documented per query. Determinism follows
+queries.py: decimal sums, identical float expression shapes both sides,
+total ORDER BY keys under every LIMIT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..queries import register
+from ..tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(12,2)")
+
+
+def _disc_price() -> F.Column:
+    return _dec("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")).cast(
+        "decimal(12,2)"
+    )
+
+
+_DISC_SQL = "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2))"
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH cost AS (
+    SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+best AS (
+    SELECT *, MIN(unit_cost) OVER (PARTITION BY l_partkey) AS best_cost FROM cost
+)
+SELECT CAST(s_acctbal AS DECIMAL(12,2)) AS s_acctbal, s_name, n_name,
+       p_partkey, p_name, unit_cost
+FROM best
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE unit_cost = best_cost AND p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+  AND r_name = 'EUROPE'
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+    doc="TPC-H Q2 (adapted): cheapest supplier per part; unit cost from lineitem replaces ps_supplycost.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2's engine test is the correlated scalar subquery (the part's
+    global-minimum cost) — here decorrelated into a window MIN over
+    partkey, which Catalyst executes on the already-grouped per-(part,
+    supplier) aggregate: no second scan, no self-join, exactly the
+    rewrite a 100 TB plan needs. ps_supplycost doesn't exist in the
+    testdata, so cost = MIN(l_extendedprice/l_quantity) observed on the
+    pair's lineitems (double division + MIN, order-free and engine-exact).
+    The selective part filter broadcasts into the aggregate's input, so
+    only matching parts' lineitems are ever grouped; supplier/nation/
+    region broadcast too. LIMIT has a total-order key (acctbal, nation,
+    supplier, part) so the top-100 is unique."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    sup = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_partkey", "p_name", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    best = cost.withColumn(
+        "best_cost", F.min("unit_cost").over(Window.partitionBy("p_partkey"))
+    ).where(F.col("unit_cost") == F.col("best_cost"))
+    return (
+        best.join(F.broadcast(sup), best.l_suppkey == sup.s_suppkey)
+        .select(
+            _dec("s_acctbal").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            "unit_cost",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    oracle=f"""
+SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+       SUM({_DISC_SQL}) AS profit
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, YEAR(o_orderdate)
+ORDER BY nation, o_year DESC
+""",
+    doc="TPC-H Q9 (adapted): profit on red parts by supplier nation and order year (no ps_supplycost term).",
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9's shape: a LIKE-filtered part dimension drives a 5-way join,
+    aggregated by two derived keys. Profit omits the ps_supplycost*qty
+    subtrahend (no partsupp table) — the join tree is unchanged. The
+    part filter broadcasts and prunes lineitem FIRST (AQE sees ~13% of
+    parts match '%red%'); only the surviving rows shuffle on orderkey
+    against orders. supplier+nation broadcast. Group keys (nation,
+    year) are low-cardinality, so the final agg is map-side combined
+    to ~25×7 rows per task."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(_disc_price()).alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle=f"""
+WITH val AS (
+    SELECT l_partkey, SUM({_DISC_SQL}) AS value
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+    GROUP BY l_partkey
+),
+tot AS (SELECT SUM(value) AS total FROM val)
+SELECT l_partkey, value
+FROM val, tot
+WHERE CAST(value AS DOUBLE) > 0.0005 * CAST(total AS DOUBLE)
+ORDER BY value DESC, l_partkey
+""",
+    doc="TPC-H Q11 (adapted): parts with an outsized share of one nation's traded value (HAVING vs global scalar).",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11's engine test is the HAVING clause referencing a global
+    scalar subquery. Inventory value (ps_supplycost*ps_availqty) is
+    replaced by traded value per part through the nation's suppliers.
+    The plan computes the grouped values ONCE: the global total re-
+    aggregates the 2000-row grouped result (a second pass over parts,
+    not over lineitem) and cross-joins back as a broadcast scalar —
+    at 100 TB the fact table is still scanned exactly once. The share
+    comparison is double-vs-double with one shape on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    val = (
+        li.join(
+            F.broadcast(
+                s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+                    "s_suppkey"
+                )
+            ),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(_disc_price()).alias("value"))
+    )
+    tot = val.agg(F.sum("value").alias("total"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .where(
+            F.col("value").cast("double") > F.lit(0.0005) * F.col("total").cast("double")
+        )
+        .select("l_partkey", "value")
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+@register(
+    "q12_shipping_priority",
+    oracle="""
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 90 DAY
+  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+    doc="TPC-H Q12 (adapted): late shipments (>90 days after order) by line status × order priority.",
+)
+def q12_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12's shape: join + CASE-conditional aggregation. l_shipmode and
+    the commit/receipt lateness test don't exist, so the group key is
+    l_linestatus and 'late' = shipped ≥90 days after the order date (a
+    cross-table predicate, evaluated as a join residual — it cannot
+    push below the join, exactly like the original's receipt/commit
+    comparison). The year filter DOES push into the lineitem scan. The
+    join shuffles both sides on orderkey; the two CASE sums fold into
+    one aggregate pass."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .where(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q16_supplier_part_count",
+    oracle="""
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) bridge
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (1, 3, 9, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+    doc="TPC-H Q16 (adapted): distinct supplier count per part attribute group, excluding flagged suppliers.",
+)
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16's shape: a distinct-count aggregate over a part-supplier
+    relation with a NOT IN exclusion. The partsupp relation is derived
+    as the distinct (partkey, suppkey) pairs observed in lineitem; the
+    'customer complaints' supplier blacklist becomes s_acctbal < 0
+    (6 suppliers in the testdata). NOT IN compiles to a broadcast
+    null-aware anti join; the part filters broadcast into the bridge
+    before the distinct, so the expensive dedup shuffle carries only
+    qualifying parts. COUNT(DISTINCT) over the pre-deduped bridge is a
+    plain count after the second grouping — Catalyst's two-phase
+    distinct expansion handles partial aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(1, 3, 9, 19, 23, 36, 45, 49))
+    )
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    bridge = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_partkey", "l_suppkey", "p_brand", "p_type", "p_size")
+        .distinct()
+        .join(F.broadcast(bad), F.col("l_suppkey") == bad.s_suppkey, "left_anti")
+    )
+    return (
+        bridge.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+SELECT SUM({_DISC_SQL}) AS revenue, COUNT(*) AS n_matched
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+""",
+    doc="TPC-H Q19 (adapted): revenue under an OR of brand/size/quantity conjunctions.",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 stresses disjunctive predicate handling: the OR spans both
+    join sides, so it can't fully push down — but Catalyst extracts the
+    common implications (p_brand IN (...), p_size <= 15, quantity
+    bounds) below the join while keeping the cross-side OR as a
+    residual on a broadcast hash join. Without that extraction this is
+    a fact-table × part nested loop; with it, the scan prunes to the
+    three brands before joining. One aggregate row out."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    b1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.where(b1 | b2 | b3).agg(
+        F.sum(_disc_price()).alias("revenue"), F.count(F.lit(1)).alias("n_matched")
+    )
+
+
+@register(
+    "q20_part_promotion",
+    oracle="""
+WITH q96 AS (
+    SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE '%blue%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_partkey, l_suppkey
+),
+shares AS (
+    SELECT *, SUM(qty) OVER (PARTITION BY l_partkey) AS part_total FROM q96
+)
+SELECT s_name, CAST(s_acctbal AS DECIMAL(12,2)) AS s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+  AND s_suppkey IN (
+      SELECT l_suppkey FROM shares
+      WHERE CAST(qty AS DOUBLE) > 0.2 * CAST(part_total AS DOUBLE)
+  )
+ORDER BY s_name
+""",
+    doc="TPC-H Q20 (adapted): suppliers dominating a blue part's 1996 volume (nested agg subquery → semi join).",
+)
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20's shape: a supplier semi-join against an IN-subquery whose
+    body is itself an aggregate over a LIKE-filtered part set. The
+    availqty-vs-half-of-shipped test (needs partsupp) becomes: the
+    supplier shipped >20% of that part's total 1996 volume. The
+    correlated 'total per part' is a window SUM over the grouped
+    result — one lineitem scan, one shuffle on (partkey, suppkey),
+    window repartitions the ~group-count rows only. The IN compiles to
+    a left-semi broadcast join into the 100-row supplier dim. s_name is
+    unique, so ORDER BY s_name is total."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%blue%"))
+    q96 = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+    )
+    shares = q96.withColumn(
+        "part_total", F.sum("qty").over(Window.partitionBy("l_partkey"))
+    )
+    dominant = shares.where(
+        F.col("qty").cast("double") > F.lit(0.2) * F.col("part_total").cast("double")
+    ).select("l_suppkey")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_name", _dec("s_acctbal").alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders   ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND n_name = 'NATION_2'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_shipdate > l1.l_shipdate
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+    doc="TPC-H Q21 (adapted): suppliers whose shipment was the last out the door in multi-supplier finished orders.",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 is the hardest reference shape: two correlated self-joins,
+    one EXISTS (another supplier participated) and one NOT EXISTS (no
+    other supplier shipped later) — the lateness test is on l_shipdate
+    since receipt/commit dates don't exist. They compile to a left-semi
+    and a left-anti join; all three lineitem instances shuffle on
+    l_orderkey, so the exchange layout is computed once and reused
+    (AQE). Orders 'F' also shuffles on orderkey; the 4-supplier nation
+    filter broadcasts into l1 FIRST, so the semi/anti probes stream
+    over l1's ~4% subset. The anti join's extra shipdate inequality is
+    a residual on the orderkey match, never a cartesian."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_2")
+    sup = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "s_name"
+    )
+    l1 = li.alias("l1").join(F.broadcast(sup), F.col("l1.l_suppkey") == sup.s_suppkey)
+    l2 = li.alias("l2")
+    l3 = li.alias("l3")
+    waited = (
+        l1.join(o, F.col("l1.l_orderkey") == o.o_orderkey)
+        .join(
+            l2,
+            (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey"))
+            & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+            "left_anti",
+        )
+    )
+    return (
+        waited.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )

@@ -63,6 +63,7 @@ def _ensure_loaded() -> None:
         return
     from .operators import relational  # noqa: F401
     from .operators import tpch  # noqa: F401
+    from .operators import tpch2  # noqa: F401
     from .operators import advanced  # noqa: F401
     from .operators import approx  # noqa: F401
     from .operators import dedup  # noqa: F401
