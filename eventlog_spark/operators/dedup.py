@@ -338,7 +338,13 @@ def connected_components(
         .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
         .localCheckpoint()
     )
-    labels = vertices.select("doc_id", F.col("doc_id").alias("lab"))
+    # Only vertices touching an edge can ever change label; iterate over
+    # that (tiny) subset and re-attach the untouched majority as
+    # singleton components at the end. At corpus scale this is the
+    # difference between shuffling |V| rows per round and |V(E)| rows.
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("lab")
+    ).localCheckpoint()
     prev_fp = None
     for _ in range(max_rounds):
         msgs = edges.join(labels, edges.src == labels.doc_id).select(
@@ -354,7 +360,12 @@ def connected_components(
         if fp == prev_fp:
             break
         prev_fp = fp
-    return labels.select("doc_id", F.col("lab").alias("component_id"))
+    singletons = vertices.join(
+        edges.select(F.col("src").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    ).select("doc_id", F.col("doc_id").alias("lab"))
+    return labels.unionByName(singletons).select(
+        "doc_id", F.col("lab").alias("component_id")
+    )
 
 
 # -- SimHash ----------------------------------------------------------------------

@@ -147,6 +147,117 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+K_LISTS = 16
+N_PROBE = 4
+
+
+def _cos_sql(x: str, y: str) -> str:
+    """Cosine between {x}.embedding and {y}.embedding — identical shape
+    to cosine_expr (cast-then-multiply, sequential sum)."""
+    dot = (
+        f"list_sum(list_transform(range(1, {DIM + 1}),"
+        f" i -> CAST({x}.embedding[i] AS DOUBLE) * CAST({y}.embedding[i] AS DOUBLE)))"
+    )
+    nx = (
+        f"sqrt(list_sum(list_transform(range(1, {DIM + 1}),"
+        f" i -> CAST({x}.embedding[i] AS DOUBLE) * CAST({x}.embedding[i] AS DOUBLE))))"
+    )
+    ny = (
+        f"sqrt(list_sum(list_transform(range(1, {DIM + 1}),"
+        f" i -> CAST({y}.embedding[i] AS DOUBLE) * CAST({y}.embedding[i] AS DOUBLE))))"
+    )
+    return f"{dot} / ({nx} * {ny})"
+
+
+@register(
+    "ann_ivf_probed",
+    oracle=f"""
+WITH cents AS (
+    SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {K_LISTS}
+),
+assigned AS (
+    SELECT vec_id, list_id FROM (
+        SELECT e.vec_id, c.cid AS list_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql("e", "c")} DESC, c.cid) AS rn
+        FROM embeddings e JOIN cents c ON TRUE
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT query_id, cid FROM (
+        SELECT q.vec_id AS query_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_cos_sql("q", "c")} DESC, c.cid) AS rn
+        FROM embeddings q JOIN cents c ON TRUE
+        WHERE q.vec_id IN {QUERY_IDS}
+    ) WHERE rn <= {N_PROBE}
+)
+SELECT query_id, neighbor_id, rk FROM (
+    SELECT p.query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+                              ORDER BY {_cos_sql("q", "e")} DESC, e.vec_id) AS rk
+    FROM probes p
+    JOIN assigned a ON a.list_id = p.cid
+    JOIN embeddings e ON e.vec_id = a.vec_id AND e.vec_id <> p.query_id
+    JOIN embeddings q ON q.vec_id = p.query_id
+) WHERE rk <= {TOP_K}
+""",
+    doc=f"IVF ANN: {K_LISTS} sampled-codebook lists, {N_PROBE}-probe search, exact re-rank within probed lists.",
+)
+def ann_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverted-file ANN tier (the FAISS-IVF shape, Spark-first).
+    The codebook is the first K corpus vectors — a deterministic sample
+    standing in for k-means centroids (training iterations average
+    doubles, whose accumulation order no two engines agree on; a
+    sampled codebook is a legitimate IVF variant and keeps the oracle
+    bit-exact). Build: every vector scores the 16-row broadcast
+    codebook and keeps its argmax list via max_by — the partial
+    aggregate combines map-side, so the shuffle carries one row per
+    vector, not K. Query: each query probes its n_probe nearest lists;
+    candidates = probed lists only (∝ n·n_probe/K of the corpus instead
+    of all of it — at 100 TB the assigned table would be written
+    bucketed BY list_id so probing prunes files); exact cosine re-rank
+    inside the candidate set via WindowGroupLimit top-k."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = emb.where(F.col("vec_id") < K_LISTS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    cos_c = cosine_expr(F.col("embedding"), F.col("c_emb"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("cos", cos_c)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("cid", F.struct(F.col("cos"), (-F.col("cid")).alias("neg"))).alias(
+                "list_id"
+            ),
+            F.first("embedding").alias("embedding"),
+        )
+    )
+    from pyspark.sql import Window
+
+    q = emb.where(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("cos", cosine_expr(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= N_PROBE)
+        .select("query_id", "q_emb", "cid")
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        assigned.join(F.broadcast(probes), assigned.list_id == probes.cid)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", cosine_expr(F.col("q_emb"), F.col("embedding")))
+        .withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rk")
+    )
+
+
 @register(
     "ann_lsh_bucketed",
     oracle=f"""

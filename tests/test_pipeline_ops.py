@@ -90,6 +90,24 @@ def test_multimodal_decode_matches_reference(spark, sf_dir):
         assert row.n_frames == {"image": 1, "audio": 16, "video": 8}[row.media_type]
 
 
+def test_ivf_recall_against_bruteforce(spark, sf_dir):
+    """IVF with 4/16 lists probed must stay close to the exact top-10
+    (the synthetic embeddings are clustered; measured recall is 0.88 at
+    sf0.001 — 0.6 is a regression floor, not a target), and every rank
+    column must be a contiguous 1..k prefix."""
+    from eventlog_spark.queries import REGISTRY
+
+    bf = {(r.query_id, r.neighbor_id) for r in REGISTRY["ann_topk_bruteforce"].fn(spark, sf_dir).collect()}
+    rows = REGISTRY["ann_ivf_probed"].fn(spark, sf_dir).collect()
+    ivf = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(bf & ivf) / len(bf) >= 0.6
+    by_q: dict[int, list[int]] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rk)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
 def test_connected_components_chain_and_singletons(spark):
     """Multi-hop merging: a 4-chain collapses to one component labeled by
     its min id; an isolated vertex keeps its own label; a separate pair
