@@ -71,6 +71,7 @@ def _ensure_loaded() -> None:
     from .operators import text  # noqa: F401
     from .operators import multimodal  # noqa: F401
     from .operators import streamlike  # noqa: F401
+    from .operators import pipeline  # noqa: F401
     from .operators import udf  # noqa: F401
     from . import logqueries  # noqa: F401
 
