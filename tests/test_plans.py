@@ -135,6 +135,24 @@ def test_deep_joins_have_one_fact_shuffle(spark, sf_dir, name):
     assert count_nodes(df, "BroadcastHashJoin") >= 3
 
 
+def test_rollup_is_one_scan_through_expand(spark, sf_dir):
+    """timeseries_rollup must downsample all three resolutions from ONE
+    events scan via Expand — three separate scans would triple the
+    100 TB read."""
+    df = q(spark, sf_dir, "timeseries_rollup")
+    assert has_node(df, "Expand")
+    assert len(read_schemas(df)) == 1
+
+
+def test_ivf_assignment_aggregates_map_side(spark, sf_dir):
+    """IVF codebook assignment must reduce the K-expanded rows with a
+    partial+final aggregate (max_by → SortAggregate, since struct
+    ordering isn't hash-aggregable), never a window over the expansion —
+    the shuffle must carry one row per vector, not K."""
+    df = q(spark, sf_dir, "ann_ivf_probed")
+    assert count_nodes(df, "SortAggregate") >= 2  # partial + final for max_by
+
+
 def test_kmv_uses_take_ordered(spark, sf_dir):
     """The k smallest hashes must come via per-partition top-k
     (TakeOrderedAndProject), never a global sort of all hashes."""
