@@ -304,6 +304,58 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2))) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+    doc="Exchange-free co-located join: both sides stored bucketed+sorted by the join key.",
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The storage-level answer to repeated big-big joins: write both
+    tables bucketed AND sorted by the join key once, and every
+    subsequent join on that key is a zero-shuffle, zero-sort merge —
+    the exchange that dominates a 100 TB join simply isn't in the plan
+    (test_plans asserts it). This is how a production log table should
+    be laid out for its hot join keys; the write cost is paid once and
+    amortized over every downstream query. Here the bucketed copies are
+    written to a temp warehouse per call (the demo includes the
+    one-time cost); the merge hint pins SMJ so the bucketed scan is
+    exercised even where stats would pick a broadcast. Result is
+    oracle-identical to the plain join."""
+    import tempfile
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    wh = tempfile.mkdtemp(prefix="bucketed_wh_")
+    for name, df, key in (("li_bkt", li, "l_orderkey"), ("o_bkt", o, "o_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.format("parquet")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{wh}/{name}")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    lib, ob = spark.table("li_bkt"), spark.table("o_bkt")
+    disc = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(12,2)")
+    return (
+        lib.hint("merge")
+        .join(ob, lib.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_items"), F.sum(disc).alias("revenue"))
+    )
+
+
 N_SALTS = 8
 
 

@@ -135,6 +135,15 @@ def test_deep_joins_have_one_fact_shuffle(spark, sf_dir, name):
     assert count_nodes(df, "BroadcastHashJoin") >= 3
 
 
+def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
+    """Both sides stored bucketed by the join key → the SMJ must read
+    co-located buckets directly; the only exchange in the plan is the
+    post-join aggregation's."""
+    df = q(spark, sf_dir, "join_bucketed_colocated")
+    assert has_node(df, "SortMergeJoin")
+    assert count_nodes(df, "Exchange") == 1
+
+
 def test_rollup_is_one_scan_through_expand(spark, sf_dir):
     """timeseries_rollup must downsample all three resolutions from ONE
     events scan via Expand — three separate scans would triple the
