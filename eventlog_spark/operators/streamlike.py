@@ -169,6 +169,39 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_static_enrich",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       SUM(CAST(value AS DECIMAL(12,2))) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""",
+    doc="Events enriched with a static customer dimension (batch twin of the stream-static broadcast join).",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of streams.enrich_stream plus a segment aggregate so
+    the oracle output is small and stable; test_streaming drives the
+    same join as a real stream and must reproduce these totals. The
+    dim broadcast means the event stream is never shuffled for the
+    join — at 100 TB/day the only exchange is the final 5-row agg."""
+    ev = load_table(spark, sf_dir, "events")
+    from ..streaming.streams import enrich_stream
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        enrich_stream(ev, c)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value"),
+        )
+    )
+
+
 _ROLLUP_SQL = """
 SELECT event_type,
        CASE WHEN GROUPING(h) = 0 THEN 'hour'

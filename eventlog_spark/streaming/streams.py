@@ -114,6 +114,19 @@ def conversion_join(
     ).select("user_id", "click_id", "buy_id", "click_ts", "buy_ts")
 
 
+def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: each micro-batch probes the static dimension,
+    which Spark plans as a broadcast — no state store, no watermark
+    needed (the static side is re-resolvable per batch, so dim updates
+    between batches are picked up). The standard shape for decorating an
+    event stream with user/account attributes at any scale: the stream
+    never shuffles, only the (small) dim broadcasts. Batch twin with
+    oracle: operators/streamlike.py stream_static_enrich."""
+    return events.join(
+        F.broadcast(dim), events.user_id == dim.c_custkey
+    ).select("event_id", "user_id", "event_type", "value", "ts", "c_mktsegment")
+
+
 # -- watermarked windows -------------------------------------------------------
 
 

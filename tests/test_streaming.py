@@ -211,6 +211,45 @@ def test_tumbling_counts_streaming_matches_batch(spark, tmp_path, sf_dir):
     assert results == batch_expect
 
 
+def test_enrich_stream_matches_batch(spark, tmp_path, sf_dir):
+    """Stream-static broadcast join: the streamed enrichment aggregated
+    per segment must equal the batch twin's totals."""
+    from eventlog_spark.tables import load_table
+    from eventlog_spark.queries import REGISTRY
+
+    events = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    src = str(tmp_path / "src")
+    events.write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    enriched = streams.enrich_stream(stream, dim)
+    agg = {}
+
+    def capture(batch, _bid):
+        for r in batch.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("s"),
+        ).collect():
+            n, s = agg.get(r.c_mktsegment, (0, 0))
+            agg[r.c_mktsegment] = (n + r.n, s + r.s)
+
+    q = (
+        enriched.writeStream.outputMode("append")
+        .foreachBatch(capture)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q, timeout=120)
+
+    expect = {
+        r.c_mktsegment: (r.n_events, r.sum_value)
+        for r in REGISTRY["stream_static_enrich"].fn(spark, sf_dir).collect()
+    }
+    assert agg == expect and len(agg) > 0
+
+
 def test_conversion_join_streaming_matches_batch(spark, tmp_path, sf_dir):
     """Stream-stream interval join (two watermarked sources, bounded
     state) must emit exactly the batch twin's click→purchase pairs."""
