@@ -156,9 +156,9 @@ def log_version_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     "log_integrity_audit",
     oracle="""
 SELECT
-    COALESCE(SUM(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END), 0) AS ts_order_violations,
-    COALESCE(SUM(CASE WHEN prev_id IS NOT NULL AND event_id <= prev_id THEN 1 ELSE 0 END), 0) AS version_order_violations,
-    COALESCE(SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END), 0) AS payload_violations,
+    CAST(COALESCE(SUM(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END), 0) AS BIGINT) AS ts_order_violations,
+    CAST(COALESCE(SUM(CASE WHEN prev_id IS NOT NULL AND event_id <= prev_id THEN 1 ELSE 0 END), 0) AS BIGINT) AS version_order_violations,
+    CAST(COALESCE(SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END), 0) AS BIGINT) AS payload_violations,
     COUNT(*) AS n_checked
 FROM (
     SELECT event_id, ts, props,

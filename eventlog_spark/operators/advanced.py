@@ -326,34 +326,68 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     written to a temp warehouse per call (the demo includes the
     one-time cost); the merge hint pins SMJ so the bucketed scan is
     exercised even where stats would pick a broadcast. Result is
-    oracle-identical to the plain join."""
+    oracle-identical to the plain join.
+
+    Harness-safety (round-2 hardening): table names are unique per
+    invocation (no cross-session DROP/overwrite races), the previous
+    invocation's tables are dropped lazily at the NEXT call (never
+    before the returned lazy DataFrame has been collected), and a
+    session where ``saveAsTable`` is unavailable falls back to the
+    same join/agg over the raw tables — identical result, just with
+    the exchange the bucketed layout would have removed."""
     import tempfile
+    import uuid
 
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    wh = tempfile.mkdtemp(prefix="bucketed_wh_")
-    for name, df, key in (("li_bkt", li, "l_orderkey"), ("o_bkt", o, "o_orderkey")):
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        (
-            df.write.format("parquet")
-            .bucketBy(8, key)
-            .sortBy(key)
-            .option("path", f"{wh}/{name}")
-            .mode("overwrite")
-            .saveAsTable(name)
-        )
-    lib, ob = spark.table("li_bkt"), spark.table("o_bkt")
     disc = F.col("l_extendedprice").cast("decimal(12,2)") * (
         F.lit(1.0) - F.col("l_discount")
     ).cast("decimal(12,2)")
-    return (
-        lib.hint("merge")
-        .join(ob, lib.l_orderkey == ob.o_orderkey)
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_items"), F.sum(disc).alias("revenue"))
-    )
+
+    def join_agg(lib: DataFrame, ob: DataFrame) -> DataFrame:
+        return (
+            lib.hint("merge")
+            .join(ob, lib.l_orderkey == ob.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_items"), F.sum(disc).alias("revenue"))
+        )
+
+    # Drop the *previous* call's demo tables (safe: their results were
+    # collected before anyone could call this again).
+    for stale in list(_BUCKETED_DEMO_TABLES):
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {stale}")
+        except Exception:
+            pass
+        _BUCKETED_DEMO_TABLES.discard(stale)
+
+    tag = uuid.uuid4().hex[:12]
+    try:
+        wh = tempfile.mkdtemp(prefix=f"bucketed_wh_{tag}_")
+        names = (f"li_bkt_{tag}", f"o_bkt_{tag}")
+        for name, df, key in (
+            (names[0], li, "l_orderkey"),
+            (names[1], o, "o_orderkey"),
+        ):
+            (
+                df.write.format("parquet")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .option("path", f"{wh}/{name}")
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+            _BUCKETED_DEMO_TABLES.add(name)
+        return join_agg(spark.table(names[0]), spark.table(names[1]))
+    except Exception:
+        # Catalog-less or write-restricted session: identical semantics
+        # via the plain shuffled sort-merge join.
+        return join_agg(li, o)
+
+
+_BUCKETED_DEMO_TABLES: set[str] = set()
 
 
 N_SALTS = 8

@@ -152,7 +152,7 @@ weights AS (
            CAST(pow(2.0, 52 - COALESCE(r.max_rank, 0)) AS BIGINT) AS weight
     FROM buckets b LEFT JOIN regs r ON b.bucket = r.bucket
 ),
-s AS (SELECT SUM(weight) AS sum_weights, COUNT(*) AS n_buckets FROM weights),
+s AS (SELECT CAST(SUM(weight) AS BIGINT) AS sum_weights, COUNT(*) AS n_buckets FROM weights),
 ex AS (SELECT COUNT(DISTINCT l_orderkey) AS exact_distinct FROM lineitem)
 SELECT n_buckets, sum_weights,
        {HLL_EST_NUM!r} / CAST(sum_weights AS DOUBLE) AS est_distinct,

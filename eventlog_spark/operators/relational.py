@@ -479,8 +479,8 @@ SELECT user_id, session_id,
        MAX(ts) AS session_end
 FROM (
     SELECT user_id, ts,
-           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
     FROM (
         SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -667,7 +667,7 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extract",
     oracle="""
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(*) AS n
 FROM events
 GROUP BY event_type

@@ -72,9 +72,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(len(string_split(text, ' '))) AS ws_tokens,
-       SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS re_tokens,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS re_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY source
 """,
@@ -101,10 +101,10 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT lang,
        COUNT(*) AS n_docs,
        COUNT(DISTINCT source) AS n_sources,
-       SUM(n_chars) AS total_chars,
-       SUM(CASE WHEN CAST(len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})) AS DOUBLE)
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN CAST(len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})) AS DOUBLE)
                      / len(string_split(text, ' ')) >= 0.02
-                THEN 1 ELSE 0 END) AS predicted_en
+                THEN 1 ELSE 0 END) AS BIGINT) AS predicted_en
 FROM documents
 GROUP BY lang
 """,

@@ -442,10 +442,11 @@ FROM customer
 JOIN (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_bal, COUNT(*) AS cnt_bal
       FROM customer WHERE c_acctbal > 0.0) g
   ON CAST(c_acctbal AS DOUBLE) * CAST(cnt_bal AS DOUBLE) > CAST(sum_bal AS DOUBLE)
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
 GROUP BY c_nationkey
 """,
-    doc="TPC-H Q22 (adapted): wealthy customers with no orders, by nation (NOT EXISTS → anti join + global scalar).",
+    doc="TPC-H Q22 (adapted): wealthy customers with no large order, by nation (NOT EXISTS → anti join + global scalar).",
 )
 def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22's shape minus the phone prefix (column absent): a global
@@ -453,12 +454,16 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     bal * cnt > sum with an exact decimal sum), an anti join against
     orders, and a final group-by. The scalar comes back as a 1-row
     broadcast; the anti join shuffles only custkeys; at 100 TB orders
-    can pre-project o_custkey distinct-per-partition to cut the probe."""
+    can pre-project o_custkey distinct-per-partition to cut the probe.
+
+    The anti-join predicate is "no order above 300000" (every sf0.01
+    customer has *some* order, which made the original no-orders form
+    return 0 rows — a vacuous correctness check)."""
     c = _t(spark, sf_dir, "customer")
     g = c.where(F.col("c_acctbal") > 0.0).agg(
         F.sum(_dec("c_acctbal")).alias("sum_bal"), F.count(F.lit(1)).alias("cnt_bal")
     )
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
     return (
         c.join(
             F.broadcast(g),

@@ -1,17 +1,19 @@
-"""Local replica of the driver's DuckDB oracle comparison.
+"""Local replica of the driver's DuckDB oracle comparison — STRICT.
 
-For each registered query: run the Spark DataFrame and the oracle SQL on
-the same parquet tables, then compare row count, column-name set, and
-order-insensitive values (columns sorted by name, rows sorted by all
-columns, exact equality — floats included, since both engines must
-produce bit-identical doubles under our determinism rules)."""
+Mirrors what the driver actually does (learned from CORRECTNESS_r01):
+both sides are converted to pandas (Spark ``toPandas()``, DuckDB
+``.df()``), columns sorted by name, and values compared by their string
+rendering. No decimal normalization, no dtype forgiveness — DuckDB's
+pandas path coerces DECIMAL/HUGEINT to float64, so a Spark-side
+``Decimal('253942.00')`` vs a DuckDB ``253942.0`` is a FAILURE here,
+exactly as it is in the driver's hash. Queries must canonicalize their
+final output dtypes (see ``queries.canonicalize_output``).
+"""
 
 from __future__ import annotations
 
-import decimal
 import math
 import os
-from datetime import date, datetime
 
 import duckdb
 
@@ -26,55 +28,49 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return conn
 
 
-def _norm_value(v):
+def _render(v) -> str:
+    """Driver-style value rendering: str() of the pandas-converted cell."""
     if v is None:
-        return ""
-    if isinstance(v, decimal.Decimal):
-        # scale-insensitive: 1.50 == 1.5
-        return f"dec:{v.normalize()}"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return f"f:{v!r}"
-    if isinstance(v, bool):
-        return f"b:{v}"
-    if isinstance(v, int):
-        return f"i:{v}"
-    if isinstance(v, datetime):
-        return f"ts:{v.isoformat()}"
-    if isinstance(v, date):
-        return f"ts:{datetime(v.year, v.month, v.day).isoformat()}"
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm_value(x) for x in v) + "]"
-    return f"s:{v}"
+        return "None"
+    if isinstance(v, float) and math.isnan(v):
+        return "nan"
+    return str(v)
 
 
-def _canon(rows: list[tuple], cols: list[str]) -> list[tuple]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm_value(r[i]) for i in order) for r in rows]
-    out.sort()
-    return out
+def _canon_pdf(pdf) -> tuple[list[str], list[tuple], list[str]]:
+    cols = sorted(pdf.columns, key=lambda c: c.lower())
+    # Series.tolist() converts numpy scalars to native Python objects
+    # (np.float64→float, np.int64→int, datetime64→pd.Timestamp), which is
+    # the rendering surface the driver hashes.
+    col_vals = [pdf[c].tolist() for c in cols]
+    rows = [tuple(_render(col[i]) for col in col_vals) for i in range(len(pdf))]
+    rows.sort()
+    dtypes = [str(pdf[c].dtype) for c in cols]
+    return cols, rows, dtypes
 
 
 def compare(spark_df, oracle_sql: str, sf_dir: str) -> tuple[bool, str]:
-    sp_cols = [f.name for f in spark_df.schema.fields]
-    sp_rows = [tuple(r) for r in spark_df.collect()]
+    sp_pdf = spark_df.toPandas()
 
     conn = duckdb_conn(sf_dir)
     try:
-        res = conn.execute(oracle_sql)
-        db_cols = [d[0] for d in res.description]
-        db_rows = res.fetchall()
+        db_pdf = conn.execute(oracle_sql).df()
     finally:
         conn.close()
 
-    if sorted(c.lower() for c in sp_cols) != sorted(c.lower() for c in db_cols):
-        return False, f"schema mismatch: spark={sorted(sp_cols)} duckdb={sorted(db_cols)}"
+    sp_cols, sp_rows, sp_dt = _canon_pdf(sp_pdf)
+    db_cols, db_rows, db_dt = _canon_pdf(db_pdf)
+
+    if [c.lower() for c in sp_cols] != [c.lower() for c in db_cols]:
+        return False, f"schema mismatch: spark={sp_cols} duckdb={db_cols}"
     if len(sp_rows) != len(db_rows):
         return False, f"row count mismatch: spark={len(sp_rows)} duckdb={len(db_rows)}"
-    a = _canon(sp_rows, [c.lower() for c in sp_cols])
-    b = _canon(db_rows, [c.lower() for c in db_cols])
-    if a != b:
-        diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
-        return False, f"value mismatch, first diffs: {diff}"
+    if sp_rows != db_rows:
+        diffs = [
+            (x, y) for x, y in zip(sp_rows, db_rows) if x != y
+        ][:3]
+        return False, (
+            f"value mismatch; dtypes spark={dict(zip(sp_cols, sp_dt))} "
+            f"duckdb={dict(zip(db_cols, db_dt))}; first diffs: {diffs}"
+        )
     return True, "ok"
