@@ -74,8 +74,6 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "run":
-        from .serving import serve
-
         if args.inmem:
             path = tempfile.mkdtemp(prefix="eventlog_inmem_")
             import shutil
@@ -86,10 +84,15 @@ def main(argv: list[str] | None = None) -> int:
             log = EventLog.open(spark, args.path)
         else:
             raise SystemExit("run requires a path or --inmem")
-        srv = serve(log, host=args.host, port=args.port)
+        # Foreground path: ONE accept loop on the main thread. (serve()
+        # would start serve_forever() in its own daemon thread; running a
+        # second loop on the same socketserver races its shutdown flags.)
+        from .serving import EventLogHTTPServer
+
+        srv = EventLogHTTPServer((args.host, args.port), log)
         print(f"listening on http://{args.host}:{args.port}")
         try:
-            srv.serve_forever()  # foreground; ctrl-c to stop
+            srv.serve_forever()  # ctrl-c to stop
         except KeyboardInterrupt:
             srv.shutdown()
         return 0

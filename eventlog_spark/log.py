@@ -152,6 +152,7 @@ class EventLog:
         self._stream_commits: dict[str, int] = {}  # foreachBatch idempotence
         self._load_meta()
         self._load_state()
+        self._truncate_orphans()
 
     # -- lifecycle (O21/O22) ------------------------------------------------
 
@@ -216,6 +217,65 @@ class EventLog:
         self._latest = row["mx"] or 0
         self._initial = row["mn"] or 0
         self._last_ts = row["ts"] or 0
+
+    def _truncate_orphans(self) -> None:
+        """Physically drop rows above the committed head on open.
+
+        A crash between fragment write and ``_state.json`` publish leaves
+        orphan rows above the head; logical filtering alone only holds
+        until the next append re-assigns those version numbers (the log
+        would then hold two rows per version). The reference's file
+        engine physically truncates on open (file.go:67-125); we mirror
+        that: fragment files wholly above the head are deleted, a file
+        straddling the boundary (cannot occur with our commit protocol,
+        handled defensively) is rewritten filtered.
+
+        Cost: parquet footer stats only (no data read) on the no-orphan
+        path. At scale this is the same control-plane pass a table
+        format's log replay performs on open."""
+        latest = self._latest
+        files = self._data_files()
+        if not files:
+            return
+        import pyarrow.parquet as pq
+
+        for fname in files:
+            full = os.path.join(self.path, fname)
+            if not fname.endswith(".parquet"):
+                continue
+            try:
+                md = pq.ParquetFile(full).metadata
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["version"]
+                mn, mx = None, None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        mn, mx = None, None
+                        break
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+            except Exception:
+                mn = mx = None
+            if mn is None or mx is None:
+                tbl = pq.read_table(full, columns=["version"])
+                col = tbl.column("version")
+                if len(col) == 0:
+                    continue
+                import pyarrow.compute as pc
+
+                mn, mx = pc.min(col).as_py(), pc.max(col).as_py()
+            if mx <= latest:
+                continue
+            if mn > latest:
+                os.remove(full)
+            else:
+                import pyarrow.compute as pc
+
+                tbl = pq.read_table(full)
+                kept = tbl.filter(pc.field("version") <= latest)
+                tmp = os.path.join(self.path, f"_trunc.{uuid.uuid4().hex}.parquet")
+                pq.write_table(kept, tmp)
+                os.replace(tmp, full)
 
     def _write_state(self) -> None:
         tmp = self._state_path() + f".tmp.{uuid.uuid4().hex}"
@@ -319,11 +379,15 @@ class EventLog:
                 self._initial = 1
             self._last_ts = ts
             self._write_state()
-        self._hub.broadcast(self._latest)
+            # captured INSIDE the lock: after release another commit may
+            # advance self._latest, and broadcasting/returning that head
+            # would break version == version_previous + len(events)
+            new_head = self._latest
+        self._hub.broadcast(new_head)
         return AppendResult(
             version_previous=base,
             version_first=base + 1,
-            version=self._latest,
+            version=new_head,
             timestamp=ts,
         )
 
@@ -478,11 +542,12 @@ class EventLog:
                 # idempotence marker rides in the same atomic publish
                 self._stream_commits[txn[0]] = txn[1]
             self._write_state()
-        self._hub.broadcast(self._latest)
+            new_head = self._latest  # see _commit: capture under the lock
+        self._hub.broadcast(new_head)
         return AppendResult(
             version_previous=base,
             version_first=base + 1,
-            version=self._latest,
+            version=new_head,
             timestamp=ts,
         )
 

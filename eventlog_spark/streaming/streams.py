@@ -22,6 +22,7 @@ keep it off-heap. File-source streams at 100 TB use
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,10 +34,52 @@ from ..log import EVENT_SCHEMA, EventLog
 # -- log tail / subscription (O13) -------------------------------------------
 
 
-def log_tail_stream(log: EventLog) -> DataFrame:
+def log_tail_stream(
+    log: EventLog, committed_only: bool = True, commit_wait: float = 5.0
+) -> DataFrame:
     """Streaming view of the log: every committed fragment becomes part
-    of a micro-batch exactly once."""
-    return log.spark.readStream.schema(EVENT_SCHEMA).parquet(log.path)
+    of a micro-batch exactly once.
+
+    ``committed_only`` (default): each micro-batch is filtered to
+    versions ≤ the committed head read from ``_state.json`` AT TASK
+    EXECUTION TIME, so post-crash orphan rows (fragment written, head
+    never published) are not delivered as if committed — the same
+    snapshot-isolation contract the batch readers enforce. Rows above
+    the head get a bounded wait (``commit_wait`` seconds) before being
+    dropped: a live writer publishes the head milliseconds after the
+    fragment lands, so in-flight commits pass; a crashed writer's
+    orphans never commit and are dropped. The state file lives next to
+    the data, so executors can read it wherever the log directory is
+    reachable (local FS here, shared storage on a cluster)."""
+    raw = log.spark.readStream.schema(EVENT_SCHEMA).parquet(log.path)
+    if not committed_only:
+        return raw
+    state_path = os.path.join(log.path, "_state.json")
+
+    def _filter_committed(batches):
+        import json as _json
+        import time as _time
+
+        def head() -> int:
+            try:
+                with open(state_path) as f:
+                    return int(_json.load(f)["latest_version"])
+            except Exception:
+                return 0
+
+        h = head()
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            mx = int(pdf["version"].max())
+            deadline = _time.monotonic() + commit_wait
+            while mx > h and _time.monotonic() < deadline:
+                _time.sleep(0.05)
+                h = head()
+            yield pdf[pdf["version"] <= h]
+
+    return raw.mapInPandas(_filter_committed, EVENT_SCHEMA)
 
 
 def subscribe_stream(

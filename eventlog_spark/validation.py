@@ -59,6 +59,14 @@ def validate_payload(payload: str, max_len: int = DEFAULT_MAX_PAYLOAD_LEN) -> No
     raw = payload.encode("utf-8")
     if len(raw) > max_len:
         raise PayloadSizeLimitExceeded(f"payload length {len(raw)} exceeds {max_len}")
+    # same minimum the bulk path (payload_valid_expr) and check_integrity
+    # enforce — without it a 6-byte '{"":0}' would be accepted here and
+    # then flagged as a payload_violation by the engine's own audit
+    # (reference: msgcodec minLen, file.go:33-36)
+    if len(raw) < MIN_PAYLOAD_LEN:
+        raise InvalidPayload(
+            f"payload length {len(raw)} below minimum {MIN_PAYLOAD_LEN}"
+        )
     try:
         obj = json.loads(payload)
     except (ValueError, TypeError) as exc:

@@ -70,7 +70,8 @@ def test_append_check_occ(log):
 
 @pytest.mark.parametrize(
     "payload",
-    ["{}", "[]", '"str"', "42", "null", "true", "{\"x\":}", "", "   ", "[{\"x\":1}]"],
+    ["{}", "[]", '"str"', "42", "null", "true", "{\"x\":}", "", "   ", "[{\"x\":1}]",
+     '{"":0}'],  # 6 bytes: below MIN_PAYLOAD_LEN — append and audit must agree
 )
 def test_invalid_payload_truth_table(log, payload):
     """eventlog/validate_payload_json.go truth table (eventlog_test.go:520-538)."""
@@ -297,3 +298,34 @@ def test_hex_version_codec():
 
     for v in [0, 1, 15, 16, 255, 0xDEADBEEF, 2**62]:
         assert py_hex_to_version(py_version_to_hex(v)) == v
+
+
+def test_open_truncates_crash_orphans(spark, tmp_path):
+    """file.go:67-125 — a crash between fragment write and state publish
+    must not leave rows that a later append would duplicate. open()
+    physically drops rows above the committed head."""
+    import shutil
+
+    path = str(tmp_path / "orphan")
+    log = EventLog.create(spark, path)
+    log.append_multi([(f"l{i}", f'{{"i":{i}}}') for i in range(3)])
+    state = os.path.join(path, "_state.json")
+    saved = os.path.join(str(tmp_path), "state_at_3.json")
+    shutil.copy(state, saved)
+
+    # simulate: fragment for versions 4-5 written, crash before publish
+    log.append_multi([("l3", '{"i":3}'), ("l4", '{"i":4}')])
+    shutil.copy(saved, state)
+
+    reopened = EventLog.open(spark, path)
+    assert reopened.version() == 3
+    assert [r.version for r in reopened.scan().collect()] == [1, 2, 3]
+
+    # the versions the orphans squatted on are reassigned exactly once
+    r = reopened.append_multi([("n4", '{"n":4}'), ("n5", '{"n":5}')])
+    assert (r.version_first, r.version) == (4, 5)
+    rows = reopened.scan().collect()
+    assert [row.version for row in rows] == [1, 2, 3, 4, 5]
+    assert [row.label for row in rows] == ["l0", "l1", "l2", "n4", "n5"]
+    audit = reopened.check_integrity().collect()[0]
+    assert audit.density_violation == 0 and audit.chain_violations == 0

@@ -292,3 +292,32 @@ def test_conversion_join_streaming_matches_batch(spark, tmp_path, sf_dir):
     }
     assert got == expect
     assert len(got) > 0
+
+
+def test_tail_stream_skips_uncommitted_orphans(spark, tmp_path):
+    """Post-crash orphan rows (fragment written, head never published)
+    must NOT be delivered to subscribers as if committed — the stream
+    enforces the same snapshot-isolation contract as the batch readers."""
+    import shutil
+    import os as _os
+
+    log = EventLog.create(spark, str(tmp_path / "log"))
+    log.append_multi([("a", '{"x":1}'), ("b", '{"x":2}')])
+    state = _os.path.join(log.path, "_state.json")
+    saved = str(tmp_path / "state_at_2.json")
+    shutil.copy(state, saved)
+    # versions 3-4 written, then "crash" before the head publish
+    log.append_multi([("c", '{"x":3}'), ("d", '{"x":4}')])
+    shutil.copy(saved, state)
+    log._latest = 2  # in-process view matches the rolled-back state file
+
+    got: list[int] = []
+    q = (
+        streams.log_tail_stream(log, commit_wait=0.3)
+        .writeStream.foreachBatch(lambda b, _: got.extend(r.version for r in b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q, timeout=120)
+    assert sorted(got) == [1, 2]  # orphans 3-4 withheld
