@@ -48,7 +48,7 @@ import uuid
 from dataclasses import dataclass
 from typing import Callable, Iterable
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
@@ -613,18 +613,24 @@ class EventLog:
         (check_integrity.go:15-94). Per-row checks (checksum recompute,
         payload validity) are embarrassingly parallel; with dense
         versions the chain/adjacency checks are arithmetic too, so the
-        only global facts needed are count and min/max — no sort."""
+        only global facts needed are count and min/max — no sort.
+
+        The one sequential fact (running max of earlier timestamps) is
+        computed by functions/ordered.py's bucketed decomposition: one
+        parallel shuffle on version buckets + a one-row-per-bucket
+        boundary pass — no single-task global Window at any scale."""
+        from .functions.ordered import with_adjacent
         from .validation import label_valid_expr, payload_valid_expr
 
         df = self.dataframe()
         with self._lock:
             latest, initial = self._latest, self._initial
-        # adjacency context: running max of earlier timestamps. The
-        # unpartitioned window is acceptable for an offline audit; at
-        # scale, range-partition by version and check bucket boundaries
-        # with one extra tiny pass.
-        w = Window.orderBy("version").rowsBetween(Window.unboundedPreceding, -1)
-        df = df.withColumn("_prev_max_ts", F.max("timestamp").over(w))
+        if latest:
+            df = with_adjacent(
+                df, "version", running_max_cols=["timestamp"]
+            ).withColumnRenamed("timestamp_prevmax", "_prev_max_ts")
+        else:
+            df = df.withColumn("_prev_max_ts", F.lit(None).cast("long"))
         return df.agg(
             F.coalesce(
                 F.sum(F.when(checksum_expr() != F.col("checksum"), 1).otherwise(0)),

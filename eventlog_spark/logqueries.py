@@ -16,7 +16,7 @@ formulation is kept deliberately: it is the general-table scan operator
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .queries import register
@@ -60,20 +60,25 @@ def eventlog_engine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _scan_base(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with derived prev/next chain. The unpartitioned window is a
-    single-partition sort at scale — the EventLog engine avoids it via
-    dense-version arithmetic (log.py); this query form exists for parity
-    with the reference's general scan."""
+    """events with derived prev/next chain — the general-table scan
+    operator (works for any unique ordering column, gaps allowed; the
+    EventLog engine itself needs no window at all thanks to dense-version
+    arithmetic, log.py). Chain links come from functions/ordered.py's
+    bucketed adjacency: one parallel shuffle + a one-row-per-bucket
+    boundary pass instead of a single-task global Window."""
+    from .functions.ordered import with_adjacent
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("event_id")
-    return ev.select(
+    return with_adjacent(
+        ev, "event_id", lag_cols=["event_id"], lead_cols=["event_id"]
+    ).select(
         "event_id",
         "ts",
         "user_id",
         "event_type",
         "value",
-        F.coalesce(F.lag("event_id").over(w), F.lit(0)).alias("version_prev"),
-        F.coalesce(F.lead("event_id").over(w), F.lit(0)).alias("version_next"),
+        F.coalesce(F.col("event_id_lag"), F.lit(0)).alias("version_prev"),
+        F.coalesce(F.col("event_id_lead"), F.lit(0)).alias("version_next"),
     )
 
 
@@ -171,17 +176,19 @@ FROM (
 )
 def log_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference audits sequentially (check_integrity.go:15-94); here
-    each per-row check is embarrassingly parallel and only the adjacency
-    checks need the ordering window (at scale: range-partition by version,
-    check within partitions + one tiny boundary pass)."""
+    each per-row check is embarrassingly parallel and the adjacency
+    context comes from functions/ordered.py's bucketed decomposition —
+    version-bucket shuffle + one-row-per-bucket boundary pass, never a
+    single-task global Window."""
+    from .functions.ordered import with_adjacent
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("event_id")
-    checked = ev.select(
+    checked = with_adjacent(ev, "event_id", lag_cols=["ts", "event_id"]).select(
         "event_id",
         "ts",
         "props",
-        F.lag("ts").over(w).alias("prev_ts"),
-        F.lag("event_id").over(w).alias("prev_id"),
+        F.col("ts_lag").alias("prev_ts"),
+        F.col("event_id_lag").alias("prev_id"),
     )
     payload_ok = F.from_json("props", "map<string,string>").isNotNull()
     return checked.agg(

@@ -15,6 +15,7 @@ import pytest
 
 from eventlog_spark.plans import (
     count_nodes,
+    formatted_plan,
     has_node,
     pushed_filters,
     read_schemas,
@@ -168,3 +169,39 @@ def test_kmv_uses_take_ordered(spark, sf_dir):
     df = q(spark, sf_dir, "approx_distinct_kmv")
     assert has_node(df, "TakeOrderedAndProject")
     assert not has_node(df, "GlobalLimit")
+
+
+@pytest.mark.parametrize("name", ["log_integrity_audit", "log_scan_forward"])
+def test_adjacency_windows_are_bucket_partitioned(spark, sf_dir, name):
+    """functions/ordered.py: every Window over the data path is
+    partitioned by the bucket key; the only unpartitioned Window runs on
+    the one-row-per-bucket boundary frame (child of the SinglePartition
+    exchange of an aggregate). Concretely: each Window node's spec must
+    mention _ord_bucket."""
+    df = q(spark, sf_dir, name)
+    plan = formatted_plan(df)
+    windows = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert windows, "expected window nodes in the adjacency plan"
+    for ln in windows:
+        assert "_ord_bucket" in ln, f"unpartitioned data window: {ln[:160]}"
+
+
+def test_check_integrity_has_no_global_window(spark, sf_dir):
+    """O20 audit at scale: the running-max context is bucket-partitioned
+    (one parallel shuffle + boundary pass), never a single-task Window
+    over the raw log."""
+    import shutil
+    import tempfile
+
+    from eventlog_spark.log import EventLog
+
+    path = tempfile.mkdtemp(prefix="plan_audit_")
+    shutil.rmtree(path)
+    log = EventLog.create(spark, path)
+    log.append_multi([(f"e{i}", f'{{"i":{i}}}') for i in range(10)])
+    df = log.check_integrity()
+    plan = formatted_plan(df)
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "_ord_bucket" in ln, f"unpartitioned data window: {ln[:160]}"
+    shutil.rmtree(path, ignore_errors=True)
