@@ -459,37 +459,78 @@ WHERE {_COSINE_SQL} >= {COSINE_THRESHOLD}
     doc="Embedding near-dup pairs by cosine (brute-force; LSH variant in similarity.py).",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force all-pairs cosine, BLAS-vectorized: the corpus is
-    broadcast as one dense normalized float64 matrix; each Arrow batch
-    of rows computes a (batch × corpus) matmul and emits pairs over the
-    threshold. ~50× faster than per-pair JVM expressions (dense linear
-    algebra belongs in BLAS, not codegen'd scalar ops).
+    """Brute-force all-pairs cosine as a TILED block matmul — no driver
+    gather, no broadcast, no memory bound beyond one tile pair per task.
 
-    Scale path: the broadcast side fits to ~10^6×64 (0.5 GB); beyond
-    that, tile BOTH sides into blocks (block-nested-loop over matrix
-    tiles) or switch to ann_lsh_bucketed. Output carries only pair ids,
-    so oracle comparison never sees float formatting; a decision flip
-    needs |cos − τ| ≲ 1e-12, impossible in random data."""
+    Vectors get range blocks on vec_id (~100k rows ≈ 51 MB dense per
+    block); every unordered block pair (i ≤ j) becomes one cogroup:
+    the left leg replicates each vector to pairs (blk, j ≥ blk), the
+    right leg to (i ≤ blk, blk), and ``applyInPandas`` over the
+    cogroup runs one BLAS matmul per tile, emitting only id pairs over
+    the threshold. Each unordered vector pair lands in exactly one tile
+    (range blocks: a < b ⇒ blk(a) ≤ blk(b)), and the va < vb mask
+    handles the diagonal tiles — no dedup pass needed.
+
+    Scale: shuffle volume is N × √P tile replicas for P tile pairs —
+    the replication IS the price of exact all-pairs; bound it by raising
+    the block size, or drop to ann_lsh_bucketed (similarity.py) when
+    approximate recall is acceptable. Dense linear algebra stays in
+    BLAS (50× over codegen'd per-pair scalar ops); ids-only output
+    keeps the oracle comparison away from float formatting (a decision
+    flip needs |cos − τ| ≲ 1e-12, impossible in random data)."""
+    import math
+
     import numpy as np
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    pdf = emb.toPandas()  # corpus-side gather; tile at >10^6 vectors
-    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
-    ids_all = pdf["vec_id"].to_numpy()
-    bc = spark.sparkContext.broadcast((ids_all, M))
+    mn, mx, n = emb.agg(
+        F.min("vec_id"), F.max("vec_id"), F.count(F.lit(1))
+    ).first()
+    if not n:
+        return spark.createDataFrame([], "vec_a long, vec_b long")
+    rows_per_block = 100_000
+    n_blocks = max(1, math.ceil(n / rows_per_block))
+    width = max(1, math.ceil((int(mx) - int(mn) + 1) / n_blocks))
 
-    def find(batches):
-        b_ids, b_m = bc.value
-        for chunk in batches:
-            A = np.stack(chunk["embedding"].to_numpy()).astype(np.float64)
-            A /= np.linalg.norm(A, axis=1, keepdims=True)
-            sims = A @ b_m.T
-            a_ids = chunk["vec_id"].to_numpy()
-            rows, cols = np.where(sims >= COSINE_THRESHOLD)
-            va, vb = a_ids[rows], b_ids[cols]
-            mask = va < vb
-            yield pd.DataFrame({"vec_a": va[mask], "vec_b": vb[mask]})
+    def tagged() -> DataFrame:
+        # independent scan per leg: a self-cogroup over one shared plan
+        # would leave both legs with identical attribute ids, and the
+        # analyzer's dedup then strips the right leg's data columns
+        t = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        return t.withColumn(
+            "blk",
+            F.least(
+                F.lit(n_blocks - 1),
+                F.floor((F.col("vec_id") - F.lit(int(mn))) / F.lit(width)),
+            ).cast("int"),
+        )
 
-    return emb.mapInPandas(find, "vec_a long, vec_b long")
+    left = tagged().withColumn(
+        "kb", F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1)))
+    ).withColumnRenamed("blk", "ka")
+    right = tagged().withColumn(
+        "ka", F.explode(F.sequence(F.lit(0), F.col("blk")))
+    ).withColumnRenamed("blk", "kb")
+
+    def tile(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame(
+                {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64")}
+            )
+        A = np.stack(lpdf["embedding"].to_numpy()).astype(np.float64)
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        Bm = np.stack(rpdf["embedding"].to_numpy()).astype(np.float64)
+        Bm /= np.linalg.norm(Bm, axis=1, keepdims=True)
+        sims = A @ Bm.T
+        rows, cols = np.where(sims >= COSINE_THRESHOLD)
+        va = lpdf["vec_id"].to_numpy()[rows]
+        vb = rpdf["vec_id"].to_numpy()[cols]
+        mask = va < vb
+        return pd.DataFrame({"vec_a": va[mask], "vec_b": vb[mask]})
+
+    return (
+        left.groupBy("ka", "kb")
+        .cogroup(right.groupBy("ka", "kb"))
+        .applyInPandas(tile, "vec_a long, vec_b long")
+    )
