@@ -400,6 +400,13 @@ class EventLog:
         # writes with full parallelism instead.
         df.coalesce(1).write.mode("append").parquet(self.path)
 
+    def _write_out(self, out: DataFrame) -> None:
+        """Bulk-commit seam: persist an already-versioned, checksummed
+        frame. The storage engines differ only here and in ``_read_raw``
+        + the state/lifecycle hooks (the reference's engine seam,
+        eventlog/eventlog.go EventLogger interface)."""
+        out.write.mode("append").parquet(self.path)
+
     def append_dataframe(
         self,
         df: DataFrame,
@@ -435,11 +442,18 @@ class EventLog:
         (stream_id, batch_id)."""
         from .validation import label_valid_expr, payload_valid_expr
 
-        keep = list(order_cols or [])
+        # Order columns that collide with the engine envelope (a source
+        # being migrated may well carry its own `version`/`timestamp`)
+        # ride under internal aliases so they can't shadow the assigned
+        # columns downstream.
+        _reserved = {"version", "version_prev", "timestamp", "checksum"}
+        keep = [c for c in (order_cols or []) if c not in (label_col, payload_col)]
+        safe = {c: (f"_ordcol_{c}" if c in _reserved else c) for c in keep}
+        order_cols = [safe.get(c, c) for c in (order_cols or [])] or None
         src = df.select(
             F.col(label_col).cast("string").alias("label"),
             F.col(payload_col).cast("string").alias("payload"),
-            *[F.col(c) for c in keep if c not in (label_col, payload_col)],
+            *[F.col(c).alias(safe[c]) for c in keep],
         )
         # Shuffle BEFORE computing the (expensive) JSON-validation column:
         # a narrow source (e.g. one parquet file) would otherwise evaluate
@@ -522,7 +536,7 @@ class EventLog:
                     "label",
                     "payload",
                 ).withColumn("checksum", checksum_expr())
-                out.write.mode("append").parquet(self.path)
+                self._write_out(out)
             finally:
                 unpersist()
             # Head is known exactly from the versioning count pass — no

@@ -107,3 +107,83 @@ def test_export_parquet_roundtrip(spark, tmp_path):
     snap = spark.read.parquet(out)
     assert snap.count() == 20
     assert sorted(r.version for r in snap.select("version").collect()) == list(range(1, 21))
+
+
+# --- reference .eventlog binary format (sources/binformat.py) -------------
+
+
+def test_xxh64_known_vectors_and_jvm_parity(spark):
+    """Pure-Python XXH64 equals the published vectors AND Spark's JVM
+    XxHash64 (seed 42) on binary input across all length branches."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from eventlog_spark.sources.binformat import xxh64
+
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    assert xxh64(b"a") == 0xD24EC4F1A98C6E5B
+    random.seed(7)
+    blobs = [bytes(random.randrange(256) for _ in range(n))
+             for n in (0, 1, 4, 7, 8, 16, 31, 32, 33, 64, 1000)]
+    df = spark.createDataFrame([(b,) for b in blobs], "b binary").select(
+        F.xxhash64("b").alias("h")
+    )
+    jvm = [r.h & ((1 << 64) - 1) for r in df.collect()]
+    assert jvm == [xxh64(b, seed=42) for b in blobs]
+
+
+def test_binformat_roundtrip_and_corruption(tmp_path):
+    """Compose a reference-format file (write_file_header.go layout),
+    read it back entry-exact with checksum verification; a flipped byte
+    must be detected (read_event.go:133-140)."""
+    import pytest
+
+    from eventlog_spark.sources import binformat as bf
+
+    path = str(tmp_path / "ref.eventlog")
+    events = [
+        (1700000000, "first", '{"ix":1}'),
+        (1700000001, "", '{"ix":2,"s":"täxt"}'),
+        (1700000002, "third-label_~%", '{"nested":{"a":[1,2,3]}}'),
+    ]
+    bf.write_eventlog_file(path, {"name": "mylog", "k": "v"}, events)
+
+    meta, entries = bf.read_eventlog_file(path)
+    assert meta == {"name": "mylog", "k": "v"}
+    assert [(e.timestamp, e.label, e.payload) for e in entries] == events
+    # offset-version chain: each entry's version_prev is the previous offset
+    assert entries[0].version_prev == 0
+    assert entries[1].version_prev == entries[0].version
+    assert entries[2].version_prev == entries[1].version
+
+    blob = bytearray(open(path, "rb").read())
+    blob[-12] ^= 0xFF  # corrupt inside the last payload
+    with pytest.raises(bf.BinFormatError, match="checksum mismatch"):
+        bf.read_eventlog_bytes(bytes(blob))
+
+
+def test_binformat_distributed_ingest_and_migration(spark, tmp_path):
+    """One file = one task via binaryFile + mapInPandas; migrating into
+    the Spark-native log re-versions densely and passes the audit."""
+    from eventlog_spark.sources import binformat as bf
+
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"shard{i}.eventlog")
+        bf.write_eventlog_file(
+            p, {"shard": str(i)},
+            [(1700000000 + j, f"s{i}e{j}", f'{{"i":{i},"j":{j}}}') for j in range(5)],
+        )
+        paths.append(p)
+
+    df = bf.eventlog_files_to_dataframe(spark, paths)
+    rows = df.collect()
+    assert len(rows) == 15
+    assert {r.label for r in rows} == {f"s{i}e{j}" for i in range(3) for j in range(5)}
+
+    log = EventLog.create(spark, str(tmp_path / "migrated"))
+    log.append_dataframe(df, order_cols=["source_file", "version"])
+    assert log.version() == 15
+    audit = log.check_integrity().collect()[0]
+    assert audit.density_violation == 0 and audit.payload_violations == 0
