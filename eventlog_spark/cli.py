@@ -15,7 +15,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import tempfile
 
 
 def _parse_metadata(pairs: list[str]) -> dict[str, str]:
@@ -75,11 +74,9 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "run":
         if args.inmem:
-            path = tempfile.mkdtemp(prefix="eventlog_inmem_")
-            import shutil
+            from .inmem import InMemEventLog
 
-            shutil.rmtree(path)
-            log = EventLog.create(spark, path, metadata=_parse_metadata(args.m))
+            log = InMemEventLog.create(spark, metadata=_parse_metadata(args.m))
         elif args.path:
             log = EventLog.open(spark, args.path)
         else:

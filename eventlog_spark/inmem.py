@@ -1,0 +1,112 @@
+"""In-memory storage engine — the reference's second engine, Spark-native.
+
+The reference runs its whole behavioral contract over two engines behind
+one interface (``eventlog/inmem/inmem.go`` vs ``eventlog/file/file.go``;
+harness ``eventlog/eventlog_test.go:424-461``). This is the inmem twin:
+identical contract and commit logic (it reuses every EventLog code path
+above the storage seam), state held in driver memory, no persistence —
+rows become DataFrames via ``createDataFrame`` on read.
+
+Checksums are bit-identical to the parquet engine's: the JVM computes
+``xxhash64(timestamp, label, payload, version_prev)`` by CHAINING the
+per-field XXH64 (each field's hash seeds the next, seed 42 at the
+start); ``_spark_checksum`` reproduces that chain with the pure-Python
+XXH64 from sources/binformat.py, so ``check_integrity`` — which recomputes
+via the JVM expression — verifies inmem logs too (parity asserted in
+tests/test_sources.py::test_xxh64_known_vectors_and_jvm_parity and the
+dual-engine contract suite).
+
+Like the reference's inmem engine, capacity is bounded by one machine's
+memory — it exists for ephemeral serving (`cli run --inmem`) and as the
+contract-suite second config, not for 100 TB data paths.
+"""
+
+from __future__ import annotations
+
+import struct
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .log import EVENT_SCHEMA, EventLog, _Hub
+from .sources.binformat import xxh64
+from .validation import DEFAULT_MAX_PAYLOAD_LEN
+
+
+def _spark_checksum(timestamp: int, label: str, payload: str, version_prev: int) -> int:
+    """Chained XXH64 equal to F.xxhash64(timestamp, label, payload,
+    version_prev) — long fields hash their 8-byte LE form, strings their
+    UTF-8 bytes, each result seeding the next field's hash (seed 42)."""
+    h = 42
+    h = xxh64(struct.pack("<q", timestamp), h)
+    h = xxh64(label.encode("utf-8"), h)
+    h = xxh64(payload.encode("utf-8"), h)
+    h = xxh64(struct.pack("<q", version_prev), h)
+    return h - (1 << 64) if h >= (1 << 63) else h  # signed long column
+
+
+class InMemEventLog(EventLog):
+    """Same contract as EventLog, storage = a driver-side row list."""
+
+    def __init__(self, spark: SparkSession, metadata: dict[str, str] | None = None):
+        # deliberately NOT calling super().__init__: no path, no files
+        self.spark = spark
+        self.path = None
+        self._lock = threading.RLock()
+        self._hub = _Hub()
+        self._max_payload_len = DEFAULT_MAX_PAYLOAD_LEN
+        self._metadata = dict(metadata or {})
+        self._latest = 0
+        self._initial = 0
+        self._last_ts = 0
+        self._stream_commits: dict[str, int] = {}
+        self._rows: list[tuple] = []
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str | None = None,
+        metadata: dict[str, str] | None = None,
+    ) -> "InMemEventLog":
+        """O22 for the ephemeral engine; ``path`` accepted (ignored) so
+        both engines share a creation signature in harnesses."""
+        return cls(spark, metadata=metadata)
+
+    # -- storage seam overrides ---------------------------------------------
+
+    def _write_fragment(self, rows: list[tuple[int, int, int, str, str]]) -> None:
+        self._rows.extend(
+            (v, vp, ts, label, payload, _spark_checksum(ts, label, payload, vp))
+            for (v, vp, ts, label, payload) in rows
+        )
+
+    def _write_out(self, out: DataFrame) -> None:
+        # an inmem log is driver-bound by definition (inmem.go holds a
+        # slice); collect() here is the engine's storage, not a data path
+        self._rows.extend(tuple(r) for r in out.collect())
+
+    def _read_raw(self) -> DataFrame | None:
+        if not self._rows:
+            return None
+        return self.spark.createDataFrame(self._rows, EVENT_SCHEMA)
+
+    # -- lifecycle/state: nothing persists ------------------------------------
+
+    def _data_files(self) -> list[str]:
+        return []
+
+    def _load_meta(self) -> None:
+        pass
+
+    def _load_state(self) -> None:
+        pass
+
+    def _write_state(self) -> None:
+        pass
+
+    def _truncate_orphans(self) -> None:
+        pass
+
+    def compact(self, target_partitions: int | None = None) -> None:
+        pass

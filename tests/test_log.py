@@ -20,8 +20,15 @@ from eventlog_spark.log import EventLog
 from eventlog_spark.validation import minify_json
 
 
-@pytest.fixture()
-def log(spark, tmp_path):
+@pytest.fixture(params=["parquet", "inmem"])
+def log(spark, tmp_path, request):
+    """Dual-engine contract harness: every test taking this fixture runs
+    against BOTH storage engines behind the one EventLog contract — the
+    reference's inmem+file matrix (eventlog/eventlog_test.go:424-461)."""
+    if request.param == "inmem":
+        from eventlog_spark.inmem import InMemEventLog
+
+        return InMemEventLog.create(spark, metadata={"name": "testlog"})
     return EventLog.create(spark, str(tmp_path / "log"), metadata={"name": "testlog"})
 
 
