@@ -10,11 +10,17 @@ Routes and response shapes are byte-compatible with the reference:
 * ``GET  /version``               ``{"version":"<hex>"}``
 * ``GET  /version/initial``       ``{"version-initial":"<hex>"}``
 * ``GET  /meta``                  metadata JSON object
-* ``GET  /subscription``          head-version push. DIVERGENCE: the
-  reference uses a websocket (serve.go:381-463); the stdlib has no ws
-  server, so this facade long-polls — ``?known=<hex>&timeout=<sec>``
-  blocks until the head advances past ``known`` (or timeout → 204) and
-  returns the hex head. Latest-wins semantics are identical.
+* ``GET  /subscription``          head-version push, two transports:
+  - WebSocket (parity with serve.go:381-463): a request carrying
+    ``Upgrade: websocket`` is upgraded per RFC 6455 (handshake +
+    framing implemented here on the stdlib server — no dependency) and
+    receives the current head immediately, then every new head as a
+    text frame of lowercase hex. Latest-wins: heads conflate through
+    the hub's 1-slot queue exactly like the reference's non-blocking
+    broadcast (broadcast.go:24-27). Client twin: wsclient.py.
+  - Long-poll fallback: ``?known=<hex>&timeout=<sec>`` blocks until
+    the head advances past ``known`` (or timeout → 204) and returns
+    the hex head.
 
 Error strings mirror internal/internal.go (ErrInvalidPayload,
 ErrMismatchingVersions, ErrInvalidVersion, ErrMalformedVersion,
@@ -27,7 +33,11 @@ client compatibility (SURVEY §7 phase 7).
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import json
+import select
+import struct
 import threading
 import time
 from datetime import datetime, timezone
@@ -74,8 +84,12 @@ class EventLogHTTPServer(ThreadingHTTPServer):
         self.max_read_batch_size = max_read_batch_size
 
 
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"  # RFC 6455 §1.3
+
+
 class _Handler(BaseHTTPRequestHandler):
     server: EventLogHTTPServer
+    protocol_version = "HTTP/1.1"  # required for the websocket upgrade
 
     def log_message(self, *a):  # silence default stderr access log
         pass
@@ -153,7 +167,10 @@ class _Handler(BaseHTTPRequestHandler):
         elif path == "/meta":
             self._send(200, json.dumps(log.metadata()))
         elif path == "/subscription":
-            self._subscription(q)
+            if "websocket" in self.headers.get("Upgrade", "").lower():
+                self._subscription_ws()
+            else:
+                self._subscription(q)
         elif path.startswith("/log/"):
             self._scan(path[len("/log/") :], q)
         else:
@@ -200,6 +217,68 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             )
         self._send(200, "[" + ",".join(parts) + "]")
+
+    # -- websocket subscription (serve.go:381-463 parity) -------------------
+
+    def _ws_send_text(self, text: str) -> None:
+        data = text.encode("utf-8")
+        # server frames are unmasked; heads are tiny → 7-bit length
+        self.connection.sendall(struct.pack("!BB", 0x81, len(data)) + data)
+
+    def _ws_client_closed(self) -> bool:
+        """Non-blocking peek: consume any client frame; True on close
+        frame or EOF. (Clients only ever send close/ping here.)"""
+        r, _, _ = select.select([self.connection], [], [], 0)
+        if not r:
+            return False
+        hdr = self.connection.recv(2)
+        if len(hdr) < 2:
+            return True
+        opcode = hdr[0] & 0x0F
+        length = hdr[1] & 0x7F
+        masked = hdr[1] & 0x80
+        if length == 126:
+            length = struct.unpack("!H", self.connection.recv(2))[0]
+        elif length == 127:
+            length = struct.unpack("!Q", self.connection.recv(8))[0]
+        mask = self.connection.recv(4) if masked else b""
+        payload = self.connection.recv(length) if length else b""
+        if opcode == 0x8:  # close
+            return True
+        if opcode == 0x9:  # ping → pong (echo payload, unmasked)
+            if masked and payload:
+                payload = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+            self.connection.sendall(struct.pack("!BB", 0x8A, len(payload)) + payload)
+        return False
+
+    def _subscription_ws(self):
+        key = self.headers.get("Sec-WebSocket-Key", "")
+        accept = base64.b64encode(
+            hashlib.sha1((key + _WS_GUID).encode()).digest()
+        ).decode()
+        self.send_response(101, "Switching Protocols")
+        self.send_header("Upgrade", "websocket")
+        self.send_header("Connection", "Upgrade")
+        self.send_header("Sec-WebSocket-Accept", accept)
+        self.end_headers()
+        self.close_connection = True
+
+        log = self.server.log
+        queue_, close = log.subscribe()
+        try:
+            # reference behavior: the new subscriber immediately learns
+            # the current head, then every push (latest-wins conflation)
+            self._ws_send_text(format(log.version(), "x"))
+            while not self._ws_client_closed():
+                try:
+                    head = queue_.get(timeout=0.25)
+                except Exception:
+                    continue
+                self._ws_send_text(format(head, "x"))
+        except (BrokenPipeError, ConnectionResetError, OSError):
+            pass
+        finally:
+            close()
 
     def _subscription(self, q):
         log = self.server.log

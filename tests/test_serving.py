@@ -138,3 +138,51 @@ def test_batch_clamping():
     assert adjust_batch_size(5000, 1000) == 1000
     assert adjust_batch_size(10, 1000) == 10
     assert adjust_batch_size(7, 0) == 7
+
+
+def test_websocket_subscription_push_and_catchup(server):
+    """O13 over a REAL websocket (serve.go:381-463 parity): connect,
+    receive the current head, append, receive the pushed head, then
+    catch up over the scan endpoint from the known version."""
+    import urllib.parse
+
+    from eventlog_spark.wsclient import WSSubscription
+
+    base, log = server
+    r0 = log.append("seed", '{"n":0}')
+    host, port = urllib.parse.urlparse(base).netloc.split(":")
+
+    with WSSubscription(host, int(port), timeout=30) as ws:
+        assert ws.recv_version() == r0.version  # head on connect
+
+        r1 = log.append_multi([("a", '{"n":1}'), ("b", '{"n":2}')])
+        head = ws.recv_version()
+        assert head == r1.version  # pushed after append (conflated = latest)
+
+    # catch-up scan from the previously known head, skip_first resume
+    status, body = _get(f"{base}/log/{format(r0.version, 'x')}?skip_first")
+    assert status == 200
+    rows = json.loads(body)
+    assert [int(e["version"], 16) for e in rows] == [r0.version + 1, r1.version]
+    assert rows[-1]["payload"] == {"n": 2}
+
+
+def test_websocket_latest_wins_conflation(server):
+    """A slow subscriber sees the NEWEST head, not every intermediate
+    one — the reference's drop-if-busy broadcast semantics."""
+    from eventlog_spark.wsclient import WSSubscription
+
+    base, log = server
+    import urllib.parse
+
+    host, port = urllib.parse.urlparse(base).netloc.split(":")
+    with WSSubscription(host, int(port), timeout=30) as ws:
+        ws.recv_version()
+        for i in range(5):
+            log.append(f"e{i}", f'{{"i":{i}}}')
+        # the hub's 1-slot queue conflates; the last received == final head
+        seen = [ws.recv_version()]
+        while seen[-1] != log.version():
+            seen.append(ws.recv_version())
+        assert seen[-1] == log.version()
+        assert len(seen) <= 5
