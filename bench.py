@@ -49,18 +49,21 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "query_suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_of(SF_DIR),
-                "n_queries": len(timings),
-            }
-        )
-    )
+    doc = {
+        "metric": "query_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_of(SF_DIR),
+        "n_queries": len(timings),
+    }
+    line = json.dumps(doc)
+    # full per-query record also lands on disk — the driver's stdout
+    # `tail` capture truncated 20 queries out of BENCH_r01
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_local.json"), "w") as f:
+        f.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":
