@@ -59,6 +59,112 @@ def eventlog_engine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return log.scan().select("version", "label", "payload")
 
 
+@register(
+    "eventlog_inmem_roundtrip",
+    oracle="""
+SELECT ROW_NUMBER() OVER (ORDER BY event_id) AS version,
+       event_type AS label,
+       REGEXP_REPLACE(props, ': ', ':') AS payload
+FROM (SELECT * FROM events ORDER BY event_id LIMIT 5000)
+""",
+    doc="Second storage engine end-to-end: bulk-append into the IN-MEMORY "
+    "engine (same contract, driver-held rows), scan back.",
+)
+def eventlog_inmem_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives inmem.py through the same commit logic as the parquet
+    engine (validation, dense versions, chained-XXH64 checksums) —
+    the reference's dual-engine matrix (eventlog_test.go:424-461) as a
+    driver-checked query. 5000 rows keeps the driver-held storage cheap
+    at bench scale; the contract is identical at any row count."""
+    from .inmem import InMemEventLog
+
+    ev = load_table(spark, sf_dir, "events")
+    src = (
+        ev.orderBy("event_id")
+        .limit(5000)
+        .select(
+            F.col("event_type").alias("label"),
+            F.regexp_replace("props", ": ", ":").alias("payload"),
+            "event_id",
+        )
+    )
+    log = InMemEventLog.create(spark)
+    log.append_dataframe(src, on_invalid="error", order_cols=["event_id"])
+    return log.scan().select("version", "label", "payload")
+
+
+# reference .eventlog composition constants (sources/binformat.py):
+# entry overhead = 8 checksum + 8 ts + 2 label_len + 4 payload_len + 8 prev
+_BIN_ENTRY_OVERHEAD = 30
+# file header = 4-byte proto + metadata pseudo-entry for {"src": "events"}
+_BIN_HEADER_LEN = 4 + _BIN_ENTRY_OVERHEAD + 17
+_BIN_N = 500
+
+
+@register(
+    "eventlog_binary_roundtrip",
+    oracle=f"""
+WITH e AS (
+    SELECT event_id,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+           event_type AS label,
+           REGEXP_REPLACE(props, ': ', ':') AS payload
+    FROM events ORDER BY event_id LIMIT {_BIN_N}
+), sized AS (
+    SELECT *,
+           {_BIN_ENTRY_OVERHEAD} + octet_length(encode(label)) + octet_length(encode(payload)) AS elen
+    FROM e
+), off AS (
+    SELECT *,
+           {_BIN_HEADER_LEN} + COALESCE(SUM(elen) OVER (
+               ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS version
+    FROM sized
+)
+SELECT CAST(version AS BIGINT) AS version,
+       CAST(COALESCE(LAG(version) OVER (ORDER BY event_id), 0) AS BIGINT) AS version_prev,
+       ts_s AS timestamp, label, payload
+FROM off
+""",
+    doc="Reference .eventlog binary codec end-to-end: compose a real "
+    "proto-v5 file from events, re-ingest it (XXH64-verified), and let "
+    "the oracle recompute the offset-version chain arithmetically.",
+)
+def eventlog_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes an actual reference-format file (write_file_header.go /
+    write_event.go layout) from the first 500 events, then parses it
+    back through the distributed ingest path (binaryFile + mapInPandas,
+    checksums verified). The oracle proves the byte layout: it derives
+    each entry's offset-version purely from octet lengths
+    (30-byte overhead + label + payload, header 51) — any drift in the
+    binary layout breaks the hash."""
+    import os as _os
+    import tempfile
+
+    from .sources.binformat import eventlog_files_to_dataframe, write_eventlog_file
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = (
+        ev.orderBy("event_id")
+        .limit(_BIN_N)
+        .select(
+            F.col("ts").cast("long").alias("ts_s"),
+            F.col("event_type").alias("label"),
+            F.regexp_replace("props", ": ", ":").alias("payload"),
+        )
+        .collect()
+    )
+    path = _os.path.join(
+        tempfile.mkdtemp(prefix="eventlog_bin_rt_"), "events.eventlog"
+    )
+    write_eventlog_file(
+        path, {"src": "events"}, [(r.ts_s, r.label, r.payload) for r in rows]
+    )
+    return eventlog_files_to_dataframe(spark, path).select(
+        "version", "version_prev", "timestamp", "label", "payload"
+    )
+
+
 def _scan_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with derived prev/next chain — the general-table scan
     operator (works for any unique ordering column, gaps allowed; the
