@@ -210,3 +210,94 @@ def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             (est / F.col("exact_distinct").cast("double") - F.lit(1.0)).alias("rel_err"),
         )
     )
+
+
+# per-language keep rates (percent) for the stratified sample
+STRATA_PCT = {"en": 25, "de": 50, "fr": 75, "es": 60, "zh": 40}
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+SELECT lang,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+FROM (
+    SELECT lang, n_chars,
+           {md5_int_sql("CAST(doc_id AS VARCHAR)")} % 100 <
+           CASE lang WHEN 'en' THEN 25 WHEN 'de' THEN 50 WHEN 'fr' THEN 75
+                     WHEN 'es' THEN 60 WHEN 'zh' THEN 40 ELSE 100 END AS kept
+    FROM documents
+)
+GROUP BY lang
+""",
+    doc="Stratified deterministic sampling: per-language keep rates via "
+    "md5-hash thresholding; per-stratum kept counts + char mass.",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/language mixing for a training corpus: each stratum keeps
+    a target fraction, selected by hashing the stable doc_id (not RNG) —
+    the sample is reproducible across engines, runs, and cluster
+    layouts, and composes with incremental ingestion (a re-crawled doc
+    keeps its fate). One narrow projection + one partial+final agg; the
+    kept-chars sum proves both engines selected the SAME rows, not just
+    the same counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(100)
+    for lang, pct in STRATA_PCT.items():
+        rate = F.when(F.col("lang") == lang, pct).otherwise(rate)
+    kept = (md5_int_col(F.col("doc_id").cast("string")) % 100) < rate
+    return (
+        docs.select("lang", "n_chars", kept.alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+    )
+
+
+HIST_WIDTH = 64  # chars per histogram bucket
+HIST_MAX_BUCKET = 9
+
+
+@register(
+    "corpus_length_histogram",
+    oracle=f"""
+SELECT LEAST({HIST_MAX_BUCKET}, n_chars // {HIST_WIDTH}) AS bucket,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1
+""",
+    doc="Corpus length histogram: fixed-width doc-length buckets with "
+    "per-bucket doc/source counts and char mass.",
+)
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The length-distribution report a curation run starts from (what
+    to truncate, what to drop, token budget per bucket). Bucket id is
+    integer arithmetic (floor-div, capped) so both engines bin
+    identically; the whole query is one partial+final aggregate keyed
+    by ≤ 10 buckets — the shuffle carries ~10 rows per task at any
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.least(
+        F.lit(HIST_MAX_BUCKET), F.floor(F.col("n_chars") / HIST_WIDTH)
+    ).cast("long")
+    return (
+        docs.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )

@@ -287,3 +287,41 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.vec_id").alias("vec_b"),
         F.col("a.bucket").alias("bucket"),
     )
+
+
+RANGE_RADIUS = 0.30  # cosine radius for range search
+N_RANGE_PROBES = 8
+
+
+@register(
+    "ann_range_search",
+    oracle=f"""
+SELECT a.vec_id AS probe_id, b.vec_id AS vec_id
+FROM embeddings a JOIN embeddings b
+  ON a.vec_id < {N_RANGE_PROBES} AND b.vec_id <> a.vec_id
+WHERE list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+      >= {RANGE_RADIUS}
+""",
+    doc="Range (radius) similarity search: all vectors within cosine "
+    "radius of each probe vector (ids-only output).",
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixed-radius companion to top-k: retrieval filters, near-dup
+    audits, and cluster seeding ask 'everything within r', not 'the
+    best k'. Probe set (8 rows) broadcasts; one corpus scan evaluates
+    the codegen'd cosine against every probe — cost O(n·q), the exact
+    baseline the LSH/IVF tiers are measured against (for big q, route
+    probes through ann_lsh_bucketed's buckets instead). Ids-only output
+    keeps float formatting out of the oracle hash."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probes = emb.where(F.col("vec_id") < N_RANGE_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
+    )
+    cos = cosine_expr(F.col("probe_emb"), F.col("embedding"))
+    return (
+        emb.crossJoin(F.broadcast(probes))
+        .where((F.col("vec_id") != F.col("probe_id")) & (cos >= RANGE_RADIUS))
+        .select("probe_id", "vec_id")
+    )

@@ -189,3 +189,107 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5("text"), 1, 16).alias("fp_hex"),
         md5_int_col(F.col("text")).alias("fp_int"),
     )
+
+
+DECON_N = 4  # n-gram size for contamination matching
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+WITH g AS (
+    SELECT doc_id, source, {md5_int_sql('sh')} AS shh FROM (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, len(w) - {DECON_N - 2}),
+                      i -> array_to_string(list_slice(w, i, i + {DECON_N - 1}), ' '))) AS sh
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
+        WHERE len(w) >= {DECON_N}
+    )
+),
+eg AS (SELECT DISTINCT shh FROM g WHERE source = 'src0'),
+tg AS (SELECT DISTINCT doc_id, source, shh FROM g WHERE source <> 'src0')
+SELECT tg.doc_id, tg.source, COUNT(*) AS n_shared
+FROM tg JOIN eg USING (shh)
+GROUP BY tg.doc_id, tg.source
+""",
+    doc="Benchmark decontamination: training docs sharing any word 4-gram "
+    "with the eval set (source src0), with overlap counts.",
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval-overlap check every training pipeline runs before
+    shipping a corpus (the 13-gram rule, scaled to this corpus's short
+    docs): hash each n-gram to a 60-bit int, build the eval set's
+    distinct-gram index, and semi-join the training grams against it.
+    The index is BROADCAST — benchmark suites are tiny next to a 100 TB
+    corpus — so the only shuffle is the per-doc overlap count, carrying
+    one row per (doc, matched gram). Never an O(docs × eval) comparison;
+    cost ∝ matching grams."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.withColumn("w", F.split("text", " ")).where(F.size("w") >= DECON_N)
+    arr = F.transform(
+        F.sequence(F.lit(1), F.size("w") - (DECON_N - 1)),
+        lambda i: F.concat_ws(" ", F.slice("w", i, DECON_N)),
+    )
+    grams = w.select(
+        "doc_id", "source", F.explode(arr).alias("sh")
+    ).select("doc_id", "source", md5_int_col(F.col("sh")).alias("shh"))
+    eval_idx = (
+        grams.where(F.col("source") == "src0").select("shh").distinct()
+    )
+    train = grams.where(F.col("source") != "src0").distinct()
+    return (
+        train.join(F.broadcast(eval_idx), "shh")
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+@register(
+    "text_repetition_score",
+    oracle="""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_distinct) AS BIGINT) AS distinct_tris,
+       CAST(SUM(n_total) AS BIGINT) AS total_tris,
+       CAST(SUM(CASE WHEN 100 * n_distinct < 55 * n_total THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_repetitive
+FROM (
+    SELECT source,
+           len(list_distinct(list_transform(range(1, len(w) - 1),
+               i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS n_distinct,
+           len(w) - 2 AS n_total
+    FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+    WHERE len(w) >= 3
+)
+GROUP BY source
+""",
+    doc="Repetition quality signal per source: distinct-vs-total trigram "
+    "mass and the count of repetitive docs (distinct/total < 0.55).",
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/RefinedWeb repeated-n-gram filter, aggregated per
+    source: a doc whose distinct-trigram fraction is low is boilerplate
+    or looping text. Per-doc work is one codegen'd projection
+    (transform + array_distinct — no explode, no shuffle); the
+    repetitive flag uses integer cross-multiplication (100·d < 55·t) so
+    no float threshold can diverge between engines. The one shuffle is
+    the per-source partial+final aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.withColumn("w", F.split("text", " ")).where(F.size("w") >= 3)
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 2),
+        lambda i: F.concat_ws(" ", F.slice("w", i, 3)),
+    )
+    per_doc = w.select(
+        "source",
+        F.size(F.array_distinct(tri)).alias("n_distinct"),
+        (F.size("w") - 2).alias("n_total"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_distinct").cast("long").alias("distinct_tris"),
+        F.sum("n_total").cast("long").alias("total_tris"),
+        F.sum(
+            F.when(100 * F.col("n_distinct") < 55 * F.col("n_total"), 1).otherwise(0)
+        ).cast("long").alias("n_repetitive"),
+    )
