@@ -1,0 +1,506 @@
+"""Corpus-preparation operators a large-scale training pipeline runs
+between raw crawl and tokenized shards: vocabulary statistics, TF-IDF /
+BM25 relevance, token-budget packing, percentile-based quality gates,
+and embedding post-processing (centroid assignment, int8 quantization).
+
+All pure JVM-side column expressions — no Python in any data path.
+
+Cross-engine determinism rules (the driver hash-compares against
+DuckDB):
+
+* Every float is derived from integers by the SAME expression tree on
+  both sides (ln / division of integer-valued doubles is bit-exact).
+* Distributed float SUMs are avoided: centroid accumulation uses
+  fixed-point BIGINT sums (order-free); per-term BM25 contributions are
+  pivoted to singleton aggregates before a fixed-order addition.
+* Per-vector folds (dot products, checksums) are sequential
+  left-to-right in both engines (F.aggregate ≍ list_reduce).
+* No ROUND on doubles (half-up vs half-even); FLOOR(x + 0.5) instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..queries import register
+from ..tables import load_table
+
+# -- vocabulary ---------------------------------------------------------------
+
+VOCAB_K = 100
+
+
+@register(
+    "vocab_topk",
+    oracle=f"""
+SELECT word, n_occurrences, n_docs, rk FROM (
+    SELECT word,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) AS rk
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+)
+WHERE rk <= {VOCAB_K}
+""",
+    doc=f"Corpus vocabulary: top-{VOCAB_K} words by occurrence with doc frequency.",
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training precursor (the count step of BPE/WordPiece):
+    global word counts, then the top-K slice. The count is one
+    partial+final aggregate; the top-K is `orderBy().limit(K)` which
+    Spark compiles to TakeOrderedAndProject — every task keeps only its
+    local K rows, so there is NO single-task global sort even with a
+    10^8-term vocabulary. The rank window then runs over K rows only."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+    topk = counts.orderBy(F.desc("n_occurrences"), "word").limit(VOCAB_K)
+    w = Window.orderBy(F.desc("n_occurrences"), "word")  # K rows post-limit
+    return topk.withColumn("rk", F.row_number().over(w))
+
+
+# -- TF-IDF -------------------------------------------------------------------
+
+TFIDF_TOP = 3
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, word, tf, score, rk FROM (
+    SELECT tf.doc_id, tf.word, CAST(tf.tf AS BIGINT) AS tf,
+           CAST(tf.tf AS DOUBLE) * ((n.n_docs + 1.0) / (dfreq.df + 1.0)) AS score,
+           ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf AS DOUBLE)
+                        * ((n.n_docs + 1.0) / (dfreq.df + 1.0)) DESC,
+                        tf.word
+           ) AS rk
+    FROM tf JOIN dfreq ON tf.word = dfreq.word CROSS JOIN n
+)
+WHERE rk <= {TFIDF_TOP}
+""",
+    doc=f"Top-{TFIDF_TOP} TF-IDF terms per document (smoothed idf).",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction / topic signal per document. Term frequency
+    and document frequency are both partial-aggregated before their
+    word-keyed join (the joined sides carry one row per (doc,word) and
+    per word — never the raw token stream). The corpus size joins in as
+    a broadcast scalar. The idf is the RATIONAL form (N+1)/(df+1) —
+    transcendental-free on purpose: +,−,×,÷ are IEEE-correctly-rounded
+    and therefore bit-equal across engines, while ln differs in the
+    last ULP between the JVM (fdlibm) and DuckDB (glibc), which flips
+    value-hashes. The ratio is monotone in the classic ln·idf for fixed
+    tf, so the per-document ranking criterion is the familiar one."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf").cast("double") * (
+        (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "word")
+    return (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TFIDF_TOP)
+        .select("doc_id", "word", "tf", "score", "rk")
+    )
+
+
+# -- BM25 ---------------------------------------------------------------------
+
+BM25_TERMS = ("spark", "join", "window")
+BM25_K1 = 1.5
+BM25_B = 0.75  # 1 - b = 0.25, kept literal below for fixed float ops
+BM25_TOP = 20
+
+
+def _bm25_contrib_sql(term: str) -> str:
+    # singleton per (doc, term): MAX over ≤1 row is order-free
+    return (
+        f"COALESCE(MAX(CASE WHEN word = '{term}' THEN idf * (CAST(tf AS DOUBLE) * 2.5)"
+        f" / (CAST(tf AS DOUBLE) + 1.5 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))"
+        f" END), 0.0)"
+    )
+
+
+@register(
+    "bm25_search",
+    oracle=f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+dl AS (SELECT doc_id, len(w) AS dl FROM d),
+stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+tf AS (
+    SELECT doc_id, word, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest(w) AS word FROM d)
+    WHERE word IN {BM25_TERMS}
+    GROUP BY doc_id, word
+),
+idf AS (
+    SELECT word, (n_docs - df + 0.5) / (df + 0.5) AS idf
+    FROM (SELECT word, COUNT(*) AS df FROM tf GROUP BY word) CROSS JOIN stats
+),
+scored AS (
+    SELECT tf.doc_id,
+           {_bm25_contrib_sql("spark")} AS c_spark,
+           {_bm25_contrib_sql("join")} AS c_join,
+           {_bm25_contrib_sql("window")} AS c_window
+    FROM tf JOIN idf USING (word) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, score, rk FROM (
+    SELECT doc_id, c_spark + c_join + c_window AS score,
+           ROW_NUMBER() OVER (ORDER BY c_spark + c_join + c_window DESC, doc_id) AS rk
+    FROM scored
+)
+WHERE rk <= {BM25_TOP}
+""",
+    doc=f"BM25 relevance: top-{BM25_TOP} documents for the query {BM25_TERMS}.",
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text relevance ranking (Okapi BM25 tf saturation, k1=1.5
+    b=0.75) for a fixed query — the retrieval scorer behind corpus
+    search and RAG-style training-data selection. Only rows whose word
+    is IN the query survive the explode (the filter sits under the
+    aggregate, so the shuffle carries ≤ |terms| rows per doc). Per-term
+    contributions are pivoted to singleton MAX aggregates and added in
+    FIXED order — a float SUM over a group would be partition-order-
+    dependent and could diverge between engines. The idf keeps the
+    Robertson–Spärck-Jones RATIO without the ln wrapper (ln is the one
+    op that differs in the last ULP between JVM fdlibm and DuckDB
+    glibc); ÷ and + are correctly rounded, so scores are bit-equal.
+    Top-K via TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.split("text", " ").alias("w"))
+    dl = d.select("doc_id", F.size("w").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        d.select("doc_id", F.explode("w").alias("word"))
+        .where(F.col("word").isin(*BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "word",
+            (
+                (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
+        )
+    )
+    contrib = F.col("idf") * (F.col("tf").cast("double") * F.lit(2.5)) / (
+        F.col("tf").cast("double")
+        + F.lit(1.5) * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / F.col("avgdl")))
+    )
+
+    def pivot(term: str) -> Column:
+        return F.coalesce(
+            F.max(F.when(F.col("word") == term, contrib)), F.lit(0.0)
+        ).alias(f"c_{term}")
+
+    scored = (
+        tf.join(F.broadcast(idf), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .groupBy("doc_id")
+        .agg(*[pivot(t) for t in BM25_TERMS])
+    )
+    score = F.col("c_spark") + F.col("c_join") + F.col("c_window")
+    top = scored.select("doc_id", score.alias("score")).orderBy(
+        F.desc("score"), "doc_id"
+    ).limit(BM25_TOP)
+    w = Window.orderBy(F.desc("score"), "doc_id")  # BM25_TOP rows post-limit
+    return top.withColumn("rk", F.row_number().over(w))
+
+
+# -- token-budget packing -----------------------------------------------------
+
+PACK_BUDGET = 2048
+PACK_BUCKETS = 8
+
+
+@register(
+    "pack_token_budget",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id,
+           doc_id % {PACK_BUCKETS} AS bucket,
+           len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, bucket, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+    FROM t
+)
+SELECT bucket,
+       CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM c
+GROUP BY bucket, cum_before // {PACK_BUDGET}
+""",
+    doc=f"Token-budget sequence packing: {PACK_BUCKETS} shards, "
+    f"{PACK_BUDGET}-token packs, per-pack manifests.",
+)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training shards: documents are first
+    sharded (doc_id mod B — in production a hash), then packed
+    greedily in doc_id order inside each shard: a doc joins pack
+    floor(tokens_before / budget). The cumulative window is PARTITIONED
+    by shard, so B-way parallel with no global sort — the scale-correct
+    shape (a single global packing order would serialize the corpus
+    through one task, and no training pipeline needs it: shards are
+    independent by design). All arithmetic is integer-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_BUCKETS).alias("bucket"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return (
+        c.groupBy("bucket", F.expr(f"cum_before div {PACK_BUDGET}").alias("pack_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("pack_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+    )
+
+
+# -- relative (percentile) quality gate --------------------------------------
+
+DROP_FRACTION = 0.4
+
+
+@register(
+    "quality_relative_filter",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, lang, len(string_split(text, ' ')) AS n_words FROM documents
+),
+r AS (
+    SELECT doc_id, lang, n_words,
+           PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_words, doc_id) AS pr
+    FROM t
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN pr >= {DROP_FRACTION} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(MIN(CASE WHEN pr >= {DROP_FRACTION} THEN n_words END) AS BIGINT) AS min_kept_words,
+       CAST(MAX(CASE WHEN pr < {DROP_FRACTION} THEN n_words END) AS BIGINT) AS max_dropped_words
+FROM r
+GROUP BY lang
+""",
+    doc="Relative quality gate: drop the bottom 40% of docs by word "
+    "count within each language; per-language keep/drop accounting.",
+)
+def quality_relative_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-based (relative) filtering — used when absolute
+    thresholds don't transfer across languages/sources: each language
+    keeps its own top 60% by length. percent_rank is integer-derived
+    ((rank-1)/(n-1)) so the cut is bit-deterministic; the doc_id
+    tiebreak makes ranks unique under equal lengths. The window is
+    partitioned by language — parallel across partitions; within one
+    language the rank is a sort, which at 100 TB would use the same
+    range-partitioned two-pass rank as functions/ordered.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", F.size(F.split("text", " ")).alias("n_words"))
+    w = Window.partitionBy("lang").orderBy("n_words", "doc_id")
+    r = t.withColumn("pr", F.percent_rank().over(w))
+    kept = F.col("pr") >= DROP_FRACTION
+    return r.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.min(F.when(kept, F.col("n_words"))).cast("long").alias("min_kept_words"),
+        F.max(F.when(~kept, F.col("n_words"))).cast("long").alias("max_dropped_words"),
+    )
+
+
+# -- embedding post-processing ------------------------------------------------
+
+DIM = 64
+FXP = 1 << 20  # fixed-point scale for order-free centroid accumulation
+
+
+@register(
+    "embedding_centroid_assign",
+    oracle=f"""
+WITH ex AS (
+    SELECT label, i AS pos,
+           CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {FXP}) AS BIGINT) AS iv
+    FROM embeddings, range(1, {DIM + 1}) t(i)
+),
+cen AS (
+    SELECT label AS c_label, list(cd ORDER BY pos) AS cvec FROM (
+        SELECT label, pos, CAST(SUM(iv) AS DOUBLE) / (COUNT(*) * {FXP}.0) AS cd
+        FROM ex GROUP BY label, pos
+    ) GROUP BY label
+),
+sims AS (
+    SELECT e.vec_id, e.label, c.c_label,
+           list_sum(list_transform(range(1, {DIM + 1}),
+                i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i]))
+           / (sqrt(list_sum(list_transform(range(1, {DIM + 1}),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(1, {DIM + 1}),
+                i -> c.cvec[i] * c.cvec[i])))) AS sim
+    FROM embeddings e CROSS JOIN cen c
+),
+best AS (
+    SELECT vec_id, label, c_label, sim,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_label) AS rk
+    FROM sims
+)
+SELECT label, c_label AS assigned_label,
+       CAST(COUNT(*) AS BIGINT) AS n, MIN(sim) AS min_sim, MAX(sim) AS max_sim
+FROM best WHERE rk = 1
+GROUP BY label, c_label
+""",
+    doc="Nearest-centroid assignment: per-label mean embeddings, cosine "
+    "argmax per vector, confusion-matrix counts.",
+)
+def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd step of k-means seeded by the existing labels — the
+    building block of embedding-space clustering/diagnostics (are the
+    labels cosine-separable?). Centroids accumulate in FIXED-POINT
+    BIGINT (floor(v·2^20)): integer sums are exact and order-free where
+    a distributed float mean would depend on partition order. The
+    centroid table is k×dim — tiny at any corpus scale — so assignment
+    is a broadcast nested-loop over k candidates per vector; per-pair
+    cosine is a sequential fold identical to the oracle's list_sum. The
+    only shuffles are the (label,pos) centroid aggregate and the final
+    confusion-matrix aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos0", "v"
+        ),
+    ).select("label", (F.col("pos0") + 1).alias("pos"), F.floor(F.col("v") * FXP).alias("iv"))
+    comp = ex.groupBy("label", "pos").agg(
+        (F.sum("iv").cast("double") / (F.count(F.lit(1)) * float(FXP))).alias("cd")
+    )
+    cen = comp.groupBy(F.col("label").alias("c_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cd"))), lambda s: s["cd"]
+        ).alias("cvec")
+    )
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(e, F.col("cvec"), lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
+    )
+    ne = F.aggregate(F.transform(e, lambda x: x * x), F.lit(0.0), lambda a, v: a + v)
+    nc = F.aggregate(
+        F.transform("cvec", lambda x: x * x), F.lit(0.0), lambda a, v: a + v
+    )
+    sims = emb.crossJoin(F.broadcast(cen)).select(
+        "vec_id", "label", "c_label", (dot / (F.sqrt(ne) * F.sqrt(nc))).alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "c_label")
+    best = sims.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    return best.groupBy("label", F.col("c_label").alias("assigned_label")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("sim").alias("min_sim"),
+        F.max("sim").alias("max_sim"),
+    )
+
+
+CHK_B = 31
+CHK_M = 1_000_003
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle=f"""
+WITH q AS (
+    SELECT vec_id, scale,
+           list_transform(dvec, x -> CAST(FLOOR(x * scale + 0.5) AS BIGINT)) AS qvec
+    FROM (
+        SELECT vec_id, dvec,
+               CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END AS scale
+        FROM (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvec,
+                   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+            FROM embeddings
+        )
+    )
+)
+SELECT vec_id, scale,
+       CAST(list_min(qvec) AS BIGINT) AS q_min,
+       CAST(list_max(qvec) AS BIGINT) AS q_max,
+       CAST(list_sum(qvec) AS BIGINT) AS q_sum,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), qvec),
+                   (a, c) -> (a * {CHK_B} + c + 128) % {CHK_M}) AS q_checksum
+FROM q
+""",
+    doc="Symmetric int8 quantization of embeddings with integer "
+    "integrity checksum (range, sum, polynomial fold).",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding compression for serving/storage: symmetric per-vector
+    int8 (scale = 127/max|v|, q = floor(v·scale + 0.5) — floor+0.5, not
+    ROUND, because Spark rounds half-up and DuckDB half-even). 4× size
+    reduction before an ANN index build. Everything is one codegen'd
+    projection — no shuffle at all; at 100 TB this is a pure map stage
+    that pipelines into the writer. The polynomial checksum gives each
+    quantized vector a join-friendly integrity key."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dvec = F.transform("embedding", lambda x: x.cast("double"))
+    m = F.array_max(F.transform(dvec, lambda x: F.abs(x)))
+    t = emb.select(
+        "vec_id",
+        dvec.alias("dvec"),
+        F.when(m > 0, F.lit(127.0) / m).otherwise(F.lit(0.0)).alias("scale"),
+    )
+    qvec = F.transform(
+        "dvec", lambda x: F.floor(x * F.col("scale") + F.lit(0.5))
+    )
+    q = t.select("vec_id", "scale", qvec.alias("qvec"))
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_min("qvec").cast("long").alias("q_min"),
+        F.array_max("qvec").cast("long").alias("q_max"),
+        F.aggregate("qvec", F.lit(0).cast("long"), lambda a, v: a + v).alias("q_sum"),
+        F.aggregate(
+            "qvec",
+            F.lit(0).cast("long"),
+            lambda a, c: (a * CHK_B + c + 128) % CHK_M,
+        ).alias("q_checksum"),
+    )

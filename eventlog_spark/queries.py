@@ -144,13 +144,14 @@ _FIRST_50 = [
     "agg_cube",
     "agg_grouping_sets",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
+    # storage-engine roundtrips (inmem + reference binary format)
+    "eventlog_inmem_roundtrip",
+    "eventlog_binary_roundtrip",
     "join_broadcast_dim",
     "join_range",
     "window_running_total",
     "window_sessionize",
     "json_extract",
-    "q12_shipping_priority",
     # formerly unchecked / formerly vacuous
     "join_skew_salted",
     "q22_idle_customers",
@@ -171,6 +172,7 @@ def _ensure_loaded() -> None:
     from .operators import tpch2  # noqa: F401
     from .operators import advanced  # noqa: F401
     from .operators import approx  # noqa: F401
+    from .operators import corpus  # noqa: F401
     from .operators import dedup  # noqa: F401
     from .operators import similarity  # noqa: F401
     from .operators import text  # noqa: F401
