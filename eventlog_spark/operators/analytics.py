@@ -1,0 +1,130 @@
+"""Product-analytics operators over the ``events`` stream: ordered
+funnel conversion and cohort retention — the query shapes an event-log
+engine exists to serve (reference: the scan/aggregate consumers of
+romshark/eventlog's append-only log, eventlog/eventlog.go:1-40).
+
+Both are pure DataFrame aggregates/joins — no UDFs, no windows over the
+full stream. Timestamps compare as values only (no float math), so
+cross-engine determinism is structural.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import register
+from ..tables import load_table
+
+FUNNEL_STAGES = ("signup", "view", "purchase")
+
+
+@register(
+    "event_funnel",
+    oracle="""
+WITH s1 AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+    WHERE e.event_type = 'view'
+    GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+    WHERE e.event_type = 'purchase'
+    GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_signup,
+       CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_viewed,
+       CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchased,
+       CAST((SELECT SUM(epoch_us(t3) - epoch_us(t1))
+             FROM s3 JOIN s1 ON s3.user_id = s1.user_id) AS BIGINT) AS total_latency_us
+""",
+    doc="Ordered funnel signup → view → purchase: users reaching each "
+    "stage in order, plus summed end-to-end latency.",
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered (strict-sequence) funnel: a view counts only AFTER the
+    user's first signup, a purchase only after that view. Each stage is
+    a user-keyed partial aggregate followed by a user-keyed join — the
+    stage tables shrink monotonically, and every join key is user_id,
+    so at 100 TB all three stages reuse ONE hash partitioning (no
+    re-shuffle between stages; AQE coalesces the tail). Latency is
+    summed as epoch MICROSECONDS — integer-exact, no float time math."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    lat = s3.join(s1, "user_id").agg(
+        F.sum(
+            F.unix_micros("t3") - F.unix_micros("t1")
+        ).alias("total_latency_us")
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_viewed")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchased")))
+        .crossJoin(lat)
+        .select(
+            "n_signup",
+            "n_viewed",
+            "n_purchased",
+            F.col("total_latency_us").cast("long").alias("total_latency_us"),
+        )
+    )
+
+
+RETENTION_DAYS = 7
+
+
+@register(
+    "event_retention",
+    oracle=f"""
+WITH first AS (
+    SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day FROM events GROUP BY user_id
+)
+SELECT f.cohort_day,
+       datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+FROM events e JOIN first f ON e.user_id = f.user_id
+WHERE datediff('day', f.cohort_day, CAST(e.ts AS DATE)) BETWEEN 0 AND {RETENTION_DAYS}
+GROUP BY f.cohort_day, datediff('day', f.cohort_day, CAST(e.ts AS DATE))
+""",
+    doc=f"Cohort retention: users active on day 0..{RETENTION_DAYS} "
+    "after their first event, grouped by first-activity date.",
+)
+def event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic D0..D7 retention triangle. The cohort table (one row per
+    user) joins back to the event stream on user_id — at scale it
+    BROADCASTS if small or reuses the stream's user_id partitioning
+    otherwise; the offset filter prunes the joined stream before the
+    count-distinct shuffle. day_offset is calendar-date arithmetic
+    (integers), so both engines bucket identically."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("cohort_day"))
+    off = F.datediff(F.col("ts").cast("date"), F.col("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .where(off.between(0, RETENTION_DAYS))
+        .groupBy("cohort_day", off.alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

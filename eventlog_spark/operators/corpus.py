@@ -504,3 +504,136 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, c: (a * CHK_B + c + 128) % CHK_M,
         ).alias("q_checksum"),
     )
+
+
+# -- winnowing fingerprints ---------------------------------------------------
+
+WIN_NGRAM = 3   # words per shingle
+WIN_W = 4       # winnowing window (shingles per window)
+WIN_MIN_SHARED = 2
+
+from .dedup import md5_int_col, md5_int_sql  # noqa: E402  (shared hash helpers)
+
+_WIN_GRAM_SQL = md5_int_sql(f"array_to_string(list_slice(w, i, i + {WIN_NGRAM - 1}), ' ')")
+
+
+@register(
+    "dedup_winnowing",
+    oracle=f"""
+WITH g AS (
+    SELECT doc_id,
+           list_transform(range(1, len(w) - {WIN_NGRAM - 2}),
+                          i -> {_WIN_GRAM_SQL}) AS gh
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    WHERE len(w) >= {WIN_NGRAM + WIN_W - 1}
+),
+fp AS (
+    SELECT doc_id, unnest(list_distinct(
+               list_transform(range(1, len(gh) - {WIN_W - 2}),
+                              j -> list_min(list_slice(gh, j, j + {WIN_W - 1}))))) AS fp
+    FROM g
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {WIN_MIN_SHARED}
+""",
+    doc="Winnowing (MOSS) local fingerprints: min-hash per sliding "
+    "shingle window, doc pairs sharing >= 2 fingerprints.",
+)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing [Schleimer/Wilkerson/Aiken, SIGMOD'03]: every sliding
+    window of W consecutive shingle hashes contributes its minimum, so
+    two docs sharing any run of ~W+NGRAM words share a fingerprint —
+    position-robust local dedup where whole-doc hashing misses partial
+    overlap. Per-doc fingerprinting is one codegen'd projection (array
+    higher-order functions, no explode until the distinct fingerprint
+    set is formed — the exploded stream carries ~len/W rows per doc,
+    the winnowing guarantee). Candidate pairs come from an
+    inverted-index equi-join on the fingerprint (never all-pairs); at
+    100 TB hot fingerprints (boilerplate) would get the same
+    stop-shingle cap as dedup_ngram_jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.withColumn("w", F.split("text", " ")).where(
+        F.size("w") >= WIN_NGRAM + WIN_W - 1
+    )
+    gh = F.transform(
+        F.sequence(F.lit(1), F.size("w") - (WIN_NGRAM - 1)),
+        lambda i: md5_int_col(F.concat_ws(" ", F.slice("w", i, WIN_NGRAM))),
+    )
+    g = d.select("doc_id", gh.alias("gh"))
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size("gh") - (WIN_W - 1)),
+        lambda j: F.array_min(F.slice("gh", j, WIN_W)),
+    )
+    fp = g.select("doc_id", F.explode(F.array_distinct(wins)).alias("fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= WIN_MIN_SHARED)
+    )
+
+
+# -- cross-source overlap matrix ----------------------------------------------
+
+OVL_NGRAM = 4
+
+_OVL_GRAM_SQL = md5_int_sql(f"array_to_string(list_slice(w, i, i + {OVL_NGRAM - 1}), ' ')")
+
+
+@register(
+    "source_overlap_matrix",
+    oracle=f"""
+WITH sg AS (
+    SELECT DISTINCT source, gram FROM (
+        SELECT source,
+               unnest(list_transform(range(1, len(w) - {OVL_NGRAM - 2}),
+                                     i -> {_OVL_GRAM_SQL})) AS gram
+        FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+        WHERE len(w) >= {OVL_NGRAM}
+    )
+),
+tot AS (SELECT source, COUNT(*) AS n_grams FROM sg GROUP BY source)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_grams,
+       CAST(ta.n_grams AS BIGINT) AS grams_a,
+       CAST(tb.n_grams AS BIGINT) AS grams_b
+FROM sg a
+JOIN sg b ON a.gram = b.gram AND a.source < b.source
+JOIN tot ta ON ta.source = a.source
+JOIN tot tb ON tb.source = b.source
+GROUP BY a.source, b.source, ta.n_grams, tb.n_grams
+""",
+    doc="Pairwise source contamination matrix: shared distinct word "
+    "4-grams between every source pair, with per-source totals.",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance hygiene for corpus mixing: how much content do two
+    ingest sources share? Distinct (source, gram) pairs first — the
+    per-gram fan-in is then bounded by #sources (20), so the self-join
+    emits at most (20 choose 2) rows per gram regardless of how many
+    documents repeat it; the quadratic stays in source-space, never
+    doc-space. Per-source totals ride along on a broadcast join."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.withColumn("w", F.split("text", " ")).where(F.size("w") >= OVL_NGRAM)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("w") - (OVL_NGRAM - 1)),
+        lambda i: md5_int_col(F.concat_ws(" ", F.slice("w", i, OVL_NGRAM))),
+    )
+    sg = d.select("source", F.explode(grams).alias("gram")).distinct()
+    tot = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a, b = sg.alias("a"), sg.alias("b")
+    ta = tot.select(F.col("source").alias("sa"), F.col("n_grams").alias("grams_a"))
+    tb = tot.select(F.col("source").alias("sb"), F.col("n_grams").alias("grams_b"))
+    return (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .join(F.broadcast(ta), F.col("source_a") == F.col("sa"))
+        .join(F.broadcast(tb), F.col("source_b") == F.col("sb"))
+        .select("source_a", "source_b", "shared_grams", "grams_a", "grams_b")
+    )

@@ -45,16 +45,20 @@ def canonicalize_output(df: DataFrame) -> DataFrame:
       DuckDB's pandas path coerces DECIMAL to float64, so a Spark-side
       Decimal would render ``253942.00`` vs DuckDB's ``253942.0``.
     * TIMESTAMP_NTZ → TIMESTAMP (session TZ is UTC, value-identical).
+    * DATE → TIMESTAMP (midnight): Spark's toPandas renders DATE as
+      datetime.date ("2024-01-01") while DuckDB's .df() coerces DATE to
+      datetime64 ("2024-01-01 00:00:00"); both render the timestamp
+      form identically.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import DecimalType, TimestampNTZType
+    from pyspark.sql.types import DateType, DecimalType, TimestampNTZType
 
     exprs, changed = [], False
     for f in df.schema.fields:
         if isinstance(f.dataType, DecimalType):
             exprs.append(F.col(f.name).cast("double").alias(f.name))
             changed = True
-        elif isinstance(f.dataType, TimestampNTZType):
+        elif isinstance(f.dataType, (TimestampNTZType, DateType)):
             exprs.append(F.col(f.name).cast("timestamp").alias(f.name))
             changed = True
         else:
@@ -172,6 +176,7 @@ def _ensure_loaded() -> None:
     from .operators import tpch2  # noqa: F401
     from .operators import advanced  # noqa: F401
     from .operators import approx  # noqa: F401
+    from .operators import analytics  # noqa: F401
     from .operators import corpus  # noqa: F401
     from .operators import dedup  # noqa: F401
     from .operators import similarity  # noqa: F401
