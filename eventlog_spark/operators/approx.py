@@ -301,3 +301,169 @@ def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("sum_chars"),
         )
     )
+
+
+# -- count-min sketch ---------------------------------------------------------
+
+CMS_D = 4     # independent hash rows
+CMS_W = 256   # counters per row
+CMS_PROBES = ("table", "spark", "row", "filter", "zzz_absent")
+_CMS_PROBE_SQL = "('" + "','".join(CMS_PROBES) + "')"
+
+
+@register(
+    "sketch_count_min",
+    oracle=f"""
+WITH w AS (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+cells AS (
+    SELECT d, {md5_int_sql("CAST(d AS VARCHAR) || ':' || word")} % {CMS_W} AS col,
+           COUNT(*) AS cnt
+    FROM w CROSS JOIN ds
+    GROUP BY 1, 2
+),
+probes AS (SELECT unnest({list(CMS_PROBES)!r}) AS word),
+truth AS (
+    SELECT p.word, COALESCE(t.cnt, 0) AS true_cnt
+    FROM probes p LEFT JOIN (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word) t
+      ON p.word = t.word
+),
+est AS (
+    SELECT p.word, MIN(COALESCE(c.cnt, 0)) AS cms_est
+    FROM probes p CROSS JOIN ds
+    LEFT JOIN cells c
+      ON c.d = ds.d
+     AND c.col = {md5_int_sql("CAST(ds.d AS VARCHAR) || ':' || p.word")} % {CMS_W}
+    GROUP BY p.word
+)
+SELECT truth.word, CAST(true_cnt AS BIGINT) AS true_cnt,
+       CAST(cms_est AS BIGINT) AS cms_est
+FROM truth JOIN est ON truth.word = est.word
+""",
+    doc=f"Count-Min sketch ({CMS_D}×{CMS_W}) word-frequency estimates "
+    "vs true counts for fixed probe words.",
+)
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min [Cormode/Muthukrishnan'05]: frequency estimation in
+    D×W integer counters — fixed-size, merge-by-addition state, so the
+    sketch builds as ONE map-side-combinable aggregate regardless of
+    corpus size, and the finished sketch (4 KB here) broadcasts to any
+    consumer. Estimates upper-bound true counts (min over D rows).
+    Counters are exact integer sums of md5-derived bucket assignments —
+    order-free, so both engines build the identical sketch; the oracle
+    verifies the ESTIMATES, not just plumbing. In production the heavy
+    hitters found here feed the stop-shingle caps in the dedup family."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    ds = spark.range(CMS_D).select(F.col("id").cast("int").alias("d"))
+    hash_col = (
+        md5_int_col(F.concat(F.col("d").cast("string"), F.lit(":"), F.col("word")))
+        % CMS_W
+    )
+    cells = (
+        words.crossJoin(F.broadcast(ds))
+        .select("d", hash_col.alias("col"))
+        .groupBy("d", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = spark.createDataFrame([(p,) for p in CMS_PROBES], "word string")
+    truth = (
+        probes.join(
+            words.groupBy("word").agg(F.count(F.lit(1)).alias("tcnt")), "word", "left"
+        )
+        .select("word", F.coalesce("tcnt", F.lit(0)).alias("true_cnt"))
+    )
+    probe_cells = probes.crossJoin(F.broadcast(ds)).select(
+        "word", "d", hash_col.alias("col")
+    )
+    est = (
+        probe_cells.join(cells, ["d", "col"], "left")
+        .groupBy("word")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
+    )
+    return truth.join(est, "word").select(
+        "word",
+        F.col("true_cnt").cast("long").alias("true_cnt"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+    )
+
+
+# -- bloom filter -------------------------------------------------------------
+
+BLOOM_K = 4      # hash functions
+BLOOM_M = 4096   # bits
+BLOOM_PROBES = ("table", "spark", "row", "zzzz", "qqqq", "filter")
+
+
+@register(
+    "sketch_bloom_filter",
+    oracle=f"""
+WITH vocab AS (
+    SELECT DISTINCT unnest(string_split(text, ' ')) AS word FROM documents
+),
+ks AS (SELECT unnest([0, 1, 2, 3]) AS k),
+bits AS (
+    SELECT DISTINCT {md5_int_sql("CAST(k AS VARCHAR) || ':' || word")} % {BLOOM_M} AS pos
+    FROM vocab CROSS JOIN ks
+),
+stats AS (SELECT COUNT(*) AS n_bits_set FROM bits),
+probes AS (SELECT unnest({list(BLOOM_PROBES)!r}) AS word),
+checks AS (
+    SELECT p.word,
+           CAST(SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_hit
+    FROM probes p CROSS JOIN ks
+    LEFT JOIN bits b ON b.pos = {md5_int_sql("CAST(ks.k AS VARCHAR) || ':' || p.word")} % {BLOOM_M}
+    GROUP BY p.word
+)
+SELECT c.word,
+       CAST(CASE WHEN v.word IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_corpus,
+       CAST(CASE WHEN c.k_hit = {BLOOM_K} THEN 1 ELSE 0 END AS BIGINT) AS bloom_positive,
+       CAST(s.n_bits_set AS BIGINT) AS n_bits_set
+FROM checks c
+LEFT JOIN vocab v ON v.word = c.word
+CROSS JOIN stats s
+""",
+    doc=f"Bloom filter ({BLOOM_K} hashes, {BLOOM_M} bits) over the "
+    "corpus vocabulary; membership verdicts for fixed probes.",
+)
+def sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership over the vocabulary: the set-bit table is a
+    DISTINCT over md5-derived positions — order-free, fixed ≤ M rows of
+    state, built in one aggregate pass and broadcastable (512 B of
+    bitmap here). A probe is positive iff all K positions are set: no
+    false negatives, false positives at the classic (1-exp(-kn/m))^k
+    rate — the 'zzzz'/'qqqq' probes document the honest verdict. At
+    100 TB this is the cheap pre-filter in front of an expensive
+    anti-join (e.g. URL-seen checks in a crawler)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = docs.select(F.explode(F.split("text", " ")).alias("word")).distinct()
+    ks = spark.range(BLOOM_K).select(F.col("id").cast("int").alias("k"))
+    pos_col = (
+        md5_int_col(F.concat(F.col("k").cast("string"), F.lit(":"), F.col("word")))
+        % BLOOM_M
+    )
+    bits = (
+        vocab.crossJoin(F.broadcast(ks)).select(pos_col.alias("pos")).distinct()
+    )
+    stats = bits.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    probes = spark.createDataFrame([(p,) for p in BLOOM_PROBES], "word string")
+    probe_pos = probes.crossJoin(F.broadcast(ks)).select("word", pos_col.alias("pos"))
+    checks = (
+        probe_pos.join(bits.withColumn("hit", F.lit(1)), "pos", "left")
+        .groupBy("word")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("k_hit"))
+    )
+    return (
+        checks.join(vocab.withColumn("present", F.lit(1)), "word", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "word",
+            F.coalesce("present", F.lit(0)).cast("long").alias("in_corpus"),
+            F.when(F.col("k_hit") == BLOOM_K, 1).otherwise(0).cast("long").alias(
+                "bloom_positive"
+            ),
+            F.col("n_bits_set").cast("long").alias("n_bits_set"),
+        )
+    )
