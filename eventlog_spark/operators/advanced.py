@@ -432,3 +432,122 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_items"), F.sum(disc).alias("revenue"))
     )
+
+
+# -- SCD2 interval build (warehouse dimension history) ------------------------
+
+
+@register(
+    "scd2_user_state",
+    oracle="""
+WITH e AS (
+    SELECT user_id, event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+    FROM events
+)
+SELECT user_id, event_id, event_type, value AS state_value,
+       ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       CAST(CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM e
+""",
+    doc="SCD2 history build: per-user validity intervals "
+    "(valid_from/valid_to/is_current) from the event stream.",
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from an append-only event
+    stream: each event opens a validity interval that the user's next
+    event closes (valid_to = lead(ts)); the open interval is the
+    current state. This is the standard warehouse pattern for turning
+    the log this engine stores into point-in-time joinable history
+    (pair with join_asof for the probe side).
+
+    One shuffle on user_id; the lead() window rides that partitioning.
+    Ties break on event_id so the interval chain is a total order on
+    both engines. At 100 TB the user_id shuffle is the same exchange a
+    downstream as-of join needs — write the result bucketed by user_id
+    and the probe join is exchange-free (join_bucketed_colocated shows
+    that storage layout)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    valid_to = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("value").alias("state_value"),
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        F.when(valid_to.isNull(), 1).otherwise(0).cast("long").alias("is_current"),
+    )
+
+
+# -- batch MERGE / upsert -----------------------------------------------------
+
+_UPD_MOD = 97     # keys with o_orderkey % 97 == 0 get updated
+_INS_MOD = 293    # keys with o_orderkey % 293 == 0 spawn an insert
+_INS_OFFSET = 10_000_000
+
+
+@register(
+    "merge_upsert_orders",
+    oracle=f"""
+WITH changes AS (
+    SELECT o_orderkey, 'U' AS c_status, o_totalprice + 100.0 AS c_price
+    FROM orders WHERE o_orderkey % {_UPD_MOD} = 0
+    UNION ALL
+    SELECT o_orderkey + {_INS_OFFSET}, 'N', 42.5
+    FROM orders WHERE o_orderkey % {_INS_MOD} = 0
+),
+merged AS (
+    SELECT COALESCE(c.c_status, b.o_orderstatus) AS status,
+           COALESCE(c.c_price, b.o_totalprice) AS price
+    FROM orders b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+)
+SELECT status AS o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(price * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM merged GROUP BY status
+""",
+    doc="Batch MERGE (upsert): update matched keys, insert unmatched; "
+    "verified by per-status counts + integer-cent totals over the "
+    "whole merged table.",
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse MERGE INTO, expressed as Spark's native upsert
+    plan: FULL OUTER join base-to-changes on the key, COALESCE picking
+    the change side when present — matched keys update, unmatched
+    change rows insert, untouched base rows pass through. The output
+    aggregates the ENTIRE merged table (per-status row counts +
+    exact integer-cent totals), so the check proves all three classes
+    survived, not just the touched rows.
+
+    Scale shape: the join shuffles on the merge key — exactly what
+    Delta/Iceberg MERGE does under the hood; with the base table
+    bucketed by key (join_bucketed_colocated's layout) the base side's
+    exchange disappears and only the (small) change set moves. AQE
+    broadcasts the change side outright when it fits. Cents are summed
+    as BIGINT (floor(x*100+0.5) — identical rounding on both engines,
+    order-free integer addition)."""
+    ords = load_table(spark, sf_dir, "orders")
+    base = ords.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    upd = base.where(F.col("o_orderkey") % _UPD_MOD == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("c_status"),
+        (F.col("o_totalprice") + F.lit(100.0)).alias("c_price"),
+    )
+    ins = base.where(F.col("o_orderkey") % _INS_MOD == 0).select(
+        (F.col("o_orderkey") + F.lit(_INS_OFFSET)).alias("o_orderkey"),
+        F.lit("N").alias("c_status"),
+        F.lit(42.5).alias("c_price"),
+    )
+    changes = upd.unionByName(ins)
+    merged = base.join(changes, "o_orderkey", "full_outer").select(
+        F.coalesce("c_status", "o_orderstatus").alias("status"),
+        F.coalesce("c_price", "o_totalprice").alias("price"),
+    )
+    cents = F.floor(F.col("price") * 100 + F.lit(0.5)).cast("long")
+    return merged.groupBy(F.col("status").alias("o_orderstatus")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents).alias("total_cents"),
+    )

@@ -357,23 +357,27 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     hitters found here feed the stop-shingle caps in the dedup family."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    # collapse token occurrences to (word, count) FIRST: the md5 bucket
+    # assignment then runs once per vocabulary word (tens of thousands),
+    # not once per token occurrence (millions) — the word shuffle it costs
+    # is map-side-combined, so at 100 TB this trades a tiny shuffle for
+    # a ~100× cut in hash work. Counter values are identical (sum of
+    # per-word counts == count of occurrences).
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("wcnt"))
     ds = spark.range(CMS_D).select(F.col("id").cast("int").alias("d"))
     hash_col = (
         md5_int_col(F.concat(F.col("d").cast("string"), F.lit(":"), F.col("word")))
         % CMS_W
     )
     cells = (
-        words.crossJoin(F.broadcast(ds))
-        .select("d", hash_col.alias("col"))
+        wc.crossJoin(F.broadcast(ds))
+        .select("d", hash_col.alias("col"), "wcnt")
         .groupBy("d", "col")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("wcnt").alias("cnt"))
     )
     probes = spark.createDataFrame([(p,) for p in CMS_PROBES], "word string")
-    truth = (
-        probes.join(
-            words.groupBy("word").agg(F.count(F.lit(1)).alias("tcnt")), "word", "left"
-        )
-        .select("word", F.coalesce("tcnt", F.lit(0)).alias("true_cnt"))
+    truth = probes.join(wc, "word", "left").select(
+        "word", F.coalesce("wcnt", F.lit(0)).alias("true_cnt")
     )
     probe_cells = probes.crossJoin(F.broadcast(ds)).select(
         "word", "d", hash_col.alias("col")

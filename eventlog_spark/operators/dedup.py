@@ -534,3 +534,121 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(right.groupBy("ka", "kb"))
         .applyInPandas(tile, "vec_a long, vec_b long")
     )
+
+
+# -- corpus-wide segment-level exact dedup (CCNet-style) ----------------------
+
+SEG_WORDS = 8  # words per segment ("paragraph" unit on the synthetic corpus)
+
+_SEG_HASH_SQL = md5_int_sql(
+    f"array_to_string(list_slice(w, (j-1)*{SEG_WORDS}+1, j*{SEG_WORDS}), ' ')"
+)
+
+
+@register(
+    "dedup_segments",
+    oracle=f"""
+WITH s AS (
+    SELECT doc_id,
+           unnest(range(1, nseg + 1)) - 1 AS seg_no,
+           unnest(list_transform(range(1, nseg + 1), j -> {_SEG_HASH_SQL})) AS segh
+    FROM (SELECT doc_id, w, CAST(ceil(len(w) / {SEG_WORDS}.0) AS BIGINT) AS nseg
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+),
+r AS (
+    SELECT doc_id, seg_no,
+           ROW_NUMBER() OVER (PARTITION BY segh ORDER BY doc_id, seg_no) AS rn
+    FROM s
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segs,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM r GROUP BY doc_id
+""",
+    doc=f"Corpus-wide exact dedup of {SEG_WORDS}-word segments "
+    "(first occurrence kept); per-doc kept/dropped counts.",
+)
+def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup in the CCNet style [Wenzek+ '20]: the
+    corpus is cut into fixed-width word segments, every repeated segment
+    after its global first occurrence is dropped, and each doc reports
+    how much of it survived — the signal that catches boilerplate and
+    quoted blocks that whole-doc hashing (dedup_exact) misses and
+    winnowing only pairs up.
+
+    Scale shape: segments shuffle ONCE on their 60-bit hash (never the
+    text), first-occurrence is a row_number over that same partitioning
+    (no extra exchange), and the per-doc rollup partial-aggregates
+    map-side. "First occurrence" is the total order (doc_id, seg_no) —
+    deterministic on both engines, no timestamps involved. At 100 TB
+    hot boilerplate segments skew the hash partition; AQE skew-split
+    handles it (the per-key payload is just (doc_id, seg_no))."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    d = docs.select("doc_id", F.split("text", " ").alias("w"))
+    nseg = F.ceil(F.size("w") / SEG_WORDS).cast("int")
+    seghs = F.transform(
+        F.sequence(F.lit(1), nseg),
+        lambda j: md5_int_col(
+            F.concat_ws(" ", F.slice("w", (j - F.lit(1)) * SEG_WORDS + F.lit(1), F.lit(SEG_WORDS)))
+        ),
+    )
+    s = d.select("doc_id", F.posexplode(seghs).alias("seg_no", "segh"))
+    rn = F.row_number().over(
+        Window.partitionBy("segh").orderBy("doc_id", "seg_no")
+    )
+    r = s.select("doc_id", rn.alias("rn"))
+    return r.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dropped"),
+    )
+
+
+# -- semantic dedup within embedding clusters (SemDeDup-style) ----------------
+
+SEM_TAU = 0.3  # within-cluster cosine threshold
+
+
+@register(
+    "dedup_semantic_cluster",
+    oracle=f"""
+SELECT a.label AS label, a.vec_id AS keep_id, b.vec_id AS dup_id
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_COSINE_SQL} >= {SEM_TAU}
+""",
+    doc=f"SemDeDup: within-cluster cosine >= {SEM_TAU} near-dup pairs "
+    "(lower vec_id kept).",
+)
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup [Abbas+ '23]: semantic near-dup removal searches ONLY
+    within an embedding cluster — here the pre-assigned ``label``
+    column (embedding_centroid_assign is the Lloyd step that would
+    produce it). The candidate join is an equi-join on the cluster id,
+    so the quadratic blowup is bounded by cluster occupancy, never
+    corpus size — the whole point of the method at 100 TB, where
+    all-pairs (dedup_embedding_cosine's tiled exact baseline) is the
+    thing you're avoiding. Keep-lowest-id is the deterministic stand-in
+    for SemDeDup's keep-one-per-group choice.
+
+    The cosine is the codegen'd exact expression (cosine_expr), element
+    order identical to the oracle — no floats cross engines differently."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("label").alias("label"),
+        F.col("vec_id").alias("keep_id"),
+        F.col("embedding").alias("ea"),
+    )
+    b = emb.select(
+        F.col("label").alias("lb"),
+        F.col("vec_id").alias("dup_id"),
+        F.col("embedding").alias("eb"),
+    )
+    return (
+        a.join(b, (F.col("label") == F.col("lb")) & (F.col("keep_id") < F.col("dup_id")))
+        .where(cosine_expr(F.col("ea"), F.col("eb")) >= SEM_TAU)
+        .select("label", "keep_id", "dup_id")
+    )
