@@ -133,3 +133,73 @@ FROM documents
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(manifest(spark, sf_dir))
+
+
+# -- batched model-inference scoring ------------------------------------------
+
+# FAKE MODEL — deterministic stand-in. This container ships no ML
+# runtime, so the "classifier" is a fixed linear model + rational
+# squash (no exp: numpy's SIMD exp can differ from libm in the last
+# ulp; x/(1+|x|) is exact float arithmetic on both engines). The
+# Spark-side plumbing — Arrow batch iteration, vectorized numpy math,
+# bounded batch memory — is exactly what a real ONNX/torch scorer
+# uses; swapping `_fake_model` for a session-held model handle is a
+# one-function change.
+_W_TOK, _W_CHR, _W_DST, _BIAS = 0.01, -0.002, 0.1, -0.5
+
+
+@register(
+    "quality_model_scores",
+    oracle=f"""
+WITH feat AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+           CAST(length(text) AS DOUBLE) AS nc,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS dt
+    FROM documents
+),
+z AS (
+    SELECT doc_id,
+           {_W_TOK} * nt + {_W_CHR} * nc + {_W_DST} * dt + {_BIAS} AS z
+    FROM feat
+)
+SELECT doc_id,
+       z / (1 + abs(z)) AS model_score,
+       CAST(CASE WHEN z / (1 + abs(z)) > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM z
+""",
+    doc="Batched 'model' inference over documents (deterministic fake "
+    "model, real Arrow-batch scoring plumbing).",
+)
+def quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier inference at corpus scale — the fastText/
+    DCLM-style stage every training-data pipeline runs. The executor-
+    side shape is the real thing: ``mapInPandas`` streams Arrow
+    batches, features vectorize in numpy, scores come back column-at-
+    a-time; memory is bounded by the Arrow batch size regardless of
+    partition size, and the stage is shuffle-free (pure map) so it
+    pipelines into whatever filter/writer follows. Model weights
+    broadcast implicitly via closure capture — at 100 TB a real model
+    would load once per executor (mapInPandas init section), not per
+    batch."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks = pdf["text"].str.split(" ")
+            nt = toks.str.len().to_numpy(dtype=np.float64)
+            nc = pdf["text"].str.len().to_numpy(dtype=np.float64)
+            dt = toks.map(lambda t: len(set(t))).to_numpy(dtype=np.float64)
+            z = _W_TOK * nt + _W_CHR * nc + _W_DST * dt + _BIAS
+            s = z / (1 + np.abs(z))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "model_score": s,
+                    "keep": (s > 0).astype("int64"),
+                }
+            )
+
+    return docs.mapInPandas(score, "doc_id long, model_score double, keep long")

@@ -293,3 +293,57 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(100 * F.col("n_distinct") < 55 * F.col("n_total"), 1).otherwise(0)
         ).cast("long").alias("n_repetitive"),
     )
+
+
+# -- inverse-frequency (surprisal-proxy) scoring ------------------------------
+
+_IFS_SCALE = 1_000_000  # fixed-point: floor(1e6 / corpus_count) per token
+
+
+@register(
+    "text_inverse_freq_score",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+wc AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word),
+scored AS (
+    SELECT t.doc_id, CAST(FLOOR({_IFS_SCALE} / wc.cnt) AS BIGINT) AS s
+    FROM tok t JOIN wc ON wc.word = t.word
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(s) AS BIGINT) AS score_fp,
+       CAST(SUM(s) AS DOUBLE) / COUNT(*) AS mean_inv_freq
+FROM scored GROUP BY doc_id
+""",
+    doc="Per-doc inverse-corpus-frequency score (fixed-point surprisal "
+    "proxy): rare-token-heavy docs score high.",
+)
+def text_inverse_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surprisal-proxy quality weighting: each token contributes
+    floor(1e6 / corpus_count) — a fixed-point stand-in for -log p(w)
+    that needs no transcendentals (ln differs across math libs in the
+    last ulp; integer division doesn't). Docs dense in rare tokens
+    score high — the importance-sampling signal used to upweight rare
+    content in training mixes.
+
+    Two shuffles: the corpus word-count (map-side combined, vocab-sized
+    result) and the per-doc rollup. The token→count join BROADCASTS the
+    vocabulary — a natural-language vocab is millions of rows at most,
+    broadcastable at any corpus size, so the scoring pass itself never
+    shuffles the token stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    wc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    s = F.floor(F.lit(_IFS_SCALE) / F.col("cnt")).cast("long")
+    return (
+        tok.join(F.broadcast(wc), "word")
+        .select("doc_id", s.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("s").alias("score_fp"),
+            (F.sum("s").cast("double") / F.count(F.lit(1))).alias("mean_inv_freq"),
+        )
+    )
