@@ -205,3 +205,36 @@ def test_check_integrity_has_no_global_window(spark, sf_dir):
         if "windowspecdefinition" in ln:
             assert "_ord_bucket" in ln, f"unpartitioned data window: {ln[:160]}"
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_model_inference_is_pure_map(spark, sf_dir):
+    """quality_model_scores: classifier inference is a shuffle-free map
+    stage — scan → MapInPandas, zero Exchange nodes — so at 100 TB it
+    pipelines into the downstream filter/writer with no barrier."""
+    df = q(spark, sf_dir, "quality_model_scores")
+    plan = formatted_plan(df)
+    assert "MapInPandas" in plan, "expected Arrow-batched MapInPandas stage"
+    assert "Exchange" not in plan, "inference stage must not shuffle"
+    (schema,) = read_schemas(df)
+    assert "body" not in schema, f"multimodal body column not pruned: {schema}"
+
+
+def test_inverse_freq_vocab_broadcasts(spark, sf_dir):
+    """text_inverse_freq_score: the token→corpus-count join must
+    broadcast the vocab side; the exploded token stream is never
+    hash-partitioned for the join (only the two aggs shuffle)."""
+    df = q(spark, sf_dir, "text_inverse_freq_score")
+    assert count_nodes(df, "BroadcastExchange") >= 1, "vocab not broadcast"
+    assert has_node(df, "BroadcastHashJoin"), "scoring join must be BHJ"
+
+
+def test_incremental_merge_prunes_both_scans(spark, sf_dir):
+    """incremental_agg_merge: base and delta partial-agg scans each push
+    their o_orderdate cutoff to parquet, and the merge is partial-agged
+    (HashAggregate above the union, keys only through the shuffle)."""
+    df = q(spark, sf_dir, "incremental_agg_merge")
+    pf = pushed_filters(df)
+    assert len(pf) == 2, f"expected 2 filtered scans, got {pf}"
+    assert all("o_orderdate" in p for p in pf), f"cutoff not pushed: {pf}"
+    for schema in read_schemas(df):
+        assert "o_comment" not in schema, f"orders not pruned: {schema}"
