@@ -604,3 +604,92 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("total_cents").alias("total_cents"),
         )
     )
+
+
+# -- Z-order (Morton) layout key ----------------------------------------------
+
+_ZBUCKET_SHIFT = 16  # coarse z-range id: z >> 16
+
+
+def _spread16(c):
+    """Interleave-ready bit spread: low 16 bits of ``c`` moved to the
+    even bit positions of a 32-bit value (classic magic-number dilation,
+    4 shift+mask rounds, pure codegen)."""
+    x = c.bitwiseAND(F.lit(0xFFFF))
+    x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF))
+    x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x33333333))
+    x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def _spread16_sql(e: str) -> str:
+    """The same dilation in portable SQL (DuckDB `&`/`|`/`<<`)."""
+    x = f"(({e}) & 65535)"
+    x = f"(({x} | ({x} << 8)) & 16711935)"
+    x = f"(({x} | ({x} << 4)) & 252645135)"
+    x = f"(({x} | ({x} << 2)) & 858993459)"
+    x = f"(({x} | ({x} << 1)) & 1431655765)"
+    return x
+
+
+_Z_SQL = f"({_spread16_sql('l_partkey')} | ({_spread16_sql('l_suppkey')} << 1))"
+
+
+@register(
+    "zorder_layout_key",
+    oracle=f"""
+SELECT zbucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(l_partkey) AS BIGINT) AS min_part,
+       CAST(MAX(l_partkey) AS BIGINT) AS max_part,
+       CAST(MIN(l_suppkey) AS BIGINT) AS min_supp,
+       CAST(MAX(l_suppkey) AS BIGINT) AS max_supp,
+       CAST(SUM(z) AS BIGINT) AS z_checksum
+FROM (
+    SELECT l_partkey, l_suppkey, {_Z_SQL} AS z,
+           {_Z_SQL} >> {_ZBUCKET_SHIFT} AS zbucket
+    FROM lineitem
+)
+GROUP BY zbucket
+""",
+    doc="Z-order (Morton) layout key over (l_partkey, l_suppkey): "
+    "per-z-range row counts and per-dimension min/max bounds.",
+)
+def zorder_layout_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional data clustering — the Delta/Iceberg OPTIMIZE
+    ZORDER primitive, as a pure-codegen expression: interleave the low
+    16 bits of two pruning dimensions into one Morton key, then lay the
+    table out sorted by it. The per-bucket min/max columns ARE the
+    payoff made visible: every z-range covers a tight rectangle in
+    (partkey × suppkey), so parquet min/max stats prune selective
+    predicates on EITHER dimension — the property a single-column sort
+    cannot give.
+
+    At 100 TB the write path is
+    ``df.repartitionByRange(N, z).sortWithinPartitions(z)`` → parquet;
+    this query is its planning/verification half (bucket occupancy +
+    bounding boxes), one scan + one vocabulary-sized aggregate. The
+    dilation is 4 shift-mask rounds per dimension, whole-stage codegen,
+    no Python."""
+    li = load_table(spark, sf_dir, "lineitem")
+    z = _spread16(F.col("l_partkey")).bitwiseOR(
+        F.shiftleft(_spread16(F.col("l_suppkey")), 1)
+    )
+    return (
+        li.select(
+            "l_partkey",
+            "l_suppkey",
+            z.alias("z"),
+            F.shiftright(z, _ZBUCKET_SHIFT).alias("zbucket"),
+        )
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").cast("long").alias("min_part"),
+            F.max("l_partkey").cast("long").alias("max_part"),
+            F.min("l_suppkey").cast("long").alias("min_supp"),
+            F.max("l_suppkey").cast("long").alias("max_supp"),
+            F.sum("z").cast("long").alias("z_checksum"),
+        )
+    )

@@ -128,3 +128,62 @@ def event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", off.alias("day_offset"))
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+# -- event-type transition matrix (first-order Markov) ------------------------
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+    FROM events
+),
+pairs AS (
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, n_transitions,
+       CAST(SUM(n_transitions) OVER (PARTITION BY prev_type) AS BIGINT) AS n_from,
+       CAST(n_transitions AS DOUBLE)
+           / SUM(n_transitions) OVER (PARTITION BY prev_type) AS p_next
+FROM pairs
+""",
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: bigram counts and conditional next-event probabilities.",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey transition matrix — the 'what happens after X'
+    query a product team runs on an event log. Per-user sequences are
+    ordered by (ts, event_id) (event_id breaks timestamp ties
+    deterministically), adjacent pairs come from one LAG window, and
+    probabilities are integer-count ratios (exact in both engines).
+
+    Scale shape: ONE shuffle of the stream on user_id; the lag window
+    rides it. The bigram table is |event_types|² rows, so the
+    normalizing window (partition by prev_type) runs on a vocabulary-
+    sized intermediate, never the stream."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wp = Window.partitionBy("prev_type")
+    n_from = F.sum("n_transitions").over(wp)
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        n_from.cast("long").alias("n_from"),
+        (F.col("n_transitions").cast("double") / n_from).alias("p_next"),
+    )

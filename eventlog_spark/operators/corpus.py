@@ -637,3 +637,155 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(tb), F.col("source_b") == F.col("sb"))
         .select("source_a", "source_b", "shared_grams", "grams_a", "grams_b")
     )
+
+
+# -- temperature-scaled source mixture ----------------------------------------
+
+MIX_TARGET = 200  # expected sample size across the whole corpus
+_SQRT_FP = 1_000_000  # fixed-point scale for floor(sqrt(count) * 1e6)
+
+
+@register(
+    "sample_temperature_mixture",
+    oracle=f"""
+WITH c AS (
+    SELECT source, COUNT(*) AS c,
+           CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) * {_SQRT_FP}) AS BIGINT) AS sfp
+    FROM documents GROUP BY source
+),
+t AS (SELECT SUM(sfp) AS tot_sfp FROM c),
+r AS (
+    SELECT source,
+           CAST(LEAST(10000, ({MIX_TARGET} * sfp * 10000) // (tot_sfp * c))
+                AS BIGINT) AS rate_bp
+    FROM c, t
+)
+SELECT d.source, r.rate_bp,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN {md5_int_sql("CAST(doc_id AS VARCHAR)")} % 10000
+                          < r.rate_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN {md5_int_sql("CAST(doc_id AS VARCHAR)")} % 10000
+                          < r.rate_bp THEN n_chars ELSE 0 END) AS BIGINT)
+           AS kept_chars
+FROM documents d JOIN r ON d.source = r.source
+GROUP BY d.source, r.rate_bp
+""",
+    doc=f"Temperature-scaled (α=0.5) source mixture: per-source keep rates "
+    f"∝ sqrt(count)/count toward an expected {MIX_TARGET}-doc sample; "
+    "deterministic hash selection.",
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial temperature sampling (the mixture-reweighting stage of
+    every multilingual / multi-source training run, α = 0.5): a head
+    source's share is damped toward the tail by sampling ∝ count^α.
+
+    Cross-engine exactness: sqrt is IEEE-correctly-rounded in both
+    engines, so ``floor(sqrt(c) * 1e6)`` is the same BIGINT; from there
+    everything is integer math — the normalizer is a SUM of those
+    fixed-point values (order-free), per-source rates are integer
+    division in basis points, and row selection hashes the stable
+    doc_id. No RNG, no float accumulation.
+
+    Scale shape: two vocabulary-of-sources-sized aggregates (partial-agg
+    combine makes the per-source count table |sources| rows), a
+    broadcast of the ~|sources|-row rate table back onto the doc
+    stream — the corpus itself shuffles ONCE (the final per-source
+    rollup); selection is a map-side predicate. At 100 TB with a larger
+    MIX_TARGET, move the rate arithmetic to DECIMAL(38,0) to keep the
+    numerator in range; the plan is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    counts = counts.select(
+        "source",
+        "c",
+        F.floor(F.sqrt(F.col("c").cast("double")) * _SQRT_FP)
+        .cast("long")
+        .alias("sfp"),
+    )
+    tot = counts.agg(F.sum("sfp").alias("tot_sfp"))
+    rates = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.least(
+                F.lit(10000),
+                F.expr(f"({MIX_TARGET} * sfp * 10000) DIV (tot_sfp * c)"),
+            )
+            .cast("long")
+            .alias("rate_bp"),
+        )
+    )
+    kept = (md5_int_col(F.col("doc_id").cast("string")) % 10000) < F.col("rate_bp")
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source", "rate_bp")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+    )
+
+
+# -- per-domain quota cap (deterministic reservoir) ---------------------------
+
+QUOTA_K = 15  # max docs kept per source
+
+
+@register(
+    "domain_quota_cap",
+    oracle=f"""
+WITH ranked AS (
+    SELECT source, doc_id, n_chars,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {md5_int_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+           ) AS rk
+    FROM documents
+),
+tot AS (SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source)
+SELECT r.source,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(r.n_chars) AS BIGINT) AS kept_chars,
+       CAST(SUM(r.doc_id) AS BIGINT) AS kept_doc_sum,
+       t.n_total
+FROM ranked r JOIN tot t ON r.source = t.source
+WHERE r.rk <= {QUOTA_K}
+GROUP BY r.source, t.n_total
+""",
+    doc=f"Per-domain quota: keep at most {QUOTA_K} docs per source, "
+    "selected by deterministic hash rank (reservoir-equivalent).",
+)
+def domain_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document caps — the anti-head-domain stage of a crawl
+    pipeline (a handful of giant domains must not dominate the mix).
+    Selection ranks by md5(doc_id): a uniform, stable order, so the cap
+    is a deterministic reservoir sample — reproducible across runs and
+    engines, stable under re-crawls.
+
+    Scale shape: ONE hash shuffle on source; the rank filter sits
+    directly above its Window, so Spark plans WindowGroupLimit and every
+    map task pre-truncates its groups to K rows before the exchange —
+    the shuffle carries O(K·|domains|) rows, not the corpus. The
+    per-source totals are a broadcast-sized partial-agg table joined
+    back at the end. kept_doc_sum + kept_chars prove both engines chose
+    the SAME K documents, not merely the same counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_int_col(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    kept = (
+        docs.select("source", "doc_id", "n_chars", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= QUOTA_K)
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+            F.sum("doc_id").cast("long").alias("kept_doc_sum"),
+        )
+        .join(F.broadcast(totals), "source")
+    )

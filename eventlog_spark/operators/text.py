@@ -347,3 +347,59 @@ def text_inverse_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("s").cast("double") / F.count(F.lit(1))).alias("mean_inv_freq"),
         )
     )
+
+
+# -- term-blocklist filtering (C4-style badlist gate) -------------------------
+
+BLOCKLIST = ("slow", "big", "dup")
+_BLOCK_SQL = "('" + "','".join(BLOCKLIST) + "')"
+_BLOCK_MAX_PCT = 5  # drop docs where blocked tokens exceed 5% of tokens
+
+
+@register(
+    "text_blocklist_filter",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(list_filter(w, x -> x IN {_BLOCK_SQL})) AS BIGINT) AS n_hits,
+       CAST(len(list_distinct(list_filter(w, x -> x IN {_BLOCK_SQL}))) AS BIGINT)
+           AS n_terms_hit,
+       CAST(CASE WHEN len(list_filter(w, x -> x IN {_BLOCK_SQL})) * 100
+                      <= len(w) * {_BLOCK_MAX_PCT}
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       array_to_string(
+           list_transform(w, x -> CASE WHEN x IN {_BLOCK_SQL}
+                                       THEN '[***]' ELSE x END), ' ') AS redacted
+FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+""",
+    doc="C4-style term-blocklist gate: per-doc blocked-token counts, a "
+    "5%-ratio keep flag, and the redacted text.",
+)
+def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist filtering + redaction — the C4 'bad words' stage every
+    crawl pipeline runs, with the redaction twist PII scrubbing needs.
+    One narrow projection, all higher-order array functions (FILTER /
+    TRANSFORM compile to codegen loops, no Python): tokenization happens
+    ONCE and feeds counts, the distinct-terms hit set, the ratio gate,
+    and the rebuilt redacted string. Shuffle-free map stage — at 100 TB
+    it pipelines into the writer; the blocklist itself is a literal IN
+    list (real deployments: thousands of terms → still a broadcast-sized
+    lookup, or a regexp_replace automaton)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    hits = F.filter(w, lambda x: x.isin(*BLOCKLIST))
+    n_hits = F.size(hits)
+    return docs.select(
+        "doc_id",
+        n_hits.cast("long").alias("n_hits"),
+        F.size(F.array_distinct(hits)).cast("long").alias("n_terms_hit"),
+        F.when(n_hits * 100 <= F.size(w) * _BLOCK_MAX_PCT, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("keep"),
+        F.array_join(
+            F.transform(
+                w, lambda x: F.when(x.isin(*BLOCKLIST), F.lit("[***]")).otherwise(x)
+            ),
+            " ",
+        ).alias("redacted"),
+    )
