@@ -789,3 +789,155 @@ def domain_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(totals), "source")
     )
+
+
+# -- product quantization (PQ codebook assignment) ----------------------------
+
+PQ_M = 4  # subspaces
+PQ_SUB = 16  # dims per subspace (4 × 16 = 64-dim vectors)
+PQ_K = 8  # codes per subspace (seed codebook: first 8 vectors by vec_id)
+PQ_FXP = 1 << 20  # fixed-point scale for subspace distances
+
+
+def _pq_d_sql(s: int) -> str:
+    """Left-assoc 16-term squared-L2 sum for subspace ``s`` (DuckDB)."""
+    terms = [
+        f"(e.dvec[{s * PQ_SUB + i}] - s.sv[{s * PQ_SUB + i}])"
+        f" * (e.dvec[{s * PQ_SUB + i}] - s.sv[{s * PQ_SUB + i}])"
+        for i in range(1, PQ_SUB + 1)
+    ]
+    return " + ".join(terms)
+
+
+_PQ_KEYS_SQL = ",\n           ".join(
+    f"CAST(FLOOR(({_pq_d_sql(s)}) * {PQ_FXP}) AS BIGINT) * {PQ_K} + s.seed_id"
+    f" AS key_{s}"
+    for s in range(PQ_M)
+)
+_PQ_CODE_SQL = " + ".join(f"(MIN(key_{s}) % {PQ_K}) * {PQ_K ** s}" for s in range(PQ_M))
+_PQ_DIST_SQL = " + ".join(f"MIN(key_{s}) // {PQ_K}" for s in range(PQ_M))
+
+
+@register(
+    "embedding_pq_codes",
+    oracle=f"""
+WITH emb AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvec
+    FROM embeddings
+),
+seeds AS (
+    SELECT vec_id AS seed_id, dvec AS sv FROM emb ORDER BY vec_id LIMIT {PQ_K}
+),
+dist AS (
+    SELECT e.vec_id,
+           {_PQ_KEYS_SQL}
+    FROM emb e CROSS JOIN seeds s
+)
+SELECT vec_id,
+       CAST({_PQ_CODE_SQL} AS BIGINT) AS pq_code,
+       CAST({_PQ_DIST_SQL} AS BIGINT) AS distortion_fp
+FROM dist GROUP BY vec_id
+""",
+    doc=f"Product quantization: {PQ_M}×{PQ_SUB}-dim subspaces, {PQ_K}-entry "
+    "seed codebooks; per-vector packed code + fixed-point distortion.",
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ compression — the memory side of billion-scale ANN (IVF-PQ):
+    each vector stores M small codes instead of M·d floats. Codebooks
+    here are seeded deterministically (the first K vectors), standing in
+    for trained k-means codebooks; assignment is the real thing.
+
+    Determinism: each subspace distance floors to fixed-point BIGINT
+    immediately, and argmin runs on the integer key ``dfp*K + seed_id``
+    (MIN gives nearest-then-lowest-seed with no float compares in the
+    tie path). The squared-L2 folds accumulate in the same left-assoc
+    order as the oracle's literal sum, so the doubles are bit-identical
+    before flooring.
+
+    Scale shape: the codebook is K full vectors — broadcast at any
+    corpus size; distances are a broadcast nested loop (K candidates
+    per vector) followed by ONE vec_id-keyed partial-agg (the MIN
+    collapses K rows per vector map-side). At IVF-PQ scale the same
+    plan nests inside each IVF list."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("dvec")
+    )
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(PQ_K)
+        .select(F.col("vec_id").alias("seed_id"), F.col("dvec").alias("sv"))
+    )
+
+    def key(s: int):
+        d = F.aggregate(
+            F.zip_with(
+                F.slice("dvec", s * PQ_SUB + 1, PQ_SUB),
+                F.slice("sv", s * PQ_SUB + 1, PQ_SUB),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        return (F.floor(d * PQ_FXP).cast("long") * PQ_K + F.col("seed_id")).alias(
+            f"key_{s}"
+        )
+
+    dist = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", *[key(s) for s in range(PQ_M)]
+    )
+    mins = dist.groupBy("vec_id").agg(
+        *[F.min(f"key_{s}").alias(f"k{s}") for s in range(PQ_M)]
+    )
+    code = sum(
+        (F.col(f"k{s}") % PQ_K) * F.lit(PQ_K**s) for s in range(PQ_M)
+    )
+    dfp = None
+    for s in range(PQ_M):
+        t = F.expr(f"k{s} DIV {PQ_K}")
+        dfp = t if dfp is None else dfp + t
+    return mins.select(
+        "vec_id",
+        code.cast("long").alias("pq_code"),
+        dfp.cast("long").alias("distortion_fp"),
+    )
+
+
+# -- deterministic output sharding --------------------------------------------
+
+N_SHARDS = 32
+
+
+@register(
+    "corpus_shard_assign",
+    oracle=f"""
+SELECT {md5_int_sql("CAST(doc_id AS VARCHAR)")} % {N_SHARDS} AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(doc_id) AS BIGINT) AS doc_checksum
+FROM documents
+GROUP BY shard
+""",
+    doc=f"Deterministic {N_SHARDS}-way output sharding by doc-id hash: "
+    "per-shard doc/char/source balance stats.",
+)
+def corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenized-shard writer's partitioning contract: every doc
+    lands in shard ``md5(doc_id) % N`` — stable under re-runs and
+    incremental ingestion (a re-crawled doc rewrites the SAME shard),
+    independent of cluster layout, and uniform (the md5 high bits make
+    per-shard char mass concentrate tightly around corpus/N — the
+    output columns are the balance audit a data loader wants).
+
+    Scale shape: one narrow scan + one {N_SHARDS}-key partial agg; the
+    production write is ``df.repartition(N, shard_expr)`` with this
+    audit as the post-write check. No skew by construction — the hash
+    decorrelates shard from source/length."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (md5_int_col(F.col("doc_id").cast("string")) % N_SHARDS).alias("shard")
+    return docs.groupBy(shard).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars_total"),
+        F.count_distinct("source").cast("long").alias("n_sources"),
+        F.sum("doc_id").cast("long").alias("doc_checksum"),
+    )

@@ -403,3 +403,73 @@ def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("redacted"),
     )
+
+
+# -- bigram conditional-surprisal scoring (CCNet perplexity-filter analog) ----
+
+_BIG_FP = 1_000_000  # fixed-point: floor(1e6 * count(w1) / count(w1,w2))
+
+
+@register(
+    "text_bigram_surprisal",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+idx AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM w),
+big AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM idx),
+c2 AS (SELECT w1, w2, COUNT(*) AS cnt2 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS cnt1 FROM big GROUP BY w1),
+sc AS (
+    SELECT b.doc_id, ({_BIG_FP} * c1.cnt1) // c2.cnt2 AS s
+    FROM big b
+    JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+    JOIN c1 ON b.w1 = c1.w1
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(s) AS BIGINT) AS surprisal_fp,
+       CAST(SUM(s) AS DOUBLE) / COUNT(*) AS mean_surprisal
+FROM sc GROUP BY doc_id
+""",
+    doc="Per-doc bigram conditional surprisal (fixed-point 1/p(w2|w1) "
+    "proxy): unusual word sequences score high, formulaic text low.",
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet/KenLM perplexity-filter shape without the LM: score
+    each document by how improbable its word transitions are under the
+    corpus's own bigram statistics. ``floor(1e6 · c(w1) / c(w1,w2))``
+    is a monotone stand-in for −log p(w2|w1) that stays in integer
+    math (transcendental-free → bit-equal across engines); docs full
+    of boilerplate transitions score ≈1e6·1, rare constructions score
+    high — the signal CCNet buckets on.
+
+    Scale shape: bigram and prefix count tables are vocabulary²-sized
+    aggregates (map-side combined); both BROADCAST onto the bigram
+    stream (a web-scale bigram vocab tops out in the low billions of
+    DISTINCT pairs — at that point bucket the join on w1 instead; the
+    demo broadcasts). The stream itself shuffles once, for the final
+    per-doc rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    pairs = F.expr(
+        "transform(sequence(1, size(w) - 1), "
+        "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"
+    )
+    big = (
+        docs.select("doc_id", w.alias("w"))
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("cnt1"))
+    s = F.expr(f"({_BIG_FP} * cnt1) DIV cnt2")
+    return (
+        big.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), ["w1"])
+        .select("doc_id", s.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("s").alias("surprisal_fp"),
+            (F.sum("s").cast("double") / F.count(F.lit(1))).alias("mean_surprisal"),
+        )
+    )
