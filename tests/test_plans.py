@@ -238,3 +238,52 @@ def test_incremental_merge_prunes_both_scans(spark, sf_dir):
     assert all("o_orderdate" in p for p in pf), f"cutoff not pushed: {pf}"
     for schema in read_schemas(df):
         assert "o_comment" not in schema, f"orders not pruned: {schema}"
+
+
+def test_quota_cap_uses_window_group_limit(spark, sf_dir):
+    """domain_quota_cap: the rank ≤ K filter must push into
+    WindowGroupLimit so map tasks pre-truncate groups before the
+    source shuffle; totals join back as a broadcast."""
+    df = q(spark, sf_dir, "domain_quota_cap")
+    assert has_node(df, "WindowGroupLimit"), "rank filter not pushed"
+    assert count_nodes(df, "BroadcastExchange") >= 1, "totals not broadcast"
+
+
+def test_pq_codebook_broadcasts_once(spark, sf_dir):
+    """embedding_pq_codes: the K-row codebook is a broadcast nested
+    loop; the only data shuffle is the vec_id partial-agg argmin."""
+    df = q(spark, sf_dir, "embedding_pq_codes")
+    assert has_node(df, "BroadcastNestedLoopJoin"), "codebook not BNLJ"
+    plan = formatted_plan(df)
+    import re
+    hash_exchanges = re.findall(r"\(\d+\) Exchange hashpartitioning\((\w+)", plan)
+    assert all(c.startswith("vec_id") for c in hash_exchanges), hash_exchanges
+
+
+def test_blocklist_filter_is_shuffle_free(spark, sf_dir):
+    """text_blocklist_filter: tokenize-count-redact is one codegen
+    projection — no Exchange, no Python."""
+    df = q(spark, sf_dir, "text_blocklist_filter")
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_bigram_surprisal_broadcasts_vocab(spark, sf_dir):
+    """text_bigram_surprisal: both count tables broadcast onto the
+    bigram stream — the stream is hash-partitioned only for the final
+    per-doc rollup (and the vocab tables' own aggs)."""
+    df = q(spark, sf_dir, "text_bigram_surprisal")
+    assert count_nodes(df, "BroadcastExchange") >= 2, "vocab tables not broadcast"
+    assert count_nodes(df, "BroadcastHashJoin") >= 2
+
+
+def test_zorder_and_shard_are_single_agg_scans(spark, sf_dir):
+    """zorder_layout_key / corpus_shard_assign: one scan plus the
+    minimal aggregate shuffles — 1 for the plain agg, 2 for the
+    distinct agg (Spark's standard two-phase COUNT DISTINCT) — and no
+    joins, windows, or sorts."""
+    for name, n_exchanges in (("zorder_layout_key", 1), ("corpus_shard_assign", 2)):
+        df = q(spark, sf_dir, name)
+        assert count_nodes(df, "Exchange") == n_exchanges, f"{name}: extra shuffles"
+        assert not has_node(df, "SortMergeJoin") and not has_node(df, "Window")
