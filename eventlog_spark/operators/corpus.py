@@ -941,3 +941,150 @@ def corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("source").cast("long").alias("n_sources"),
         F.sum("doc_id").cast("long").alias("doc_checksum"),
     )
+
+
+# -- PQ ADC search (asymmetric distance over codes) ---------------------------
+
+ADC_TOPK = 10
+
+
+def _pq_probe_d_sql(s: int) -> str:
+    """16-term squared-L2 between probe ``p.pv`` and seed ``s.sv`` in
+    subspace ``s`` (DuckDB, left-assoc)."""
+    terms = [
+        f"(p.pv[{s * PQ_SUB + i}] - s.sv[{s * PQ_SUB + i}])"
+        f" * (p.pv[{s * PQ_SUB + i}] - s.sv[{s * PQ_SUB + i}])"
+        for i in range(1, PQ_SUB + 1)
+    ]
+    return " + ".join(terms)
+
+
+def _pq_exact_d_sql() -> str:
+    """Per-subspace-floored fixed-point exact distance probe↔vector."""
+    return " + ".join(
+        f"CAST(FLOOR(({_pq_probe_d_sql(s).replace('s.sv', 'e.dvec')}) * {PQ_FXP})"
+        f" AS BIGINT)"
+        for s in range(PQ_M)
+    )
+
+
+_ADC_LUT_SQL = ",\n           ".join(
+    f"CAST(FLOOR(({_pq_probe_d_sql(s)}) * {PQ_FXP}) AS BIGINT) AS l{s}"
+    for s in range(PQ_M)
+)
+_ADC_CODES_SQL = ", ".join(f"MIN(key_{s}) % {PQ_K} AS c{s}" for s in range(PQ_M))
+_ADC_JOIN_SQL = "\n    ".join(
+    f"JOIN lut t{s} ON t{s}.seed_id = c.c{s}" for s in range(PQ_M)
+)
+_ADC_SUM_SQL = " + ".join(f"t{s}.l{s}" for s in range(PQ_M))
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=f"""
+WITH emb AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvec
+    FROM embeddings
+),
+seeds AS (
+    SELECT vec_id AS seed_id, dvec AS sv FROM emb ORDER BY vec_id LIMIT {PQ_K}
+),
+probe AS (SELECT dvec AS pv FROM emb ORDER BY vec_id DESC LIMIT 1),
+dist AS (
+    SELECT e.vec_id,
+           {_PQ_KEYS_SQL}
+    FROM emb e CROSS JOIN seeds s
+),
+codes AS (SELECT vec_id, {_ADC_CODES_SQL} FROM dist GROUP BY vec_id),
+lut AS (
+    SELECT s.seed_id,
+           {_ADC_LUT_SQL}
+    FROM seeds s CROSS JOIN probe p
+),
+adc AS (
+    SELECT c.vec_id, CAST({_ADC_SUM_SQL} AS BIGINT) AS adc_fp
+    FROM codes c
+    {_ADC_JOIN_SQL}
+),
+top AS (
+    SELECT vec_id, adc_fp,
+           ROW_NUMBER() OVER (ORDER BY adc_fp, vec_id) AS rk
+    FROM adc
+)
+SELECT t.rk, t.vec_id, t.adc_fp,
+       CAST({_pq_exact_d_sql()} AS BIGINT) AS exact_fp
+FROM top t JOIN emb e ON e.vec_id = t.vec_id CROSS JOIN probe p
+WHERE t.rk <= {ADC_TOPK}
+""",
+    doc=f"PQ ADC search: top-{ADC_TOPK} nearest to a probe by "
+    "asymmetric distance over codes, with exact distances alongside.",
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The search half of IVF-PQ: the probe never touches raw corpus
+    vectors — each candidate costs M integer LOOKUPS into a K×M table
+    of probe↔codebook distances (the LUT), which is why PQ scans
+    billions of codes on one machine. Exact distances join back for
+    the final top-k only, mirroring production re-ranking.
+
+    Determinism: codes and LUT entries floor to fixed-point BIGINT
+    per subspace, so ADC sums, ranking, and the exact re-check are all
+    integer math; ties break on vec_id.
+
+    Scale shape: the LUT is K×M values (bytes — broadcast trivially);
+    the code table is M small ints per vector; ADC is M broadcast hash
+    joins that AQE keeps map-side, then TakeOrderedAndProject keeps
+    per-task top-k — no global sort, no shuffle of the code stream.
+    Only the final 10-row re-rank touches full vectors."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("dvec")
+    )
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(PQ_K)
+        .select(F.col("vec_id").alias("seed_id"), F.col("dvec").alias("sv"))
+    )
+    probe = emb.orderBy(F.desc("vec_id")).limit(1).select(F.col("dvec").alias("pv"))
+
+    def dfp(s: int, left: str, right: str):
+        return F.floor(
+            F.aggregate(
+                F.zip_with(
+                    F.slice(left, s * PQ_SUB + 1, PQ_SUB),
+                    F.slice(right, s * PQ_SUB + 1, PQ_SUB),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            * PQ_FXP
+        ).cast("long")
+
+    dist = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        *[
+            (dfp(s, "dvec", "sv") * PQ_K + F.col("seed_id")).alias(f"key_{s}")
+            for s in range(PQ_M)
+        ],
+    )
+    codes = dist.groupBy("vec_id").agg(
+        *[(F.min(f"key_{s}") % PQ_K).alias(f"c{s}") for s in range(PQ_M)]
+    )
+    lut = seeds.crossJoin(F.broadcast(probe)).select(
+        "seed_id", *[dfp(s, "sv", "pv").alias(f"l{s}") for s in range(PQ_M)]
+    )
+    adc = codes
+    for s in range(PQ_M):
+        lut_s = lut.select(F.col("seed_id").alias(f"c{s}"), f"l{s}")
+        adc = adc.join(F.broadcast(lut_s), f"c{s}")
+    adc = adc.select(
+        "vec_id", sum(F.col(f"l{s}") for s in range(PQ_M)).cast("long").alias("adc_fp")
+    )
+    top = adc.orderBy("adc_fp", "vec_id").limit(ADC_TOPK)
+    w = Window.orderBy("adc_fp", "vec_id")  # ADC_TOPK rows post-limit
+    top = top.withColumn("rk", F.row_number().over(w))
+    exact = sum(dfp(s, "dvec", "pv") for s in range(PQ_M)).cast("long")
+    return (
+        top.join(emb, "vec_id")
+        .crossJoin(F.broadcast(probe))
+        .select("rk", "vec_id", "adc_fp", exact.alias("exact_fp"))
+    )
