@@ -187,3 +187,85 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_from.cast("long").alias("n_from"),
         (F.col("n_transitions").cast("double") / n_from).alias("p_next"),
     )
+
+
+# -- value anomalies (z-score outliers) ---------------------------------------
+
+_VAL_FP = 1_000_000  # fixed-point: floor(value * 1e6) — exact, order-free sums
+_Z_SIGMA2 = 9  # flag beyond 3 standard deviations
+
+
+@register(
+    "event_value_outliers",
+    oracle=f"""
+WITH fp AS (
+    SELECT event_type, value,
+           CAST(FLOOR(value * {_VAL_FP}) AS BIGINT) AS v_fp,
+           CAST(FLOOR(value * value * {_VAL_FP}) AS BIGINT) AS v2_fp
+    FROM events
+),
+st AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(v_fp) AS BIGINT) AS sum_fp,
+           CAST(SUM(v2_fp) AS BIGINT) AS sumsq_fp
+    FROM fp GROUP BY event_type
+),
+z AS (
+    SELECT event_type, n, sum_fp, sumsq_fp,
+           CAST(sum_fp AS DOUBLE) / (n * {_VAL_FP}.0) AS mean_value,
+           CAST(sumsq_fp AS DOUBLE) / (n * {_VAL_FP}.0)
+               - (CAST(sum_fp AS DOUBLE) / (n * {_VAL_FP}.0))
+                 * (CAST(sum_fp AS DOUBLE) / (n * {_VAL_FP}.0)) AS var_value
+    FROM st
+)
+SELECT f.event_type, z.n, z.mean_value, z.var_value,
+       CAST(SUM(CASE WHEN (f.value - z.mean_value) * (f.value - z.mean_value)
+                          > {_Z_SIGMA2} * z.var_value
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM fp f JOIN z ON f.event_type = z.event_type
+GROUP BY f.event_type, z.n, z.mean_value, z.var_value
+""",
+    doc="Per-type z-score anomaly counts: mean/variance from exact "
+    "fixed-point sums, outliers beyond 3σ.",
+)
+def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric anomaly detection over the event stream. The statistical
+    moments come from FIXED-POINT integer sums (floor(v·1e6),
+    floor(v²·1e6)) — exact and order-free where a distributed float
+    sum would depend on partition order; mean and variance are then
+    derived as doubles from identical integers on both engines, and
+    the 3σ test squares the residual instead of calling sqrt.
+
+    Scale shape: the stats table is |event_types| rows (one partial-agg
+    pass, map-side combined) and BROADCASTS back onto the stream; the
+    outlier count is the stream's single shuffle (the final per-type
+    rollup). Two scans of events — at 100 TB cache the fp projection
+    or fuse with the ingest pass."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    fp = ev.select(
+        "event_type",
+        "value",
+        F.floor(F.col("value") * _VAL_FP).cast("long").alias("v_fp"),
+        F.floor(F.col("value") * F.col("value") * _VAL_FP).cast("long").alias("v2_fp"),
+    )
+    st = fp.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_fp").alias("sum_fp"),
+        F.sum("v2_fp").alias("sumsq_fp"),
+    )
+    mean = F.col("sum_fp").cast("double") / (F.col("n") * float(_VAL_FP))
+    var = F.col("sumsq_fp").cast("double") / (F.col("n") * float(_VAL_FP)) - mean * mean
+    z = st.select("event_type", "n", mean.alias("mean_value"), var.alias("var_value"))
+    resid = F.col("value") - F.col("mean_value")
+    return (
+        fp.join(F.broadcast(z), "event_type")
+        .groupBy("event_type", "n", "mean_value", "var_value")
+        .agg(
+            F.sum(
+                F.when(resid * resid > _Z_SIGMA2 * F.col("var_value"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )

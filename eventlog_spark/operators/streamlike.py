@@ -271,3 +271,73 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("event_type") == "click"),
         ev.where(F.col("event_type") == "purchase"),
     )
+
+
+# -- late-arrival watermark audit ---------------------------------------------
+
+from .dedup import md5_int_sql  # noqa: E402  (shared hash helper)
+
+WM_DELAY_S = 604_800  # 7-day watermark delay (event span is ~30 days)
+_ARRIVAL_SQL = md5_int_sql("CAST(event_id AS VARCHAR)")
+
+
+@register(
+    "stream_late_arrival_audit",
+    oracle=f"""
+WITH h AS (
+    SELECT event_id, ts, event_type,
+           {_ARRIVAL_SQL} AS arrival
+    FROM events
+),
+w AS (
+    SELECT *, MAX(ts) OVER (
+        ORDER BY arrival ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ) AS wm
+    FROM h
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN ts < wm - INTERVAL {WM_DELAY_S} SECOND
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(COUNT(*) - SUM(CASE WHEN ts < wm - INTERVAL {WM_DELAY_S} SECOND
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_ontime,
+       CAST(MAX(CASE WHEN ts < wm - INTERVAL {WM_DELAY_S} SECOND
+                     THEN epoch_us(wm) - epoch_us(ts) - CAST({WM_DELAY_S} AS BIGINT) * 1000000
+                END) AS BIGINT) AS max_lateness_us
+FROM w GROUP BY event_type
+""",
+    doc="Watermark late-data audit: per-type on-time/late counts under "
+    "a 7-day watermark over a simulated out-of-order arrival sequence.",
+)
+def stream_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What a Structured Streaming watermark WOULD drop, measured in
+    batch: arrival order is simulated by hashing the event id (the
+    testdata arrives pre-sorted, so the hash stands in for network
+    reordering); the watermark is the running max event-time over
+    earlier arrivals minus the allowed delay, exactly Spark's
+    ``withWatermark`` bookkeeping. Events below it count as late —
+    the operational metric (how much data would a given delay drop?)
+    that sizes real watermarks.
+
+    Scale shape: the running max uses the bucket-partitioned ordered
+    machinery (functions/ordered.py) — one hash shuffle on the
+    arrival-bucket id plus a one-row-per-bucket boundary pass, never a
+    single-task global window. The rollup is a |event_types|-key agg."""
+    from ..functions.ordered import with_adjacent
+    from .dedup import md5_int_col
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    ev = ev.withColumn("arrival", md5_int_col(F.col("event_id").cast("string")))
+    adj = with_adjacent(ev, "arrival", running_max_cols=["ts"])
+    late = F.col("ts") < F.col("ts_prevmax") - F.expr(f"INTERVAL {WM_DELAY_S} SECOND")
+    lateness = (
+        F.unix_micros("ts_prevmax") - F.unix_micros("ts") - WM_DELAY_S * 1_000_000
+    )
+    return adj.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("n_late"),
+        (F.count(F.lit(1)) - F.sum(F.when(late, 1).otherwise(0)))
+        .cast("long")
+        .alias("n_ontime"),
+        F.max(F.when(late, lateness)).cast("long").alias("max_lateness_us"),
+    )
