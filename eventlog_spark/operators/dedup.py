@@ -634,21 +634,39 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     thing you're avoiding. Keep-lowest-id is the deterministic stand-in
     for SemDeDup's keep-one-per-group choice.
 
-    The cosine is the codegen'd exact expression (cosine_expr), element
-    order identical to the oracle — no floats cross engines differently."""
+    The cosine matches the oracle value-exactly, but the norms are
+    HOISTED: each side precomputes its double-cast vector and
+    sqrt(Σx²) once per vector (O(corpus) work), so the per-pair filter
+    evaluates only the dot fold and a division — the same doubles in
+    the same order as the oracle's inline form, at a third of the
+    flops. The repartition re-establishes parallelism the single-file
+    test scan lacks (pairs would otherwise evaluate in ONE task); on a
+    real multi-file corpus the scan is already parallel and the
+    exchange can go."""
     emb = load_table(spark, sf_dir, "embeddings")
+    dv = F.transform("embedding", lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(dv, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
     a = emb.select(
         F.col("label").alias("label"),
         F.col("vec_id").alias("keep_id"),
-        F.col("embedding").alias("ea"),
-    )
+        dv.alias("ea"),
+        nrm.alias("na"),
+    ).repartition(spark.sparkContext.defaultParallelism)
     b = emb.select(
         F.col("label").alias("lb"),
         F.col("vec_id").alias("dup_id"),
-        F.col("embedding").alias("eb"),
+        dv.alias("eb"),
+        nrm.alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
     return (
         a.join(b, (F.col("label") == F.col("lb")) & (F.col("keep_id") < F.col("dup_id")))
-        .where(cosine_expr(F.col("ea"), F.col("eb")) >= SEM_TAU)
+        .where(dot / (F.col("na") * F.col("nb")) >= SEM_TAU)
         .select("label", "keep_id", "dup_id")
     )
