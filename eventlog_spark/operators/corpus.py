@@ -420,16 +420,23 @@ def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("pos", "cd"))), lambda s: s["cd"]
         ).alias("cvec")
     )
+    # norms HOIST out of the pair loop: sqrt(Σx²) computes once per
+    # vector / per centroid, the per-pair work is one dot fold + a
+    # division — same doubles, same order as the oracle's inline form.
     e = F.transform("embedding", lambda x: x.cast("double"))
-    dot = F.aggregate(
-        F.zip_with(e, F.col("cvec"), lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
-    )
     ne = F.aggregate(F.transform(e, lambda x: x * x), F.lit(0.0), lambda a, v: a + v)
     nc = F.aggregate(
         F.transform("cvec", lambda x: x * x), F.lit(0.0), lambda a, v: a + v
     )
-    sims = emb.crossJoin(F.broadcast(cen)).select(
-        "vec_id", "label", "c_label", (dot / (F.sqrt(ne) * F.sqrt(nc))).alias("sim")
+    emb2 = emb.select(
+        "vec_id", "label", e.alias("ev"), F.sqrt(ne).alias("sne")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    cen2 = cen.withColumn("snc", F.sqrt(nc))
+    dot = F.aggregate(
+        F.zip_with("ev", "cvec", lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
+    )
+    sims = emb2.crossJoin(F.broadcast(cen2)).select(
+        "vec_id", "label", "c_label", (dot / (F.col("sne") * F.col("snc"))).alias("sim")
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "c_label")
     best = sims.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)

@@ -217,12 +217,36 @@ def ann_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = probed lists only (∝ n·n_probe/K of the corpus instead
     of all of it — at 100 TB the assigned table would be written
     bucketed BY list_id so probing prunes files); exact cosine re-rank
-    inside the candidate set via WindowGroupLimit top-k."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = emb.where(F.col("vec_id") < K_LISTS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    inside the candidate set via WindowGroupLimit top-k.
+
+    Perf: the double-cast vector and its norm are HOISTED into the scan
+    projection (once per vector, not once per candidate pair), so every
+    cosine thereafter is one dot fold + a division — value-identical to
+    the oracle's inline form (sqrt-then-multiply, same order). The
+    repartition restores parallelism over the single-file test scan."""
+    dv = F.transform("embedding", lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(dv, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
     )
-    cos_c = cosine_expr(F.col("embedding"), F.col("c_emb"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", dv.alias("ev"), nrm.alias("ne"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    cents = emb.where(F.col("vec_id") < K_LISTS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("ev").alias("cv"),
+        F.col("ne").alias("nc"),
+    )
+    cos_c = dot("ev", "cv") / (F.col("ne") * F.col("nc"))
     assigned = (
         emb.crossJoin(F.broadcast(cents))
         .withColumn("cos", cos_c)
@@ -231,27 +255,30 @@ def ann_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("cid", F.struct(F.col("cos"), (-F.col("cid")).alias("neg"))).alias(
                 "list_id"
             ),
-            F.first("embedding").alias("embedding"),
+            F.first("ev").alias("ev"),
+            F.first("ne").alias("ne"),
         )
     )
     from pyspark.sql import Window
 
     q = emb.where(F.col("vec_id").isin(*QUERY_IDS)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("ev").alias("qv"),
+        F.col("ne").alias("nq"),
     )
     wp = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cid"))
     probes = (
         q.crossJoin(F.broadcast(cents))
-        .withColumn("cos", cosine_expr(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("cos", dot("qv", "cv") / (F.col("nq") * F.col("nc")))
         .withColumn("rn", F.row_number().over(wp))
         .where(F.col("rn") <= N_PROBE)
-        .select("query_id", "q_emb", "cid")
+        .select("query_id", "qv", "nq", "cid")
     )
     wk = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
         assigned.join(F.broadcast(probes), assigned.list_id == probes.cid)
         .where(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos", cosine_expr(F.col("q_emb"), F.col("embedding")))
+        .withColumn("cos", dot("qv", "ev") / (F.col("nq") * F.col("ne")))
         .withColumn("rk", F.row_number().over(wk))
         .where(F.col("rk") <= TOP_K)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "rk")
