@@ -269,3 +269,149 @@ def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers")
         )
     )
+
+
+# -- daily EWMA smoothing (α = 1/2: exact dyadic weights) ---------------------
+
+_EWMA_TERMS = 8
+# 0.5, 0.25, ... 2^-8 — every weight is an exact power of two, so the
+# weighted sum is the same double on any IEEE engine (no pow() calls).
+_EWMA_W = [0.5 ** (k + 1) for k in range(_EWMA_TERMS)]
+
+
+def _ewma_sql() -> str:
+    terms = ["0.5 * x"] + [
+        f"{_EWMA_W[k]!r} * COALESCE(LAG(x, {k}) OVER w, 0.0)"
+        for k in range(1, _EWMA_TERMS)
+    ]
+    return " + ".join(terms)
+
+
+@register(
+    "event_daily_ewma",
+    oracle=f"""
+WITH daily AS (
+    SELECT event_type,
+           DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx,
+           CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_fp
+    FROM events GROUP BY 1, 2
+),
+x AS (SELECT event_type, day_idx, CAST(sum_fp AS DOUBLE) / 1000000 AS x FROM daily)
+SELECT event_type, day_idx, x AS daily_value,
+       {_ewma_sql()} AS ewma
+FROM x
+WINDOW w AS (PARTITION BY event_type ORDER BY day_idx)
+""",
+    doc="Per-type daily value totals smoothed by an 8-term EWMA with "
+    "dyadic weights (α = 1/2).",
+)
+def event_daily_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series smoothing over the event stream — the dashboard /
+    alerting shape (is today's total anomalous vs the trailing trend?).
+    Daily totals come from exact fixed-point integer sums; the EWMA is
+    the 8-term truncation of s_t = αx_t + (1-α)s_{t-1} with α = 1/2,
+    chosen because every weight 2^-k is EXACTLY representable — the
+    weighted sum adds identical doubles in identical left-assoc order
+    on both engines, no pow(), no drift.
+
+    Scale shape: one shuffle aggregates the stream to |types|×|days|
+    rows; the lag window runs on that vocabulary-sized table, riding
+    the same partitioning (partition by event_type)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+                "day_idx"
+            ),
+            F.floor(F.col("value") * 1_000_000).cast("long").alias("v_fp"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.sum("v_fp").alias("sum_fp"))
+        .select(
+            "event_type",
+            "day_idx",
+            (F.col("sum_fp").cast("double") / 1_000_000).alias("x"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day_idx")
+    ewma = F.lit(0.5) * F.col("x")
+    for k in range(1, _EWMA_TERMS):
+        ewma = ewma + F.lit(_EWMA_W[k]) * F.coalesce(
+            F.lag("x", k).over(w), F.lit(0.0)
+        )
+    return daily.select(
+        "event_type", "day_idx", F.col("x").alias("daily_value"), ewma.alias("ewma")
+    )
+
+
+# -- event-type co-occurrence lift --------------------------------------------
+
+
+@register(
+    "event_type_lift",
+    oracle="""
+WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events),
+c AS (SELECT event_type, COUNT(*) AS n_type FROM u GROUP BY event_type),
+p AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+    FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+)
+SELECT p.type_a, p.type_b, p.n_both,
+       CAST(ca.n_type AS BIGINT) AS n_a,
+       CAST(cb.n_type AS BIGINT) AS n_b,
+       CAST(n.n_users AS BIGINT) * p.n_both
+           / (CAST(ca.n_type AS DOUBLE) * cb.n_type) AS lift
+FROM p
+JOIN c ca ON ca.event_type = p.type_a
+JOIN c cb ON cb.event_type = p.type_b
+CROSS JOIN n
+""",
+    doc="Pairwise event-type lift: P(a∧b) / (P(a)·P(b)) over distinct "
+    "users — association strength between behaviors.",
+)
+def event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association over the event log: which behaviors
+    co-occur beyond chance (lift > 1)? Probabilities are ratios of
+    integer user counts — transcendental-free (lift is the monotone
+    core of PMI without the log), so both engines emit bit-identical
+    doubles.
+
+    Scale shape: the distinct (user, type) projection shrinks the
+    stream to ≤|users|·|types| rows in one partial-agged shuffle; the
+    pair join stays keyed on user_id (same partitioning), and its
+    output collapses to |types|² rows. The per-type and total counts
+    are broadcast-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("user_id", "event_type").distinct()
+    n = ev.agg(F.count_distinct("user_id").alias("n_users"))
+    c = u.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_type"))
+    a = u.select("user_id", F.col("event_type").alias("type_a"))
+    b = u.select(F.col("user_id").alias("uid_b"), F.col("event_type").alias("type_b"))
+    p = (
+        a.join(b, (a.user_id == b.uid_b) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ca = c.select(F.col("event_type").alias("type_a"), F.col("n_type").alias("n_a"))
+    cb = c.select(F.col("event_type").alias("type_b"), F.col("n_type").alias("n_b"))
+    return (
+        p.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (
+                F.col("n_users").cast("long") * F.col("n_both")
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
