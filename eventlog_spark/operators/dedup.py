@@ -627,46 +627,54 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup [Abbas+ '23]: semantic near-dup removal searches ONLY
     within an embedding cluster — here the pre-assigned ``label``
     column (embedding_centroid_assign is the Lloyd step that would
-    produce it). The candidate join is an equi-join on the cluster id,
-    so the quadratic blowup is bounded by cluster occupancy, never
-    corpus size — the whole point of the method at 100 TB, where
-    all-pairs (dedup_embedding_cosine's tiled exact baseline) is the
-    thing you're avoiding. Keep-lowest-id is the deterministic stand-in
-    for SemDeDup's keep-one-per-group choice.
+    produce it). Work is grouped by the cluster id, so the quadratic
+    blowup is bounded by cluster occupancy, never corpus size — the
+    whole point of the method at 100 TB, where all-pairs
+    (dedup_embedding_cosine's tiled exact baseline) is the thing
+    you're avoiding. Keep-lowest-id is the deterministic stand-in for
+    SemDeDup's keep-one-per-group choice.
 
-    The cosine matches the oracle value-exactly, but the norms are
-    HOISTED: each side precomputes its double-cast vector and
-    sqrt(Σx²) once per vector (O(corpus) work), so the per-pair filter
-    evaluates only the dot fold and a division — the same doubles in
-    the same order as the oracle's inline form, at a third of the
-    flops. The repartition re-establishes parallelism the single-file
-    test scan lacks (pairs would otherwise evaluate in ONE task); on a
-    real multi-file corpus the scan is already parallel and the
-    exchange can go."""
+    Execution shape: ONE shuffle on the cluster id, then each cluster's
+    pair matrix is produced in a single Arrow-batched ``applyInPandas``
+    task as a Gram matrix — n·d input floats instead of pairs·d, and
+    the per-pair cost is a numpy vectorized add, not an interpreted
+    per-element expression over exploded pair rows. The accumulation is
+    deliberately DIM-SEQUENTIAL (``acc = acc + col·colᵀ`` over the 64
+    dims, starting from 0.0): per matrix entry that is bit-for-bit the
+    fold order the oracle's ``list_sum(list_transform(...))`` computes,
+    so cosine values — and the ``>= τ`` cut — match the SQL oracle
+    exactly. Cluster occupancy is the SemDeDup knob: a cluster of n
+    vectors costs an n×n float64 block in one task, so at 100 TB the
+    codebook is sized to hold n ≈ 10⁴–10⁵ (0.8–80 GB blocks tile
+    row-wise if a hot cluster overflows)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    dv = F.transform("embedding", lambda x: x.cast("double"))
-    nrm = F.sqrt(
-        F.aggregate(
-            F.transform(dv, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+
+    def _pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        n, d = E.shape
+        sq = np.zeros(n)
+        gram = np.zeros((n, n))
+        for j in range(d):  # dim-sequential: matches the fold order bit-for-bit
+            col = E[:, j]
+            sq = sq + col * col
+            gram = gram + np.multiply.outer(col, col)
+        nrm = np.sqrt(sq)
+        cos = gram / np.multiply.outer(nrm, nrm)
+        iu, ju = np.triu_indices(n, k=1)
+        m = cos[iu, ju] >= SEM_TAU
+        return pd.DataFrame(
+            {
+                "label": np.full(int(m.sum()), pdf["label"].iloc[0], dtype=np.int32),
+                "keep_id": ids[iu[m]],
+                "dup_id": ids[ju[m]],
+            }
         )
-    )
-    a = emb.select(
-        F.col("label").alias("label"),
-        F.col("vec_id").alias("keep_id"),
-        dv.alias("ea"),
-        nrm.alias("na"),
-    ).repartition(spark.sparkContext.defaultParallelism)
-    b = emb.select(
-        F.col("label").alias("lb"),
-        F.col("vec_id").alias("dup_id"),
-        dv.alias("eb"),
-        nrm.alias("nb"),
-    )
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-    )
-    return (
-        a.join(b, (F.col("label") == F.col("lb")) & (F.col("keep_id") < F.col("dup_id")))
-        .where(dot / (F.col("na") * F.col("nb")) >= SEM_TAU)
-        .select("label", "keep_id", "dup_id")
+
+    return emb.groupBy("label").applyInPandas(
+        _pairs, "label int, keep_id long, dup_id long"
     )
