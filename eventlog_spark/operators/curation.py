@@ -1,0 +1,555 @@
+"""Corpus-curation operators, round 3: the remaining stages a large-scale
+training-data pipeline runs between raw crawl and tokenizer.
+
+Everything here follows the repo's determinism contract
+(``eventlog_spark/queries.py`` docstring): integer/fixed-point math in
+the aggregates, identical double expressions at the top of the plan,
+md5-derived hashing instead of RNG, and every computed column aliased
+identically in the Spark plan and the DuckDB oracle.
+
+Scale notes are per-operator; the common theme is that each op is one
+or two shuffles over keys that stay small (hashes, dims, event types),
+never document bodies, and every iterative loop (PageRank) runs over a
+vertex/edge table that is vocabulary-sized, not corpus-sized.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import register
+from ..tables import load_table
+from .dedup import (
+    _LSH_PAIRS_SQL,
+    _SHINGLES_SQL,
+    JACCARD_THRESHOLD,
+    lsh_candidate_pairs,
+    md5_int_col,
+    md5_int_sql,
+    shingles,
+)
+
+# -- RAG-style chunking --------------------------------------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+@register(
+    "chunk_overlap_windows",
+    oracle=f"""
+SELECT doc_id,
+       CAST((start - 1) // {CHUNK_STRIDE} + 1 AS INT) AS chunk_no,
+       CAST(start AS INT) AS start_tok,
+       CAST(len(list_slice(w, start, start + {CHUNK_TOKENS - 1})) AS INT) AS n_tok,
+       {md5_int_sql(f"array_to_string(list_slice(w, start, start + {CHUNK_TOKENS - 1}), ' ')")}
+           AS chunk_hash
+FROM (
+    SELECT doc_id, w, unnest(range(1, len(w) + 1, {CHUNK_STRIDE})) AS start
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+)
+""",
+    doc=f"RAG chunking: {CHUNK_TOKENS}-token windows, stride {CHUNK_STRIDE} "
+    f"({CHUNK_TOKENS - CHUNK_STRIDE}-token overlap), content-hash per chunk.",
+)
+def chunk_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token windows — the retrieval/embedding unit of every
+    RAG and long-context pipeline. Narrow op end to end: the window
+    starts come from ``sequence`` (codegen), the fan-out is a JVM-side
+    ``explode`` inside the document's own partition, and no shuffle
+    happens at all — chunk rows land exactly where their document was.
+    At 100 TB this is the shape you want: chunking is embarrassingly
+    parallel, and the content hash (60-bit md5 prefix) gives downstream
+    chunk-dedup an 8-byte join key instead of chunk text."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.withColumn("w", F.split("text", " "))
+    starts = F.sequence(F.lit(1), F.size("w"), F.lit(CHUNK_STRIDE))
+    chunk = F.slice(F.col("w"), F.col("start"), CHUNK_TOKENS)
+    return (
+        d.select("doc_id", "w", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / CHUNK_STRIDE + 1).cast("int").alias("chunk_no"),
+            F.col("start").cast("int").alias("start_tok"),
+            F.size(chunk).cast("int").alias("n_tok"),
+            md5_int_col(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+        )
+    )
+
+
+# -- deterministic train/val/test split ---------------------------------------
+
+
+@register(
+    "corpus_train_val_split",
+    oracle=f"""
+SELECT source,
+       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM (
+    SELECT source, n_chars,
+           {md5_int_sql("CAST(doc_id AS VARCHAR)")} % 100 AS b
+    FROM documents
+)
+GROUP BY source, CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END
+""",
+    doc="Deterministic 90/5/5 train/val/test split by doc_id hash; "
+    "per-(source, split) doc and char counts.",
+)
+def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucket splitting: membership is a pure function of the
+    stable doc_id, so the split survives re-runs, re-shards, and
+    incremental ingest (a re-crawled doc lands in the same split —
+    no train/test leakage from pipeline nondeterminism). The split
+    predicate is a map-side expression; the only shuffle is the final
+    |sources|×3-row rollup with map-side partial aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = md5_int_col(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(b < 90, "train").when(b < 95, "val").otherwise("test").alias("split")
+    )
+    return (
+        docs.select("source", "n_chars", split)
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# -- Gopher-style quality gates ------------------------------------------------
+
+STOPWORDS = ("the", "a", "of", "to", "and")
+
+
+@register(
+    "quality_gopher_rules",
+    oracle=f"""
+SELECT doc_id,
+       CAST(wc AS INT) AS word_count,
+       CAST(wl_sum AS DOUBLE) / wc AS mean_word_len,
+       CAST(short_n AS DOUBLE) / wc AS short_frac,
+       CAST(n_stop AS INT) AS n_stopwords,
+       CAST(CASE WHEN wc BETWEEN 30 AND 80 THEN 1 ELSE 0 END AS INT) AS g_wordcount,
+       CAST(CASE WHEN CAST(wl_sum AS DOUBLE) / wc >= 4.0
+                  AND CAST(wl_sum AS DOUBLE) / wc <= 5.0 THEN 1 ELSE 0 END AS INT)
+           AS g_wordlen,
+       CAST(CASE WHEN CAST(short_n AS DOUBLE) / wc <= 0.05 THEN 1 ELSE 0 END AS INT)
+           AS g_short,
+       CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS INT) AS g_stop,
+       CAST(CASE WHEN wc BETWEEN 30 AND 80
+                  AND CAST(wl_sum AS DOUBLE) / wc >= 4.0
+                  AND CAST(wl_sum AS DOUBLE) / wc <= 5.0
+                  AND CAST(short_n AS DOUBLE) / wc <= 0.05
+                  AND n_stop >= 2 THEN 1 ELSE 0 END AS INT) AS pass_all
+FROM (
+    SELECT doc_id,
+           len(w) AS wc,
+           list_sum(list_transform(w, x -> len(x))) AS wl_sum,
+           len(list_filter(w, x -> len(x) <= 2)) AS short_n,
+           {" + ".join(f"(CASE WHEN list_contains(w, '{s}') THEN 1 ELSE 0 END)" for s in STOPWORDS)}
+               AS n_stop
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+)
+""",
+    doc="Gopher-style quality gates: word count, mean word length, "
+    "short-word fraction, stopword presence; per-gate flags + verdict.",
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rule-based quality filter family from the Gopher/MassiveText
+    recipe: cheap structural signals that prune boilerplate before any
+    model-based scoring. Pure codegen expressions over the token array —
+    no shuffle, no Python; the gates are integer flags so downstream
+    mixes can aggregate pass-rates per source with one rollup.
+
+    Determinism: mean word length is (exact int sum) / (exact int
+    count) — a single double division both engines perform on identical
+    operands; the gate comparisons therefore see identical doubles."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.withColumn("w", F.split("text", " "))
+    wc = F.size("w")
+    wl_sum = F.expr("aggregate(transform(w, x -> length(x)), 0, (acc, x) -> acc + x)")
+    short_n = F.size(F.filter("w", lambda x: F.length(x) <= 2))
+    n_stop = sum(
+        F.when(F.array_contains("w", s), 1).otherwise(0) for s in STOPWORDS
+    )
+    base = d.select(
+        "doc_id",
+        wc.alias("wc"),
+        wl_sum.alias("wl_sum"),
+        short_n.alias("short_n"),
+        n_stop.alias("n_stop"),
+    )
+    mean_wl = F.col("wl_sum").cast("double") / F.col("wc")
+    short_frac = F.col("short_n").cast("double") / F.col("wc")
+    g_wordcount = F.col("wc").between(30, 80)
+    g_wordlen = (mean_wl >= 4.0) & (mean_wl <= 5.0)
+    g_short = short_frac <= 0.05
+    g_stop = F.col("n_stop") >= 2
+    as_int = lambda c: F.when(c, 1).otherwise(0).cast("int")  # noqa: E731
+    return base.select(
+        "doc_id",
+        F.col("wc").cast("int").alias("word_count"),
+        mean_wl.alias("mean_word_len"),
+        short_frac.alias("short_frac"),
+        F.col("n_stop").cast("int").alias("n_stopwords"),
+        as_int(g_wordcount).alias("g_wordcount"),
+        as_int(g_wordlen).alias("g_wordlen"),
+        as_int(g_short).alias("g_short"),
+        as_int(g_stop).alias("g_stop"),
+        as_int(g_wordcount & g_wordlen & g_short & g_stop).alias("pass_all"),
+    )
+
+
+# -- round-robin source interleave schedule -----------------------------------
+
+INTERLEAVE_TAKE = 100
+
+
+@register(
+    "corpus_interleave_schedule",
+    oracle=f"""
+SELECT CAST(rn AS INT) AS rn, source, doc_id
+FROM (
+    SELECT source, doc_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {md5_int_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+           ) AS rn
+    FROM documents
+)
+ORDER BY rn, source
+LIMIT {INTERLEAVE_TAKE}
+""",
+    doc=f"Round-robin source interleave: first {INTERLEAVE_TAKE} schedule "
+    "entries ordered by (per-source hash rank, source).",
+)
+def corpus_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture scheduling: training wants sources interleaved, not
+    concatenated, so batch i sees every source before batch i+1 repeats
+    one. Per-source rank is a *partitioned* window (one shuffle on
+    source, parallel across sources — never a global single-task
+    window); the global (rn, source) order is realized as a top-k
+    (TakeOrderedAndProject), which at 100 TB reads only each
+    partition's local head. Ranks are md5-ordered so the schedule is
+    deterministic and shuffle-free to reproduce."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        md5_int_col(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        .select(F.col("rn").cast("int").alias("rn"), "source", "doc_id")
+        .orderBy("rn", "source")
+        .limit(INTERLEAVE_TAKE)
+    )
+
+
+# -- LSH candidates + exact-Jaccard verification ------------------------------
+
+
+@register(
+    "dedup_lsh_verified",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+cand AS ({_LSH_PAIRS_SQL}),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+    FROM sh a JOIN sh b ON a.shh = b.shh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(COALESCE(i.i, 0) AS DOUBLE)
+           / (sa.n + sb.n - COALESCE(i.i, 0)) AS jaccard,
+       CAST(CASE WHEN CAST(COALESCE(i.i, 0) AS DOUBLE)
+                      / (sa.n + sb.n - COALESCE(i.i, 0))
+                      >= {JACCARD_THRESHOLD} THEN 1 ELSE 0 END AS INT) AS verified
+FROM cand c
+JOIN sizes sa ON c.doc_a = sa.doc_id
+JOIN sizes sb ON c.doc_b = sb.doc_id
+LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+""",
+    doc="Two-stage near-dup: MinHash-LSH candidate pairs verified with "
+    "exact n-gram Jaccard (the standard candidate→verify pattern).",
+)
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup shape: cheap LSH recall stage, exact
+    verification stage restricted to the candidates. The shingle table
+    is semi-joined down to candidate documents BEFORE the intersection
+    join, so the quadratic stage runs over |candidate docs|, not
+    |corpus| — at 100 TB the verify cost tracks the (tiny) candidate
+    set. LSH false positives surface as verified=0 rows: the operator
+    measures its own precision."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = lsh_candidate_pairs(spark, sf_dir)
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = shingles(docs).join(cand_docs, "doc_id", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shh") == F.col("b.shh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    ii = F.coalesce(F.col("i"), F.lit(0))
+    jac = ii.cast("double") / (F.col("na") + F.col("nb") - ii)
+    return (
+        cands.join(sa, F.col("doc_a") == F.col("da"))
+        .join(sb, F.col("doc_b") == F.col("db"))
+        .join(
+            inter,
+            (F.col("doc_a") == F.col("ia")) & (F.col("doc_b") == F.col("ib")),
+            "left",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            jac.alias("jaccard"),
+            F.when(jac >= JACCARD_THRESHOLD, 1).otherwise(0).cast("int").alias("verified"),
+        )
+    )
+
+
+# -- per-dimension embedding statistics ---------------------------------------
+
+_DIM_FP = 1_000_000  # fixed-point scale: floor(v * 1e6)
+
+
+@register(
+    "embedding_dim_stats",
+    oracle=f"""
+SELECT CAST(i - 1 AS INT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(fp) AS DOUBLE) / (COUNT(*) * {float(_DIM_FP)}) AS mean_v,
+       CAST(SUM(fp * fp) AS DOUBLE) / (COUNT(*) * {float(_DIM_FP) ** 2})
+           - (CAST(SUM(fp) AS DOUBLE) / (COUNT(*) * {float(_DIM_FP)}))
+           * (CAST(SUM(fp) AS DOUBLE) / (COUNT(*) * {float(_DIM_FP)})) AS var_v
+FROM (
+    SELECT generate_subscripts(embedding, 1) AS i,
+           CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {_DIM_FP}) AS BIGINT) AS fp
+    FROM embeddings
+)
+GROUP BY i
+""",
+    doc="Per-dimension embedding mean/variance via fixed-point integer "
+    "sums (feature-normalization prep).",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension moments — the stats behind embedding whitening /
+    feature normalization. Values are fixed-pointed to integers
+    (floor(v·1e6)) BEFORE summing, so the sums are exact and
+    order-independent across both engines and any partitioning; the
+    only float ops are the final divisions, performed identically on
+    identical operands. One shuffle on the 64-value dim key with
+    map-side partial aggregation — the corpus never moves.
+
+    Scale note: sum(fp²) fits int64 up to ~10⁷ vectors at this scale
+    factor; beyond that widen to DECIMAL(38,0) (still exact, still
+    order-free) — a one-line change called out here deliberately."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(F.posexplode("embedding").alias("pos", "v"))
+    fp = F.floor(F.col("v").cast("double") * _DIM_FP).cast("long")
+    g = e.select((F.col("pos")).cast("int").alias("dim"), fp.alias("fp")).groupBy(
+        "dim"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("fp").alias("s"),
+        F.sum(F.col("fp") * F.col("fp")).alias("ss"),
+    )
+    mean_v = F.col("s").cast("double") / (F.col("n") * F.lit(float(_DIM_FP)))
+    var_v = (
+        F.col("ss").cast("double") / (F.col("n") * F.lit(float(_DIM_FP) ** 2))
+        - mean_v * mean_v
+    )
+    return g.select("dim", "n", mean_v.alias("mean_v"), var_v.alias("var_v"))
+
+
+# -- PageRank over the event-type transition graph ----------------------------
+
+PR_SCALE = 1_000_000_000  # fixed-point rank units
+PR_ITERS = 5
+
+
+def _pr_oracle() -> str:
+    """Unrolled fixed-point PageRank: every rank is a BIGINT in units of
+    1/PR_SCALE; per-edge contributions floor-divide, so sums are exact
+    integers in any order on any engine."""
+    tele = f"CAST({15 * PR_SCALE} // (100 * nn.n) AS BIGINT)"
+    iters = []
+    for k in range(1, PR_ITERS + 1):
+        prev = f"r{k - 1}"
+        iters.append(
+            f"""r{k} AS (
+    SELECT n.node, CAST({tele} + COALESCE(s.s, 0) AS BIGINT) AS r
+    FROM nodes n CROSS JOIN nn
+    LEFT JOIN (
+        SELECT ed.dst, SUM((p.r * 85 * ed.cnt) // (100 * ed.outc)) AS s
+        FROM ed JOIN {prev} p ON ed.src = p.node
+        GROUP BY ed.dst
+    ) s ON s.dst = n.node
+)"""
+        )
+    return f"""
+WITH pairs AS (
+    SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+           event_type AS dst
+    FROM events
+),
+e AS (SELECT src, dst, COUNT(*) AS cnt FROM pairs WHERE src IS NOT NULL GROUP BY src, dst),
+o AS (SELECT src, SUM(cnt) AS outc FROM e GROUP BY src),
+ed AS (SELECT e.src, e.dst, e.cnt, o.outc FROM e JOIN o ON e.src = o.src),
+nodes AS (SELECT DISTINCT event_type AS node FROM events),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT node, CAST({PR_SCALE} // nn.n AS BIGINT) AS r FROM nodes CROSS JOIN nn),
+{",".join(iters)}
+SELECT node AS event_type, r AS rank_fp,
+       CAST(r AS DOUBLE) / {float(PR_SCALE)} AS rank
+FROM r{PR_ITERS}
+"""
+
+
+@register(
+    "graph_pagerank",
+    oracle=_pr_oracle(),
+    doc=f"Fixed-point PageRank ({PR_ITERS} iterations, damping 0.85) over "
+    "the event-type transition graph.",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph algorithm on Spark, done the scale-aware way: the
+    corpus-sized work (deriving the transition multigraph from the raw
+    event stream) happens ONCE — a partitioned lag window plus two
+    partial aggregations; the iteration then runs over vertex/edge
+    tables whose size is |event types|² at most, so five rounds of
+    join+groupBy are metadata-scale no matter how many raw events
+    exist. Ranks are integers in 1/10⁹ units with per-edge floor
+    division — bit-identical across engines and partition orders
+    (cf. the same fixed-point trick in sample_temperature_mixture).
+    Dangling nodes absorb rank (no redistribution) — documented,
+    matching the oracle exactly."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.lag("event_type").over(w).alias("src"), F.col("event_type").alias("dst")
+    ).where(F.col("src").isNotNull())
+    e = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
+    o = e.groupBy("src").agg(F.sum("cnt").alias("outc"))
+    ed = e.join(o, "src").select("src", "dst", "cnt", "outc")
+    nodes = events.select(F.col("event_type").alias("node")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    nodes_n = nodes.crossJoin(F.broadcast(nn))  # |event types| rows
+    tele = F.expr(f"{15 * PR_SCALE} div (100 * n)")
+    ranks = nodes_n.select("node", "n", F.expr(f"{PR_SCALE} div n").alias("r"))
+    for _ in range(PR_ITERS):
+        contrib = ed.join(
+            F.broadcast(ranks.select(F.col("node").alias("src"), "r")), "src"
+        ).select("dst", F.expr("(r * 85 * cnt) div (100 * outc)").alias("c"))
+        s = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes_n.join(s, nodes_n.node == s.dst, "left")
+            .select(
+                "node",
+                "n",
+                (tele + F.coalesce(F.col("s"), F.lit(0))).cast("long").alias("r"),
+            )
+        )
+    return ranks.select(
+        F.col("node").alias("event_type"),
+        F.col("r").alias("rank_fp"),
+        (F.col("r").cast("double") / F.lit(float(PR_SCALE))).alias("rank"),
+    )
+
+
+# -- multimodal frame sampling -------------------------------------------------
+
+
+def _byte_dyn_sql(off_expr: str) -> str:
+    """Byte at dynamic 1-based offset of unhex(md5(text)), portable SQL."""
+    hi = f"(strpos('0123456789abcdef', substr(md5(text), 2 * ({off_expr}) - 1, 1)) - 1)"
+    lo = f"(strpos('0123456789abcdef', substr(md5(text), 2 * ({off_expr}), 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
+
+
+_FRAME_OFF = f"(frame_no - 1) * (16 // nf) + 1"
+_FRAME_END = f"(frame_no - 1) * (16 // nf) + (16 // nf)"
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+SELECT doc_id, media_type,
+       CAST(frame_no AS INT) AS frame_no,
+       CAST({_byte_dyn_sql(_FRAME_OFF)} * 256 + {_byte_dyn_sql(_FRAME_END)} AS INT)
+           AS frame_sig
+FROM (
+    SELECT doc_id, media_type, nf, text, unnest(range(1, nf + 1)) AS frame_no
+    FROM (
+        SELECT doc_id, text,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+                   AS media_type,
+               CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 16 ELSE 8 END AS nf
+        FROM documents
+    )
+)
+""",
+    doc="Frame sampling over binary media payloads via mapInPandas: one "
+    "(doc, frame_no, frame signature) row per sampled frame.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video/audio frame extraction plumbing: each media row fans out
+    into n_frames rows, computed from the raw payload bytes inside an
+    Arrow-batched ``mapInPandas`` (a real decoder slots into the same
+    loop — see multimodal._fake_decode for the stub contract). The
+    fan-out is narrow (frames stay in the source row's partition) and
+    executor memory is bounded by the Arrow batch, not the partition.
+    The frame signature is deterministic byte arithmetic, so even this
+    Python path is oracle-checked end to end."""
+    from .multimodal import manifest
+
+    mdf = manifest(spark, sf_dir).select("doc_id", "media_type", "payload")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_frames = {"image": 1, "audio": 16, "video": 8}
+        for pdf in batches:
+            ids, types, frames, sigs = [], [], [], []
+            for doc_id, mt, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                p = bytes(payload) if payload is not None else b""
+                nf = n_frames.get(mt, 0)
+                bpf = 16 // nf if nf else 0
+                for i in range(1, nf + 1):
+                    off = (i - 1) * bpf  # 0-based start of this frame
+                    ids.append(doc_id)
+                    types.append(mt)
+                    frames.append(i)
+                    sigs.append(p[off] * 256 + p[off + bpf - 1])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "media_type": pd.Series(types, dtype="object"),
+                    "frame_no": pd.Series(frames, dtype="int32"),
+                    "frame_sig": pd.Series(sigs, dtype="int32"),
+                }
+            )
+
+    return mdf.mapInPandas(
+        sample, schema="doc_id long, media_type string, frame_no int, frame_sig int"
+    )

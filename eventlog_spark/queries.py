@@ -178,6 +178,7 @@ def _ensure_loaded() -> None:
     from .operators import approx  # noqa: F401
     from .operators import analytics  # noqa: F401
     from .operators import corpus  # noqa: F401
+    from .operators import curation  # noqa: F401
     from .operators import dedup  # noqa: F401
     from .operators import similarity  # noqa: F401
     from .operators import text  # noqa: F401
