@@ -455,6 +455,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = events.select(F.col("event_type").alias("node")).distinct()
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
     nodes_n = nodes.crossJoin(F.broadcast(nn))  # |event types| rows
+    # Materialize the graph ONCE: the iteration must not re-derive the
+    # corpus-sized lineage (events scan + window + aggs) on every round.
+    # localCheckpoint truncates it — same pattern as
+    # dedup_connected_components; on a cluster use reliable checkpoint.
+    ed = ed.localCheckpoint()
+    nodes_n = nodes_n.localCheckpoint()
     tele = F.expr(f"{15 * PR_SCALE} div (100 * n)")
     ranks = nodes_n.select("node", "n", F.expr(f"{PR_SCALE} div n").alias("r"))
     for _ in range(PR_ITERS):
@@ -463,7 +469,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("dst", F.expr("(r * 85 * cnt) div (100 * outc)").alias("c"))
         s = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
         ranks = (
-            nodes_n.join(s, nodes_n.node == s.dst, "left")
+            nodes_n.join(F.broadcast(s), nodes_n.node == s.dst, "left")
             .select(
                 "node",
                 "n",
@@ -552,4 +558,373 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return mdf.mapInPandas(
         sample, schema="doc_id long, media_type string, frame_no int, frame_sig int"
+    )
+
+
+# -- per-source dataset card ---------------------------------------------------
+
+# the Gopher pass_all predicate, shared verbatim with quality_gopher_rules
+_PASS_SQL = (
+    "CASE WHEN len(w) BETWEEN 30 AND 80 "
+    "AND CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w) >= 4.0 "
+    "AND CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w) <= 5.0 "
+    "AND CAST(len(list_filter(w, x -> len(x) <= 2)) AS DOUBLE) / len(w) <= 0.05 "
+    + "AND ("
+    + " + ".join(
+        f"(CASE WHEN list_contains(w, '{s}') THEN 1 ELSE 0 END)" for s in STOPWORDS
+    )
+    + ") >= 2 THEN 1 ELSE 0 END"
+)
+
+
+def _pass_all_col() -> "F.Column":
+    """pass_all as one Column over a frame with `w` — same thresholds and
+    the same double expressions as quality_gopher_rules."""
+    wc = F.size("w")
+    wl_sum = F.expr("aggregate(transform(w, x -> length(x)), 0, (acc, x) -> acc + x)")
+    mean_wl = wl_sum.cast("double") / wc
+    short_frac = F.size(F.filter("w", lambda x: F.length(x) <= 2)).cast("double") / wc
+    n_stop = sum(F.when(F.array_contains("w", s), 1).otherwise(0) for s in STOPWORDS)
+    return (
+        F.when(
+            wc.between(30, 80)
+            & (mean_wl >= 4.0)
+            & (mean_wl <= 5.0)
+            & (short_frac <= 0.05)
+            & (n_stop >= 2),
+            1,
+        )
+        .otherwise(0)
+    )
+
+
+@register(
+    "corpus_dataset_card",
+    oracle=f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(w)) AS BIGINT) AS total_words,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM({_PASS_SQL}) AS DOUBLE) / COUNT(*) AS gopher_pass_rate,
+       CAST(SUM(CASE WHEN {md5_int_sql("CAST(doc_id AS VARCHAR)")} % 100 < 90
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_train
+FROM (SELECT source, lang, n_chars, doc_id, string_split(text, ' ') AS w FROM documents)
+GROUP BY source
+""",
+    doc="Per-source dataset card: doc/word/char counts, language "
+    "diversity, Gopher pass rate, train-split size.",
+)
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'data card' rollup every corpus release ships: one grouped
+    pass over the documents that fuses size, language-diversity,
+    quality, and split metrics — signals defined elsewhere in this
+    module (identical expressions, so card numbers can't drift from
+    the per-doc operators). One |sources|-key shuffle with map-side
+    partial aggregation; the distinct-lang count is Spark's standard
+    two-phase count-distinct on the same key. Everything upstream is
+    a narrow projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.withColumn("w", F.split("text", " "))
+    in_train = (
+        F.when(md5_int_col(F.col("doc_id").cast("string")) % 100 < 90, 1).otherwise(0)
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("w")).alias("total_words"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        (F.sum(_pass_all_col()).cast("double") / F.count(F.lit(1))).alias(
+            "gopher_pass_rate"
+        ),
+        F.sum(in_train).alias("n_train"),
+    )
+
+
+# -- whitening / standardization apply ----------------------------------------
+
+
+@register(
+    "embedding_whiten_apply",
+    oracle=f"""
+WITH st AS (
+    SELECT i,
+           CAST(SUM(fp) AS DOUBLE) / (COUNT(*) * {float(_DIM_FP)}) AS mean_v,
+           CAST(SUM(fp * fp) AS DOUBLE) / (COUNT(*) * {float(_DIM_FP) ** 2})
+               - (CAST(SUM(fp) AS DOUBLE) / (COUNT(*) * {float(_DIM_FP)}))
+               * (CAST(SUM(fp) AS DOUBLE) / (COUNT(*) * {float(_DIM_FP)})) AS var_v
+    FROM (
+        SELECT generate_subscripts(embedding, 1) AS i,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {_DIM_FP}) AS BIGINT) AS fp
+        FROM embeddings
+    )
+    GROUP BY i
+)
+SELECT vec_id,
+       CAST(COUNT(*) AS INT) AS n_dims,
+       CAST(SUM(CAST(FLOOR((CAST(v AS DOUBLE) - st.mean_v) / sqrt(st.var_v)
+                           * {float(_DIM_FP)}) AS BIGINT)) AS BIGINT) AS z_checksum_fp
+FROM (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
+    FROM embeddings
+) e
+JOIN st ON st.i = e.i
+GROUP BY vec_id
+""",
+    doc="Per-dimension standardization applied to every vector; "
+    "fixed-point checksum verifies the whitened output exactly.",
+)
+def embedding_whiten_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply half of whitening: corpus-derived per-dimension
+    (mean, std) — the embedding_dim_stats computation, identical
+    expressions — broadcast back onto the vector stream, each element
+    standardized in place. The stats side is a 64-row broadcast; the
+    apply side is a narrow explode + re-group on vec_id whose partial
+    aggregation collapses in-partition (a vector's elements never leave
+    their row's partition), so the corpus crosses no exchange with
+    vector bodies — only (vec_id, partial-sum) rows. The checksum is a
+    fixed-point integer sum — exact, order-free — proving the whitened
+    values bit-match the oracle without shipping 64 doubles per row."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+    fp = F.floor(F.col("v").cast("double") * _DIM_FP).cast("long")
+    st = (
+        e.select((F.col("pos") + 1).alias("i"), fp.alias("fp"))
+        .groupBy("i")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("fp").alias("s"),
+            F.sum(F.col("fp") * F.col("fp")).alias("ss"),
+        )
+    )
+    mean_v = F.col("s").cast("double") / (F.col("n") * F.lit(float(_DIM_FP)))
+    var_v = (
+        F.col("ss").cast("double") / (F.col("n") * F.lit(float(_DIM_FP) ** 2))
+        - mean_v * mean_v
+    )
+    stats = st.select("i", mean_v.alias("mean_v"), var_v.alias("var_v"))
+    z_fp = F.floor(
+        (F.col("v").cast("double") - F.col("mean_v"))
+        / F.sqrt(F.col("var_v"))
+        * F.lit(float(_DIM_FP))
+    ).cast("long")
+    return (
+        e.select("vec_id", (F.col("pos") + 1).alias("i"), "v")
+        .join(F.broadcast(stats), "i")
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_dims"),
+            F.sum(z_fp).alias("z_checksum_fp"),
+        )
+    )
+
+
+# -- IVF + PQ composite search -------------------------------------------------
+
+
+def _ivf_pq_oracle() -> str:
+    from .corpus import (
+        _ADC_CODES_SQL,
+        _PQ_KEYS_SQL,
+        _pq_probe_d_sql,
+        PQ_FXP,
+        PQ_K,
+        PQ_M,
+    )
+    from .similarity import _cos_sql, K_LISTS, N_PROBE, QUERY_IDS, TOP_K
+
+    lutq_cols = ",\n           ".join(
+        f"CAST(FLOOR(({_pq_probe_d_sql(s).replace('p.pv', 'q.dvec')}) * {PQ_FXP})"
+        f" AS BIGINT) AS l{s}"
+        for s in range(PQ_M)
+    )
+    lut_joins = "\n    ".join(
+        f"JOIN lutq t{s} ON t{s}.query_id = p.query_id AND t{s}.seed_id = c.c{s}"
+        for s in range(PQ_M)
+    )
+    adc_sum = " + ".join(f"t{s}.l{s}" for s in range(PQ_M))
+    exact_sum = " + ".join(
+        f"CAST(FLOOR(({_pq_probe_d_sql(s).replace('p.pv', 'q.dvec').replace('s.sv', 'e.dvec')})"
+        f" * {PQ_FXP}) AS BIGINT)"
+        for s in range(PQ_M)
+    )
+    return f"""
+WITH emb AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvec
+    FROM embeddings
+),
+cents AS (
+    SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {K_LISTS}
+),
+assigned AS (
+    SELECT vec_id, list_id FROM (
+        SELECT e.vec_id, c.cid AS list_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql("e", "c")} DESC, c.cid) AS rn
+        FROM embeddings e JOIN cents c ON TRUE
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT query_id, cid FROM (
+        SELECT q.vec_id AS query_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_cos_sql("q", "c")} DESC, c.cid) AS rn
+        FROM embeddings q JOIN cents c ON TRUE
+        WHERE q.vec_id IN {QUERY_IDS}
+    ) WHERE rn <= {N_PROBE}
+),
+seeds AS (SELECT vec_id AS seed_id, dvec AS sv FROM emb ORDER BY vec_id LIMIT {PQ_K}),
+dist AS (SELECT e.vec_id, {_PQ_KEYS_SQL} FROM emb e CROSS JOIN seeds s),
+codes AS (SELECT vec_id, {_ADC_CODES_SQL} FROM dist GROUP BY vec_id),
+lutq AS (
+    SELECT q.vec_id AS query_id, s.seed_id,
+           {lutq_cols}
+    FROM seeds s CROSS JOIN emb q
+    WHERE q.vec_id IN {QUERY_IDS}
+),
+adc AS (
+    SELECT p.query_id, a.vec_id, CAST({adc_sum} AS BIGINT) AS adc_fp
+    FROM probes p
+    JOIN assigned a ON a.list_id = p.cid AND a.vec_id <> p.query_id
+    JOIN codes c ON c.vec_id = a.vec_id
+    {lut_joins}
+),
+top AS (
+    SELECT query_id, vec_id AS neighbor_id, adc_fp,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adc_fp, vec_id) AS rk
+    FROM adc
+)
+SELECT t.query_id, t.neighbor_id, t.rk, t.adc_fp,
+       CAST({exact_sum} AS BIGINT) AS exact_fp
+FROM top t
+JOIN emb e ON e.vec_id = t.neighbor_id
+JOIN emb q ON q.vec_id = t.query_id
+WHERE t.rk <= {TOP_K}
+"""
+
+
+@register(
+    "ann_ivf_pq",
+    oracle=_ivf_pq_oracle(),
+    doc="IVF-PQ composite search: 16-list cosine coarse quantizer, "
+    "4-probe candidate pruning, PQ ADC scoring, exact re-rank on top-k.",
+)
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production billion-scale ANN shape, assembled from the two
+    index halves this repo already verifies separately: the IVF coarse
+    quantizer (ann_ivf_probed — broadcast codebook, max_by assignment,
+    probed-list pruning) supplies CANDIDATES; PQ ADC (ann_pq_adc_topk —
+    broadcast K×M LUT, integer lookups) supplies SCORES; full vectors
+    are touched only for the 10-row exact re-rank. Per candidate the
+    cost is M integer lookups — never a 64-d float op — and the
+    candidate set is ∝ n·n_probe/K of the corpus. At 100 TB: codes
+    table bucketed by list_id (probe prunes files), LUT broadcast per
+    query batch, exact re-rank fetches top-k rows only.
+
+    Determinism: every distance floors to fixed-point BIGINT per
+    subspace (ADC sums, ranking, and re-rank are integer math); the
+    coarse stage reuses the bit-exact cosine ordering of
+    ann_ivf_probed; ties break on vec_id everywhere."""
+    from pyspark.sql.window import Window
+
+    from .corpus import PQ_FXP, PQ_K, PQ_M, PQ_SUB
+    from .similarity import K_LISTS, N_PROBE, QUERY_IDS, TOP_K
+
+    dv = F.transform("embedding", lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(F.transform(dv, lambda x: x * x), F.lit(0.0), lambda a, v: a + v)
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    def dfp(s: int, left, right):
+        return F.floor(
+            F.aggregate(
+                F.zip_with(
+                    F.slice(left, s * PQ_SUB + 1, PQ_SUB),
+                    F.slice(right, s * PQ_SUB + 1, PQ_SUB),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            * PQ_FXP
+        ).cast("long")
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", dv.alias("ev"), nrm.alias("ne"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    cents = emb.where(F.col("vec_id") < K_LISTS).select(
+        F.col("vec_id").alias("cid"), F.col("ev").alias("cv"), F.col("ne").alias("nc")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("cos", dot("ev", "cv") / (F.col("ne") * F.col("nc")))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("cid", F.struct(F.col("cos"), (-F.col("cid")).alias("neg"))).alias(
+                "list_id"
+            )
+        )
+    )
+    q = emb.where(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv"), F.col("ne").alias("nq")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("cos", dot("qv", "cv") / (F.col("nq") * F.col("nc")))
+        .withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= N_PROBE)
+        .select("query_id", "cid")
+    )
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(PQ_K)
+        .select(F.col("vec_id").alias("seed_id"), F.col("ev").alias("sv"))
+    )
+    dist = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        *[
+            (dfp(s, "ev", "sv") * PQ_K + F.col("seed_id")).alias(f"key_{s}")
+            for s in range(PQ_M)
+        ],
+    )
+    codes = dist.groupBy("vec_id").agg(
+        *[(F.min(f"key_{s}") % PQ_K).alias(f"c{s}") for s in range(PQ_M)]
+    )
+    lutq = seeds.crossJoin(F.broadcast(q.select("query_id", "qv"))).select(
+        "query_id", "seed_id", *[dfp(s, "sv", "qv").alias(f"l{s}") for s in range(PQ_M)]
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), assigned.list_id == probes.cid)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    adc = cand.join(codes, "vec_id")
+    for s in range(PQ_M):
+        lut_s = lutq.select("query_id", F.col("seed_id").alias(f"c{s}"), f"l{s}")
+        adc = adc.join(F.broadcast(lut_s), ["query_id", f"c{s}"])
+    adc = adc.select(
+        "query_id",
+        "vec_id",
+        sum(F.col(f"l{s}") for s in range(PQ_M)).cast("long").alias("adc_fp"),
+    )
+    wk = Window.partitionBy("query_id").orderBy("adc_fp", "vec_id")
+    top = (
+        adc.withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rk", "adc_fp")
+    )
+    exact = sum(dfp(s, "ev", "qv") for s in range(PQ_M)).cast("long")
+    return (
+        top.join(emb.select(F.col("vec_id").alias("neighbor_id"), "ev"), "neighbor_id")
+        .join(F.broadcast(q.select("query_id", "qv")), "query_id")
+        .select("query_id", "neighbor_id", "rk", "adc_fp", exact.alias("exact_fp"))
     )

@@ -287,3 +287,101 @@ def test_zorder_and_shard_are_single_agg_scans(spark, sf_dir):
         df = q(spark, sf_dir, name)
         assert count_nodes(df, "Exchange") == n_exchanges, f"{name}: extra shuffles"
         assert not has_node(df, "SortMergeJoin") and not has_node(df, "Window")
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """chunk_overlap_windows: window starts + slices + hash are one
+    codegen projection with a narrow explode — no Exchange, no Python."""
+    df = q(spark, sf_dir, "chunk_overlap_windows")
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_split_is_one_rollup_shuffle(spark, sf_dir):
+    """corpus_train_val_split: hash-bucket membership is map-side; the
+    only exchange is the (source, split) rollup with partial agg."""
+    df = q(spark, sf_dir, "corpus_train_val_split")
+    assert count_nodes(df, "Exchange") == 1
+    assert not has_node(df, "SortMergeJoin") and not has_node(df, "Window")
+
+
+def test_gopher_gates_are_pure_codegen(spark, sf_dir):
+    """quality_gopher_rules: all gates evaluate in one shuffle-free,
+    Python-free projection over the token array."""
+    df = q(spark, sf_dir, "quality_gopher_rules")
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_interleave_schedule_avoids_global_window(spark, sf_dir):
+    """corpus_interleave_schedule: per-source rank is a partitioned
+    window; the global (rn, source) order is a TakeOrdered top-k, never
+    a full sort or an unpartitioned window."""
+    df = q(spark, sf_dir, "corpus_interleave_schedule")
+    plan = formatted_plan(df)
+    assert has_node(df, "TakeOrderedAndProject"), "global order not top-k"
+    assert "partitionBy: [source" not in plan or True  # window is partitioned:
+    import re
+
+    for m in re.finditer(r"Window .*partitionBy: \[\]", plan):
+        raise AssertionError(f"unpartitioned window in plan: {m.group(0)}")
+
+
+def test_lsh_verify_restricts_to_candidates(spark, sf_dir):
+    """dedup_lsh_verified: the exact-verify stage must semi-join the
+    shingle table down to candidate docs before the intersection join."""
+    df = q(spark, sf_dir, "dedup_lsh_verified")
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan, "no semi-join restriction before verify"
+
+
+def test_dim_stats_single_small_shuffle(spark, sf_dir):
+    """embedding_dim_stats: one hash exchange on the 64-value dim key,
+    partial-agged map-side; no joins or windows."""
+    df = q(spark, sf_dir, "embedding_dim_stats")
+    assert count_nodes(df, "Exchange") == 1
+    assert not has_node(df, "SortMergeJoin") and not has_node(df, "Window")
+
+
+def test_pagerank_iterations_broadcast_ranks(spark, sf_dir):
+    """graph_pagerank: every iteration joins the (≤|event types|-row)
+    rank table as a broadcast — the edge table never shuffle-joins."""
+    df = q(spark, sf_dir, "graph_pagerank")
+    assert count_nodes(df, "BroadcastHashJoin") >= 5, "rank joins not broadcast"
+    assert not has_node(df, "SortMergeJoin")
+
+
+def test_frame_sample_is_narrow_python_stage(spark, sf_dir):
+    """multimodal_frame_sample: exactly one Arrow-batched Python stage
+    (the sampler) and no shuffle — frames stay in the source partition."""
+    df = q(spark, sf_dir, "multimodal_frame_sample")
+    plan = formatted_plan(df)
+    assert plan.count("MapInPandas (") == 1  # one node header (details re-mention it)
+    assert "Exchange" not in plan
+
+
+def test_dataset_card_is_one_grouped_pass(spark, sf_dir):
+    """corpus_dataset_card: one |sources|-key rollup (plus Spark's
+    two-phase count-distinct expansion on the same key) — no joins."""
+    df = q(spark, sf_dir, "corpus_dataset_card")
+    assert not has_node(df, "SortMergeJoin") and not has_node(df, "BroadcastHashJoin")
+    assert count_nodes(df, "Exchange") <= 2  # partial agg + count-distinct phase
+
+
+def test_whiten_apply_broadcasts_stats(spark, sf_dir):
+    """embedding_whiten_apply: the 64-row stats side broadcasts; vector
+    bodies never shuffle-join."""
+    df = q(spark, sf_dir, "embedding_whiten_apply")
+    assert has_node(df, "BroadcastHashJoin"), "stats not broadcast"
+    assert not has_node(df, "SortMergeJoin")
+
+
+def test_ivf_pq_lut_joins_are_broadcast(spark, sf_dir):
+    """ann_ivf_pq: candidate pruning (probes) and all M LUT lookups are
+    broadcast joins; the only sort-merge anywhere would mean the code
+    stream shuffled for a K×M-row table."""
+    df = q(spark, sf_dir, "ann_ivf_pq")
+    assert count_nodes(df, "BroadcastHashJoin") >= 5, "probes/LUT not broadcast"
+    assert not has_node(df, "SortMergeJoin")
