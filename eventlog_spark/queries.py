@@ -102,8 +102,6 @@ _FIRST_50 = [
     # log engine (O1–O20 surface)
     "eventlog_engine_roundtrip",
     "log_scan_forward",
-    "log_scan_reverse",
-    "log_scan_skip_first",
     "log_version_bounds",
     "log_integrity_audit",
     # dedup family
@@ -128,7 +126,6 @@ _FIRST_50 = [
     "multimodal_decode_features",
     # streaming twins
     "stream_tumbling_window",
-    "stream_sliding_window",
     "stream_session_window",
     "stream_threshold_alert",
     "stream_dedup",
@@ -154,11 +151,17 @@ _FIRST_50 = [
     "join_broadcast_dim",
     "join_range",
     "window_running_total",
-    "window_sessionize",
     "json_extract",
     # formerly unchecked / formerly vacuous
     "join_skew_salted",
     "q22_idle_customers",
+    # round-3 curation family representatives (the freed slots come from
+    # same-family near-duplicates: skip_first ≈ scan_forward arithmetic,
+    # sliding ≈ tumbling, sessionize ≈ session_window twin)
+    "chunk_overlap_windows",
+    "graph_pagerank",
+    "dedup_lsh_verified",
+    "ann_ivf_pq",
 ]
 
 _LAST = ["join_bucketed_colocated"]
@@ -190,6 +193,7 @@ def _ensure_loaded() -> None:
 
     missing = [n for n in _FIRST_50 + _LAST if n not in REGISTRY]
     assert not missing, f"registry reorder references unknown queries: {missing}"
+    assert len(_FIRST_50) == 50, f"driver checks exactly 50: {len(_FIRST_50)}"
     middle = [n for n in REGISTRY if n not in _FIRST_50 and n not in _LAST]
     ordered = _FIRST_50 + middle + _LAST
     reordered = {name: REGISTRY[name] for name in ordered}
