@@ -98,73 +98,81 @@ _loaded = False
 # else follows, and the only query with catalog side effects
 # (join_bucketed_colocated) goes dead LAST so a harness abort there
 # cannot cost any other query its row.
+# Round-4 rotation: rounds 1–3 cumulatively drove 93/140 queries green;
+# the 47 never-driver-checked queries (all local-green in
+# tests/test_oracle.py) take 47 of the 50 slots this round, plus three
+# anchors for formerly-red families (decimal TPC-H, log engine,
+# streaming twin). join_bucketed_colocated — the only query with catalog
+# side effects — sits at slot 50 so a harness abort there cannot cost
+# any other query its row. Green rows here lift cumulative driver
+# coverage to 140/140.
 _FIRST_50 = [
-    # log engine (O1–O20 surface)
-    "eventlog_engine_roundtrip",
-    "log_scan_forward",
-    "log_version_bounds",
-    "log_integrity_audit",
-    # dedup family
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_connected_components",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    # ANN / similarity
-    "ann_topk_bruteforce",
-    "ann_ivf_probed",
-    "ann_lsh_bucketed",
-    # text analysis
-    "text_quality",
-    "text_token_count",
-    "text_lang_stats",
-    "text_rolling_hash",
-    "text_fingerprint",
-    # multimodal
-    "multimodal_manifest",
-    "multimodal_decode_features",
-    # streaming twins
-    "stream_tumbling_window",
-    "stream_session_window",
-    "stream_threshold_alert",
-    "stream_dedup",
-    "stream_static_enrich",
-    "timeseries_rollup",
-    "stream_interval_join",
-    # pipeline + UDF/UDTF + sketches
-    "pipeline_curate",
-    "udaf_pandas_weighted_avg",
-    "udtf_span_split",
-    "sample_hash_stats",
-    "approx_distinct_kmv",
-    "approx_distinct_hll",
-    # formerly hash-red dtype representatives (decimal→double, int-sum)
+    # anchors (re-checked representatives of formerly hash-red families)
     "q1_pricing_summary",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "q3_shipping_priority",
-    # storage-engine roundtrips (inmem + reference binary format)
-    "eventlog_inmem_roundtrip",
-    "eventlog_binary_roundtrip",
-    "join_broadcast_dim",
-    "join_range",
-    "window_running_total",
-    "json_extract",
-    # formerly unchecked / formerly vacuous
-    "join_skew_salted",
-    "q22_idle_customers",
-    # round-3 curation family representatives (the freed slots come from
-    # same-family near-duplicates: skip_first ≈ scan_forward arithmetic,
-    # sliding ≈ tumbling, sessionize ≈ session_window twin)
-    "chunk_overlap_windows",
-    "graph_pagerank",
-    "dedup_lsh_verified",
-    "ann_ivf_pq",
+    "eventlog_engine_roundtrip",
+    "stream_tumbling_window",
+    # SCD2 / MERGE / incremental maintenance
+    "scd2_user_state",
+    "merge_upsert_orders",
+    "incremental_agg_merge",
+    "zorder_layout_key",
+    # dedup tail
+    "dedup_segments",
+    "dedup_semantic_cluster",
+    "dedup_winnowing",
+    # sampling / splits / quotas / mixtures
+    "sample_stratified",
+    "sample_temperature_mixture",
+    "domain_quota_cap",
+    "corpus_train_val_split",
+    "corpus_shard_assign",
+    "corpus_interleave_schedule",
+    # corpus statistics / retrieval
+    "corpus_length_histogram",
+    "corpus_dataset_card",
+    "vocab_topk",
+    "tfidf_top_terms",
+    "bm25_search",
+    "text_bpe_pair_counts",
+    # sketches
+    "sketch_count_min",
+    "sketch_bloom_filter",
+    # event analytics
+    "event_funnel",
+    "event_retention",
+    "event_transition_matrix",
+    "event_value_outliers",
+    "event_daily_ewma",
+    "event_type_lift",
+    # packing / quality gates
+    "pack_token_budget",
+    "quality_relative_filter",
+    "quality_gopher_rules",
+    "quality_model_scores",
+    # embedding family
+    "embedding_centroid_assign",
+    "embedding_quantize_int8",
+    "embedding_pq_codes",
+    "embedding_dim_stats",
+    "embedding_whiten_apply",
+    # ANN tail
+    "ann_pq_adc_topk",
+    "ann_range_search",
+    # text filtering tail
+    "text_decontaminate",
+    "text_repetition_score",
+    "text_inverse_freq_score",
+    "text_blocklist_filter",
+    "text_bigram_surprisal",
+    # misc tail
+    "source_overlap_matrix",
+    "multimodal_frame_sample",
+    "stream_late_arrival_audit",
+    # catalog side effects — dead last within the window
+    "join_bucketed_colocated",
 ]
 
-_LAST = ["join_bucketed_colocated"]
+_LAST: list[str] = []
 
 
 def _ensure_loaded() -> None:
