@@ -731,36 +731,108 @@ def embedding_whiten_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- IVF + PQ composite search -------------------------------------------------
 
 
+# trained-codebook IVF-PQ parameters (distinct from the seed-codebook
+# demo constants PQ_K in corpus.py — those still drive embedding_pq_codes
+# and ann_pq_adc_topk, which demonstrate the seed-codebook variant)
+PQ_KT = 64      # trained codes per subspace
+PQ_ROUNDS = 2   # deterministic Lloyd rounds
+PQ_RERANK = 50  # ADC shortlist size fed to the exact re-rank
+
+
 def _ivf_pq_oracle() -> str:
-    from .corpus import (
-        _ADC_CODES_SQL,
-        _PQ_KEYS_SQL,
-        _pq_probe_d_sql,
-        PQ_FXP,
-        PQ_K,
-        PQ_M,
-    )
+    from .corpus import PQ_FXP, PQ_M, PQ_SUB
     from .similarity import _cos_sql, K_LISTS, N_PROBE, QUERY_IDS, TOP_K
 
-    lutq_cols = ",\n           ".join(
-        f"CAST(FLOOR(({_pq_probe_d_sql(s).replace('p.pv', 'q.dvec')}) * {PQ_FXP})"
-        f" AS BIGINT) AS l{s}"
+    def sd(a_elem: str, b_elem: str) -> str:
+        """Squared L2 over one subspace, sequential list_sum fold —
+        bit-identical to Spark's F.aggregate(zip_with(...), 0.0, +)."""
+        return (
+            f"list_sum(list_transform(range(1, {PQ_SUB + 1}),"
+            f" i -> ({a_elem} - {b_elem}) * ({a_elem} - {b_elem})))"
+        )
+
+    sub_union = "\n    UNION ALL\n    ".join(
+        f"SELECT vec_id, {s} AS s,"
+        f" list_slice(nv, {s * PQ_SUB + 1}, {(s + 1) * PQ_SUB}) AS sv FROM emb"
         for s in range(PQ_M)
     )
+
+    def assign_key(cent: str) -> str:
+        d = sd("v.sv[i]", "c.sv[i]")
+        return (
+            f"SELECT v.vec_id, v.s,\n"
+            f"           CAST(MIN(CAST(FLOOR(({d}) * {PQ_FXP}) AS BIGINT)"
+            f" * {PQ_KT} + c.cid) % {PQ_KT} AS BIGINT) AS cid\n"
+            f"    FROM sub v JOIN {cent} c ON c.s = v.s\n"
+            f"    GROUP BY v.vec_id, v.s"
+        )
+
+    def update(asg: str, cent: str) -> str:
+        return (
+            f"SELECT c.s, c.cid, COALESCE(n.cv, c.sv) AS sv\n"
+            f"    FROM {cent} c LEFT JOIN (\n"
+            f"        SELECT s, cid, list(cd ORDER BY pos) AS cv FROM (\n"
+            f"            SELECT v.s, a.cid, g.i AS pos,\n"
+            f"                   CAST(SUM(CAST(FLOOR(v.sv[g.i] * {PQ_FXP}) AS BIGINT))"
+            f" AS DOUBLE) / (COUNT(*) * {float(PQ_FXP)!r}) AS cd\n"
+            f"            FROM sub v JOIN {asg} a ON a.vec_id = v.vec_id AND a.s = v.s,\n"
+            f"                 range(1, {PQ_SUB + 1}) AS g(i)\n"
+            f"            GROUP BY v.s, a.cid, g.i\n"
+            f"        ) GROUP BY s, cid\n"
+            f"    ) n ON n.s = c.s AND n.cid = c.cid"
+        )
+
+    code_key = (
+        f"CAST(FLOOR(({sd('v.sv[i]', 'c.sv[i]')}) * {PQ_FXP}) AS BIGINT)"
+        f" * {PQ_KT} + c.cid"
+    )
+    code_cols = ",\n           ".join(
+        f"MIN(CASE WHEN s = {s} THEN key END) % {PQ_KT} AS c{s}" for s in range(PQ_M)
+    )
+    lut_d = sd(f"q.nv[c.s * {PQ_SUB} + i]", "c.sv[i]")
     lut_joins = "\n    ".join(
-        f"JOIN lutq t{s} ON t{s}.query_id = p.query_id AND t{s}.seed_id = c.c{s}"
+        f"JOIN lut t{s} ON t{s}.query_id = p.query_id AND t{s}.s = {s}"
+        f" AND t{s}.cid = cp.c{s}"
         for s in range(PQ_M)
     )
-    adc_sum = " + ".join(f"t{s}.l{s}" for s in range(PQ_M))
+    adc_sum = " + ".join(f"t{s}.l" for s in range(PQ_M))
     exact_sum = " + ".join(
-        f"CAST(FLOOR(({_pq_probe_d_sql(s).replace('p.pv', 'q.dvec').replace('s.sv', 'e.dvec')})"
+        f"CAST(FLOOR(({sd(f'e.nv[{s * PQ_SUB} + i]', f'q.nv[{s * PQ_SUB} + i]')})"
         f" * {PQ_FXP}) AS BIGINT)"
         for s in range(PQ_M)
     )
     return f"""
 WITH emb AS (
-    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvec
-    FROM embeddings
+    SELECT vec_id, list_transform(dvec, x -> x / nrm) AS nv
+    FROM (
+        SELECT vec_id, dvec,
+               sqrt(list_sum(list_transform(dvec, x -> x * x))) AS nrm
+        FROM (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvec
+              FROM embeddings)
+    )
+),
+sub AS (
+    {sub_union}
+),
+cent0 AS (SELECT s, vec_id AS cid, sv FROM sub WHERE vec_id < {PQ_KT}),
+a1 AS (
+    {assign_key("cent0")}
+),
+cent1 AS (
+    {update("a1", "cent0")}
+),
+a2 AS (
+    {assign_key("cent1")}
+),
+cent2 AS (
+    {update("a2", "cent1")}
+),
+cp AS (
+    SELECT vec_id, {code_cols}
+    FROM (SELECT v.vec_id, v.s, {code_key} AS key
+          FROM sub v JOIN cent2 c ON c.s = v.s)
+    GROUP BY vec_id
 ),
 cents AS (
     SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {K_LISTS}
@@ -782,34 +854,39 @@ probes AS (
         WHERE q.vec_id IN {QUERY_IDS}
     ) WHERE rn <= {N_PROBE}
 ),
-seeds AS (SELECT vec_id AS seed_id, dvec AS sv FROM emb ORDER BY vec_id LIMIT {PQ_K}),
-dist AS (SELECT e.vec_id, {_PQ_KEYS_SQL} FROM emb e CROSS JOIN seeds s),
-codes AS (SELECT vec_id, {_ADC_CODES_SQL} FROM dist GROUP BY vec_id),
-lutq AS (
-    SELECT q.vec_id AS query_id, s.seed_id,
-           {lutq_cols}
-    FROM seeds s CROSS JOIN emb q
-    WHERE q.vec_id IN {QUERY_IDS}
+qs AS (SELECT vec_id AS query_id, nv FROM emb WHERE vec_id IN {QUERY_IDS}),
+lut AS (
+    SELECT q.query_id, c.s, c.cid,
+           CAST(FLOOR(({lut_d}) * {PQ_FXP}) AS BIGINT) AS l
+    FROM cent2 c CROSS JOIN qs q
 ),
 adc AS (
     SELECT p.query_id, a.vec_id, CAST({adc_sum} AS BIGINT) AS adc_fp
     FROM probes p
     JOIN assigned a ON a.list_id = p.cid AND a.vec_id <> p.query_id
-    JOIN codes c ON c.vec_id = a.vec_id
+    JOIN cp ON cp.vec_id = a.vec_id
     {lut_joins}
 ),
-top AS (
-    SELECT query_id, vec_id AS neighbor_id, adc_fp,
+short AS (
+    SELECT query_id, vec_id, adc_fp,
            ROW_NUMBER() OVER (PARTITION BY query_id
-                              ORDER BY adc_fp, vec_id) AS rk
+                              ORDER BY adc_fp, vec_id) AS sr
     FROM adc
+),
+rer AS (
+    SELECT s.query_id, s.vec_id AS neighbor_id, s.adc_fp,
+           CAST({exact_sum} AS BIGINT) AS exact_fp
+    FROM short s
+    JOIN emb e ON e.vec_id = s.vec_id
+    JOIN qs q ON q.query_id = s.query_id
+    WHERE s.sr <= {PQ_RERANK}
 )
-SELECT t.query_id, t.neighbor_id, t.rk, t.adc_fp,
-       CAST({exact_sum} AS BIGINT) AS exact_fp
-FROM top t
-JOIN emb e ON e.vec_id = t.neighbor_id
-JOIN emb q ON q.vec_id = t.query_id
-WHERE t.rk <= {TOP_K}
+SELECT query_id, neighbor_id, rk, adc_fp, exact_fp FROM (
+    SELECT query_id, neighbor_id, adc_fp, exact_fp,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY exact_fp, neighbor_id) AS rk
+    FROM rer
+) WHERE rk <= {TOP_K}
 """
 
 
@@ -817,73 +894,150 @@ WHERE t.rk <= {TOP_K}
     "ann_ivf_pq",
     oracle=_ivf_pq_oracle(),
     doc="IVF-PQ composite search: 16-list cosine coarse quantizer, "
-    "4-probe candidate pruning, PQ ADC scoring, exact re-rank on top-k.",
+    "4-probe pruning, trained 64-entry PQ codebooks (2 deterministic "
+    "Lloyd rounds), ADC shortlist, exact re-rank.",
 )
 def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production billion-scale ANN shape, assembled from the two
-    index halves this repo already verifies separately: the IVF coarse
-    quantizer (ann_ivf_probed — broadcast codebook, max_by assignment,
-    probed-list pruning) supplies CANDIDATES; PQ ADC (ann_pq_adc_topk —
-    broadcast K×M LUT, integer lookups) supplies SCORES; full vectors
-    are touched only for the 10-row exact re-rank. Per candidate the
-    cost is M integer lookups — never a 64-d float op — and the
-    candidate set is ∝ n·n_probe/K of the corpus. At 100 TB: codes
+    """The production billion-scale ANN shape: the IVF coarse quantizer
+    (ann_ivf_probed's broadcast codebook + probed-list pruning) supplies
+    CANDIDATES; PQ ADC over TRAINED codebooks supplies SCORES for a
+    shortlist; full vectors are touched only for the PQ_RERANK-row exact
+    re-rank that produces the final top-k. Per candidate the ADC cost is
+    M integer LUT lookups — never a 64-d float op.
+
+    Codebook training (the round-3 weakness this replaces — recall@10
+    was 0.36 with 8-entry untrained seeds): vectors are L2-NORMALIZED so
+    squared-L2 ADC is monotone with the cosine ground truth, then each
+    16-d subspace trains a 64-entry codebook with PQ_ROUNDS deterministic
+    Lloyd iterations. Assignment is argmin over floor(d·2^20) fixed-point
+    keys (ties break on centroid id); centroid updates accumulate
+    floor(v·2^20) as BIGINT — integer sums are exact and order-free where
+    a float mean would depend on partition order — so the DuckDB oracle
+    replays training bit-exactly (same trick as embedding_centroid_assign,
+    corpus.py:438). Empty clusters keep their previous centroid
+    (COALESCE both engines). Measured recall@10 vs ann_topk_bruteforce
+    at sf0.01: see tests/test_pipeline_ops.py (asserted ≥ 0.8; the
+    probed-lists-exact ceiling is 0.92) — vs 0.36 before training.
+
+    Scale: training is sample-sized work (at 100 TB you train on a
+    ~1M-vector sample; here the corpus is the sample) and every training
+    shuffle is codebook-sized (M×K×SUB rows) except the one-row-per-
+    vector assignment aggregate, which combines map-side. The trained
+    codebook is localCheckpoint'ed LAZILY (256 rows — severs the
+    training subtree so encode/LUT/re-rank don't replay it; lazy so
+    plan-only inspection doesn't execute jobs). At serving scale: codes
     table bucketed by list_id (probe prunes files), LUT broadcast per
-    query batch, exact re-rank fetches top-k rows only.
+    query batch, exact re-rank fetches PQ_RERANK rows per query only.
 
-    Determinism: every distance floors to fixed-point BIGINT per
-    subspace (ADC sums, ranking, and re-rank are integer math); the
-    coarse stage reuses the bit-exact cosine ordering of
-    ann_ivf_probed; ties break on vec_id everywhere.
-
-    Measured recall@10 vs ann_topk_bruteforce at sf0.01: 0.36 (the
-    probed-lists-with-exact-cosine tier scores 0.92). The gap is the
-    honest cost of this demo's 8-entry deterministic codebook per
-    subspace (production trains 256-entry k-means codebooks — k-means
-    is float-accumulation-order-dependent, which would break the
-    cross-engine oracle) plus the L2-ADC vs cosine metric mismatch on
-    unnormalized vectors. The PLAN is the production plan; recall is a
-    codebook-quality knob, not a plan property."""
+    Determinism: every ranking key is fixed-point BIGINT; doubles appear
+    only inside sequential folds evaluated in the same order by both
+    engines; ties break on vec_id everywhere."""
     from pyspark.sql.window import Window
 
-    from .corpus import PQ_FXP, PQ_K, PQ_M, PQ_SUB
+    from .corpus import PQ_FXP, PQ_M, PQ_SUB
     from .similarity import K_LISTS, N_PROBE, QUERY_IDS, TOP_K
 
-    dv = F.transform("embedding", lambda x: x.cast("double"))
-    nrm = F.sqrt(
-        F.aggregate(F.transform(dv, lambda x: x * x), F.lit(0.0), lambda a, v: a + v)
-    )
+    def sd(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
 
     def dot(a, b):
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
         )
 
-    def dfp(s: int, left, right):
-        return F.floor(
-            F.aggregate(
-                F.zip_with(
-                    F.slice(left, s * PQ_SUB + 1, PQ_SUB),
-                    F.slice(right, s * PQ_SUB + 1, PQ_SUB),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                lambda a, v: a + v,
-            )
-            * PQ_FXP
-        ).cast("long")
-
+    dv = F.transform("embedding", lambda x: x.cast("double"))
+    base = load_table(spark, sf_dir, "embeddings").select("vec_id", dv.alias("dvec"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("dvec", lambda x: x * x), F.lit(0.0), lambda a, v: a + v
+        )
+    )
     emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", dv.alias("ev"), nrm.alias("ne"))
+        base.select("vec_id", "dvec", nrm.alias("nrm"))
+        .select(
+            "vec_id",
+            "dvec",
+            "nrm",
+            F.transform("dvec", lambda x: x / F.col("nrm")).alias("nv"),
+        )
         .repartition(spark.sparkContext.defaultParallelism)
     )
+
+    # ---- PQ codebook training (deterministic fixed-point Lloyd) ----
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.slice("nv", s * PQ_SUB + 1, PQ_SUB).alias("sv"),
+            )
+            for s in range(PQ_M)
+        ]
+    )
+    sub = emb.select("vec_id", F.explode(subs).alias("x")).select(
+        "vec_id", F.col("x.s").alias("s"), F.col("x.sv").alias("sv")
+    )
+    cent = sub.where(F.col("vec_id") < PQ_KT).select(
+        "s", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    key = F.floor(sd(F.col("sv"), F.col("cv")) * PQ_FXP).cast("long") * PQ_KT + F.col(
+        "cid"
+    )
+    for _ in range(PQ_ROUNDS):
+        # argmin via MIN over (dist_fp · K + cid) keys; sv is constant
+        # within each (vec_id, s) group so first() is deterministic
+        asg = (
+            sub.join(F.broadcast(cent), "s")
+            .groupBy("vec_id", "s")
+            .agg((F.min(key) % PQ_KT).alias("cid"), F.first("sv").alias("sv"))
+        )
+        comp = (
+            asg.select("s", "cid", F.posexplode("sv").alias("pos0", "v"))
+            .groupBy("s", "cid", "pos0")
+            .agg(
+                (
+                    F.sum(F.floor(F.col("v") * PQ_FXP).cast("long")).cast("double")
+                    / (F.count(F.lit(1)) * F.lit(float(PQ_FXP)))
+                ).alias("cd")
+            )
+        )
+        newc = comp.groupBy("s", "cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos0").alias("pos"), "cd"))),
+                lambda t: t["cd"],
+            ).alias("ncv")
+        )
+        cent = (
+            cent.join(F.broadcast(newc), ["s", "cid"], "left")
+            .select("s", "cid", F.coalesce("ncv", "cv").alias("cv"))
+            .localCheckpoint(eager=False)
+        )
+
+    # ---- encode the corpus against the trained codebook ----
+    cp = (
+        sub.join(F.broadcast(cent), "s")
+        .select("vec_id", "s", key.alias("key"))
+        .groupBy("vec_id")
+        .agg(
+            *[
+                (F.min(F.when(F.col("s") == s, F.col("key"))) % PQ_KT).alias(f"c{s}")
+                for s in range(PQ_M)
+            ]
+        )
+    )
+
+    # ---- IVF coarse quantizer (unchanged proven shape) ----
     cents = emb.where(F.col("vec_id") < K_LISTS).select(
-        F.col("vec_id").alias("cid"), F.col("ev").alias("cv"), F.col("ne").alias("nc")
+        F.col("vec_id").alias("cid"),
+        F.col("dvec").alias("cv"),
+        F.col("nrm").alias("nc"),
     )
     assigned = (
         emb.crossJoin(F.broadcast(cents))
-        .withColumn("cos", dot("ev", "cv") / (F.col("ne") * F.col("nc")))
+        .withColumn("cos", dot("dvec", "cv") / (F.col("nrm") * F.col("nc")))
         .groupBy("vec_id")
         .agg(
             F.max_by("cid", F.struct(F.col("cos"), (-F.col("cid")).alias("neg"))).alias(
@@ -892,7 +1046,10 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     q = emb.where(F.col("vec_id").isin(*QUERY_IDS)).select(
-        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv"), F.col("ne").alias("nq")
+        F.col("vec_id").alias("query_id"),
+        F.col("dvec").alias("qv"),
+        F.col("nrm").alias("nq"),
+        F.col("nv").alias("qnv"),
     )
     wp = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cid"))
     probes = (
@@ -902,49 +1059,69 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= N_PROBE)
         .select("query_id", "cid")
     )
-    seeds = (
-        emb.orderBy("vec_id")
-        .limit(PQ_K)
-        .select(F.col("vec_id").alias("seed_id"), F.col("ev").alias("sv"))
-    )
-    dist = emb.crossJoin(F.broadcast(seeds)).select(
-        "vec_id",
-        *[
-            (dfp(s, "ev", "sv") * PQ_K + F.col("seed_id")).alias(f"key_{s}")
-            for s in range(PQ_M)
-        ],
-    )
-    codes = dist.groupBy("vec_id").agg(
-        *[(F.min(f"key_{s}") % PQ_K).alias(f"c{s}") for s in range(PQ_M)]
-    )
-    lutq = seeds.crossJoin(F.broadcast(q.select("query_id", "qv"))).select(
-        "query_id", "seed_id", *[dfp(s, "sv", "qv").alias(f"l{s}") for s in range(PQ_M)]
-    )
+
+    # ---- ADC: per-query LUT joins over the candidate codes ----
+    luts = []
+    for s in range(PQ_M):
+        qsv = q.select("query_id", F.slice("qnv", s * PQ_SUB + 1, PQ_SUB).alias("qsv"))
+        luts.append(
+            cent.where(F.col("s") == s)
+            .crossJoin(F.broadcast(qsv))
+            .select(
+                "query_id",
+                F.col("cid").alias(f"c{s}"),
+                F.floor(sd(F.col("qsv"), F.col("cv")) * PQ_FXP)
+                .cast("long")
+                .alias(f"l{s}"),
+            )
+        )
     cand = (
         assigned.join(F.broadcast(probes), assigned.list_id == probes.cid)
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
     )
-    adc = cand.join(codes, "vec_id")
+    adc = cand.join(cp, "vec_id")
     for s in range(PQ_M):
-        lut_s = lutq.select("query_id", F.col("seed_id").alias(f"c{s}"), f"l{s}")
-        adc = adc.join(F.broadcast(lut_s), ["query_id", f"c{s}"])
+        adc = adc.join(F.broadcast(luts[s]), ["query_id", f"c{s}"])
     adc = adc.select(
         "query_id",
         "vec_id",
         sum(F.col(f"l{s}") for s in range(PQ_M)).cast("long").alias("adc_fp"),
     )
-    wk = Window.partitionBy("query_id").orderBy("adc_fp", "vec_id")
-    top = (
-        adc.withColumn("rk", F.row_number().over(wk))
-        .where(F.col("rk") <= TOP_K)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rk", "adc_fp")
+
+    # ---- ADC shortlist → exact re-rank on normalized vectors ----
+    ws = Window.partitionBy("query_id").orderBy("adc_fp", "vec_id")
+    short = (
+        adc.withColumn("sr", F.row_number().over(ws))
+        .where(F.col("sr") <= PQ_RERANK)
+        .select("query_id", "vec_id", "adc_fp")
     )
-    exact = sum(dfp(s, "ev", "qv") for s in range(PQ_M)).cast("long")
+    exact = sum(
+        F.floor(
+            sd(
+                F.slice("env", s * PQ_SUB + 1, PQ_SUB),
+                F.slice("qnv", s * PQ_SUB + 1, PQ_SUB),
+            )
+            * PQ_FXP
+        ).cast("long")
+        for s in range(PQ_M)
+    )
+    wk = Window.partitionBy("query_id").orderBy("exact_fp", "neighbor_id")
     return (
-        top.join(emb.select(F.col("vec_id").alias("neighbor_id"), "ev"), "neighbor_id")
-        .join(F.broadcast(q.select("query_id", "qv")), "query_id")
-        .select("query_id", "neighbor_id", "rk", "adc_fp", exact.alias("exact_fp"))
+        # the shortlist (≤ RERANK·|Q| rows) BROADCASTS against the corpus
+        # to fetch full vectors — the scale plan for "re-rank few rows"
+        emb.select("vec_id", F.col("nv").alias("env"))
+        .join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(q.select("query_id", "qnv")), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_fp",
+            exact.cast("long").alias("exact_fp"),
+        )
+        .withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rk", "adc_fp", "exact_fp")
     )
 
 

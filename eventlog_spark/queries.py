@@ -107,10 +107,12 @@ _loaded = False
 # any other query its row. Green rows here lift cumulative driver
 # coverage to 140/140.
 _FIRST_50 = [
-    # anchors (re-checked representatives of formerly hash-red families)
+    # anchor (re-checked representative of the formerly hash-red
+    # decimal family) + the two round-4 additions the verdict asked to
+    # make driver-visible (index quality, real streaming execution)
     "q1_pricing_summary",
-    "eventlog_engine_roundtrip",
-    "stream_tumbling_window",
+    "ann_recall_report",
+    "stream_real_availablenow",
     # SCD2 / MERGE / incremental maintenance
     "scd2_user_state",
     "merge_upsert_orders",
@@ -197,6 +199,7 @@ def _ensure_loaded() -> None:
     from .operators import streamlike  # noqa: F401
     from .operators import pipeline  # noqa: F401
     from .operators import udf  # noqa: F401
+    from .operators import recall  # noqa: F401  (composes similarity+curation oracles)
     from . import logqueries  # noqa: F401
 
     missing = [n for n in _FIRST_50 + _LAST if n not in REGISTRY]

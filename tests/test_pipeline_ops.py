@@ -108,6 +108,31 @@ def test_ivf_recall_against_bruteforce(spark, sf_dir):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_ivf_pq_recall_against_bruteforce(spark, sf_dir):
+    """Trained-codebook IVF-PQ (64-entry codebooks, 2 Lloyd rounds,
+    normalized-L2 ADC, 50-row exact re-rank) must land near the
+    probed-lists-exact ceiling (0.92): measured recall@10 is 0.82 at
+    sf0.01 — up from 0.36 with the round-3 untrained 8-entry seeds.
+    0.7 is the regression floor, not the target."""
+    from eventlog_spark import queries as Q
+
+    Q.queries()  # force the full registry load (curation isn't imported here)
+    REGISTRY = Q.REGISTRY
+
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["ann_topk_bruteforce"].fn(spark, sf_dir).collect()
+    }
+    rows = REGISTRY["ann_ivf_pq"].fn(spark, sf_dir).collect()
+    pq = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(bf & pq) / len(bf) >= 0.7
+    by_q: dict[int, list[int]] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rk)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
 def test_connected_components_chain_and_singletons(spark):
     """Multi-hop merging: a 4-chain collapses to one component labeled by
     its min id; an isolated vertex keeps its own label; a separate pair

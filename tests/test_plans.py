@@ -379,9 +379,13 @@ def test_whiten_apply_broadcasts_stats(spark, sf_dir):
 
 
 def test_ivf_pq_lut_joins_are_broadcast(spark, sf_dir):
-    """ann_ivf_pq: candidate pruning (probes) and all M LUT lookups are
-    broadcast joins; the only sort-merge anywhere would mean the code
-    stream shuffled for a K×M-row table."""
+    """ann_ivf_pq: candidate pruning (probes), all M LUT lookups, the
+    training-update join, and the re-rank fetch are broadcast joins.
+    Exactly ONE shuffle join is allowed — candidates × codes, whose
+    sides are both corpus-proportional at serving scale (candidates ∝
+    n·n_probe/K; broadcasting either is wrong at 10⁹ vectors — on a
+    cluster the codes table is bucketed by list_id instead). A second
+    sort-merge would mean a codebook-sized table shuffled."""
     df = q(spark, sf_dir, "ann_ivf_pq")
-    assert count_nodes(df, "BroadcastHashJoin") >= 5, "probes/LUT not broadcast"
-    assert not has_node(df, "SortMergeJoin")
+    assert count_nodes(df, "BroadcastHashJoin") >= 8, "probes/LUT/re-rank not broadcast"
+    assert count_nodes(df, "SortMergeJoin") <= 1
