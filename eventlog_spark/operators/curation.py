@@ -292,15 +292,14 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     measures its own precision."""
     docs = load_table(spark, sf_dir, "documents")
     # The candidate-pair subtree appears in three downstream branches
-    # (doc restriction ×2, final join) — left UN-materialized on
-    # purpose: all copies share identical exchanges, so runtime
-    # ReuseExchange computes the shingle→signature→band pipeline once.
-    # A/B at sf0.1: an eager localCheckpoint halves COLD time (4.3 s vs
-    # 9.5 s — smaller tree to codegen) but is ~30% slower warm (3.9 s
-    # vs 3.0 s — the split severs exchange reuse with the verify
-    # stage); steady-state wins because the shared dedup subtrees are
-    # always warm in practice.
-    cands = lsh_candidate_pairs(spark, sf_dir)
+    # (doc restriction ×2, final join). Checkpoint ONLY this tiny
+    # DataFrame (≲ thousands of pair rows — never the shingle
+    # pipeline): the triple-referenced subtree is severed so a COLD
+    # plan no longer replays shingle→signature→band three times
+    # (round-3 PLANS.md measured 32 shuffles / 9.5 s cold vs 3.0 s
+    # warm), while the verify stage's own exchanges still reuse. Lazy,
+    # so plan-only inspection (tools/plan_inventory.py) runs no jobs.
+    cands = lsh_candidate_pairs(spark, sf_dir).localCheckpoint(eager=False)
     cand_docs = (
         cands.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
@@ -346,7 +345,7 @@ _DIM_FP = 1_000_000  # fixed-point scale: floor(v * 1e6)
 SELECT CAST(i - 1 AS INT) AS dim,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(fp) AS DOUBLE) / (COUNT(*) * {float(_DIM_FP)}) AS mean_v,
-       CAST(SUM(fp * fp) AS DOUBLE) / (COUNT(*) * {float(_DIM_FP) ** 2})
+       CAST(SUM(CAST(fp AS DECIMAL(19,0)) * CAST(fp AS DECIMAL(19,0))) AS DOUBLE) / (COUNT(*) * {float(_DIM_FP) ** 2})
            - (CAST(SUM(fp) AS DOUBLE) / (COUNT(*) * {float(_DIM_FP)}))
            * (CAST(SUM(fp) AS DOUBLE) / (COUNT(*) * {float(_DIM_FP)})) AS var_v
 FROM (
@@ -379,7 +378,9 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("fp").alias("s"),
-        F.sum(F.col("fp") * F.col("fp")).alias("ss"),
+        F.sum(
+                F.col("fp").cast("decimal(19,0)") * F.col("fp").cast("decimal(19,0)")
+            ).alias("ss"),
     )
     mean_v = F.col("s").cast("double") / (F.col("n") * F.lit(float(_DIM_FP)))
     var_v = (
@@ -468,8 +469,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-sized lineage (events scan + window + aggs) on every round.
     # localCheckpoint truncates it — same pattern as
     # dedup_connected_components; on a cluster use reliable checkpoint.
-    ed = ed.localCheckpoint()
-    nodes_n = nodes_n.localCheckpoint()
+    # LAZY (eager=False): lineage is severed at plan time but the jobs
+    # run only on first action, so plan-only inspection
+    # (tools/plan_inventory.py) stays execution-free; the first real
+    # action materializes the graph once and every round reuses it.
+    ed = ed.localCheckpoint(eager=False)
+    nodes_n = nodes_n.localCheckpoint(eager=False)
     tele = F.expr(f"{15 * PR_SCALE} div (100 * n)")
     ranks = nodes_n.select("node", "n", F.expr(f"{PR_SCALE} div n").alias("r"))
     for _ in range(PR_ITERS):
@@ -550,6 +555,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 p = bytes(payload) if payload is not None else b""
                 nf = n_frames.get(mt, 0)
                 bpf = 16 // nf if nf else 0
+                if nf == 0 or len(p) < nf * bpf:
+                    # malformed/short payload: skip rather than kill the
+                    # task (mirrors _fake_decode's empty-payload branch)
+                    continue
                 for i in range(1, nf + 1):
                     off = (i - 1) * bpf  # 0-based start of this frame
                     ids.append(doc_id)
@@ -659,7 +668,7 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH st AS (
     SELECT i,
            CAST(SUM(fp) AS DOUBLE) / (COUNT(*) * {float(_DIM_FP)}) AS mean_v,
-           CAST(SUM(fp * fp) AS DOUBLE) / (COUNT(*) * {float(_DIM_FP) ** 2})
+           CAST(SUM(CAST(fp AS DECIMAL(19,0)) * CAST(fp AS DECIMAL(19,0))) AS DOUBLE) / (COUNT(*) * {float(_DIM_FP) ** 2})
                - (CAST(SUM(fp) AS DOUBLE) / (COUNT(*) * {float(_DIM_FP)}))
                * (CAST(SUM(fp) AS DOUBLE) / (COUNT(*) * {float(_DIM_FP)})) AS var_v
     FROM (
@@ -703,7 +712,9 @@ def embedding_whiten_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("fp").alias("s"),
-            F.sum(F.col("fp") * F.col("fp")).alias("ss"),
+            F.sum(
+                F.col("fp").cast("decimal(19,0)") * F.col("fp").cast("decimal(19,0)")
+            ).alias("ss"),
         )
     )
     mean_v = F.col("s").cast("double") / (F.col("n") * F.lit(float(_DIM_FP)))

@@ -336,3 +336,85 @@ def test_open_truncates_crash_orphans(spark, tmp_path):
     assert [row.label for row in rows] == ["l0", "l1", "l2", "n4", "n5"]
     audit = reopened.check_integrity().collect()[0]
     assert audit.density_violation == 0 and audit.chain_violations == 0
+
+
+# -- concurrent-writer OCC stress (the reference's -race suite has no
+# -- Spark twin until now: goroutine appends in client_test.go:712-775,
+# -- TryAppend CAS loop client/client.go:150-246) -----------------------------
+
+
+def test_occ_concurrent_writers_exactly_one_winner_per_round(log):
+    """N threads race append_check at the SAME assumed version: exactly
+    one commit wins each round, every loser raises MismatchingVersions,
+    and the chain stays dense and clean."""
+    import threading
+
+    N_THREADS, ROUNDS = 8, 5
+    for rnd in range(ROUNDS):
+        base = log.version()
+        barrier = threading.Barrier(N_THREADS)
+        wins, losses, errors = [], [], []
+
+        def attempt(i: int) -> None:
+            barrier.wait()
+            try:
+                r = log.append_check(base, f"r{rnd}t{i}", f'{{"t":{i}}}')
+                wins.append(r)
+            except MismatchingVersions:
+                losses.append(i)
+            except Exception as exc:  # pragma: no cover - diagnostic
+                errors.append(exc)
+
+        threads = [threading.Thread(target=attempt, args=(i,)) for i in range(N_THREADS)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        assert len(wins) == 1, f"round {rnd}: {len(wins)} winners"
+        assert len(losses) == N_THREADS - 1
+        assert wins[0].version == base + 1
+        assert wins[0].version_previous == base
+    assert log.version() == ROUNDS
+
+
+def test_occ_concurrent_try_append_all_land(log):
+    """N threads × M CAS-retry appends (try_append) all land: the final
+    version is N·M, versions are exactly 1..N·M with a dense
+    version_previous chain, and the integrity audit is clean."""
+    import threading
+
+    N_THREADS, PER_THREAD = 6, 4
+    results, errors = [], []
+    lock = threading.Lock()
+    barrier = threading.Barrier(N_THREADS)
+
+    def worker(i: int) -> None:
+        barrier.wait()
+        try:
+            for k in range(PER_THREAD):
+                r = log.try_append(
+                    log.version(), lambda: (f"t{i}k{k}", f'{{"i":{i},"k":{k}}}')
+                )
+                with lock:
+                    results.append(r)
+        except Exception as exc:  # pragma: no cover - diagnostic
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(N_THREADS)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    total = N_THREADS * PER_THREAD
+    assert log.version() == total
+    versions = sorted(r.version for r in results)
+    assert versions == list(range(1, total + 1)), "versions not dense/unique"
+    assert all(r.version_previous == r.version - 1 for r in results)
+    rows = log.scan(version=1, limit=total).collect()
+    assert [r.version for r in rows] == list(range(1, total + 1))
+    assert [r.version_prev for r in rows] == list(range(0, total))
+    audit = log.check_integrity().collect()[0]
+    assert audit.checksum_violations == 0
+    assert audit.chain_violations == 0

@@ -158,3 +158,52 @@ def test_connected_components_label_flows_against_edge_direction(spark):
         for r in dedup.connected_components(vertices, pairs).collect()
     }
     assert got == {1: 1, 5: 1, 9: 1}
+
+
+def test_parse_media_header_golden_bytes():
+    """The pure-Python header parser against hand-packed golden files:
+    PNG IHDR, WAV fmt, JPEG with an APP0 (JFIF) segment before SOF0 —
+    the marker scan must skip unknown segments by their length field."""
+    import struct
+
+    from eventlog_spark.operators.multimodal import parse_media_header
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00" + b"\xde\xad\xbe\xef"
+    )
+    assert parse_media_header(png) == ("png", 640, 480, 0, 0)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 44100 * 4, 4, 16)
+    )
+    assert parse_media_header(wav) == ("wav", 0, 0, 44100, 2)
+    jpg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9  # APP0
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 480, 640) + b"\x03"
+        + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    )
+    assert parse_media_header(jpg) == ("jpeg", 640, 480, 0, 0)
+    assert parse_media_header(b"") is None
+    assert parse_media_header(b"\x00\x01\x02\x03" * 8) is None
+    # truncated PNG: signature but no complete IHDR
+    assert parse_media_header(png[:20]) is None
+
+
+def test_multimodal_header_probe_recovers_all_fields(spark, sf_dir):
+    """Every synthesized header parses to a known format and the
+    recovered fields match the generator formulas."""
+    from eventlog_spark.operators.multimodal import multimodal_header_probe
+
+    rows = multimodal_header_probe(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.format in ("png", "wav", "jpeg"), r
+        if r.media_type == "audio":
+            assert r.format == "wav"
+            assert r.sample_rate == (r.doc_id % 6 + 1) * 8000
+            assert r.channels == r.doc_id % 2 + 1
+        else:
+            assert (r.w, r.h) == ((r.doc_id % 64 + 1) * 16, (r.doc_id % 48 + 1) * 16)

@@ -322,11 +322,13 @@ def test_interleave_schedule_avoids_global_window(spark, sf_dir):
     df = q(spark, sf_dir, "corpus_interleave_schedule")
     plan = formatted_plan(df)
     assert has_node(df, "TakeOrderedAndProject"), "global order not top-k"
-    assert "partitionBy: [source" not in plan or True  # window is partitioned:
-    import re
-
-    for m in re.finditer(r"Window .*partitionBy: \[\]", plan):
-        raise AssertionError(f"unpartitioned window in plan: {m.group(0)}")
+    # the Window node's spec must partition by source: the formatted
+    # plan prints windowspecdefinition(<partition cols>, <order>, ...)
+    # in the node's Arguments line — an unpartitioned window would
+    # print windowspecdefinition(_w0#... with no partition column and
+    # plan a SinglePartition exchange
+    assert "windowspecdefinition(source#" in plan, "window not partitioned by source"
+    assert "SinglePartition" not in plan, "unpartitioned (single-partition) exchange"
 
 
 def test_lsh_verify_restricts_to_candidates(spark, sf_dir):
