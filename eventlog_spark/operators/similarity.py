@@ -285,17 +285,48 @@ def ann_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# multi-table LSH: T independent hash tables of P planes each (plane j
-# of table t is global plane index t·P + j, same integer-seeded family)
+# multi-table LSH with ADAPTIVE bucket width: T independent hash tables
+# drawn from one integer-seeded plane family (plane j of table t is
+# global plane index t·PMAX + j). Each table computes a full PMAX-bit
+# bucket id; the EFFECTIVE bucket is its low-p-bit prefix, with p chosen
+# from the corpus size so per-bucket occupancy stays ≈ LSH_OCC no
+# matter the scale (prefix-bit LSH, the LSH-forest trick). A fixed p
+# is a scale bug: occupancy ∝ n makes the candidate join O(n²) — the
+# sf1 rehearsal measured exactly that (106 s at 20k vectors with p=4)
+# — while constant occupancy keeps candidates ∝ n·T·OCC.
 LSH_TABLES = 4
-LSH_PLANES = 4
+LSH_PMAX = 16   # bits computed per table (mask selects a prefix)
+LSH_PMIN = 4    # smallest corpora use 2^4 = 16 buckets/table
+LSH_OCC = 32    # target per-bucket occupancy
+
+# mask = 2^p − 1 with p = PMIN + #{i : n ≥ OCC·2^(PMIN+i)}, expressed
+# as pure integer threshold sums so both engines derive bit-identical
+# widths from COUNT(*) (no float log2 anywhere)
+_MASK_TERMS = [
+    (LSH_OCC * (2 ** (LSH_PMIN + i)), 2 ** (LSH_PMIN + i))
+    for i in range(LSH_PMAX - LSH_PMIN)
+]
+_MASK_SQL = f"{2 ** LSH_PMIN - 1} + " + " + ".join(
+    f"(CASE WHEN n >= {thr} THEN {bit} ELSE 0 END)" for thr, bit in _MASK_TERMS
+)
 
 
-def _table_bucket_sql(t: int, tbl: str) -> str:
+def _plane_coeff_sql(j: int) -> str:
+    """Plane-j coefficient vector dotted with embedding — coefficients
+    derived IN SQL from the same integer mix as _plane_coeff, so the
+    oracle stays compact (no 64-literal unrolling per plane)."""
+    return (
+        f"list_sum(list_transform(range(1, {DIM + 1}), i -> "
+        f"(CAST((({j} * {DIM} + i) * {_MIX}) % {_MOD} AS DOUBLE) / {_MOD}.0 - 0.5)"
+        f" * CAST(embedding[i] AS DOUBLE)))"
+    )
+
+
+def _table_bucket16_sql(t: int) -> str:
     terms = " + ".join(
-        f"(CASE WHEN {_dot_plane_sql(t * LSH_PLANES + j, tbl)} > 0"
+        f"(CASE WHEN {_plane_coeff_sql(t * LSH_PMAX + j)} > 0"
         f" THEN {1 << j} ELSE 0 END)"
-        for j in range(LSH_PLANES)
+        for j in range(LSH_PMAX)
     )
     return f"({terms})"
 
@@ -306,22 +337,22 @@ def multi_table_matrix():
     return np.array(
         [
             [_plane_coeff(j, i) for i in range(DIM)]
-            for j in range(LSH_TABLES * LSH_PLANES)
+            for j in range(LSH_TABLES * LSH_PMAX)
         ],
         dtype=np.float64,
     )
 
 
 def with_table_buckets_pandas(emb: DataFrame) -> DataFrame:
-    """One (batch × 64) @ (64 × T·P) matmul per Arrow batch assigns all
-    T table buckets at once; same sign decisions as the SQL oracle up
-    to |dot| ≲ 1e-13, which random data never hits."""
+    """One (batch × 64) @ (64 × T·PMAX) matmul per Arrow batch assigns
+    all T full-width buckets at once; same sign decisions as the SQL
+    oracle up to |dot| ≲ 1e-13, which random data never hits."""
     import numpy as np
     import pandas as pd
 
     planes_t = multi_table_matrix().T
     cols = list(emb.columns)
-    weights = 1 << np.arange(LSH_PLANES)
+    weights = 1 << np.arange(LSH_PMAX)
 
     def assign(batches):
         for chunk in batches:
@@ -330,7 +361,7 @@ def with_table_buckets_pandas(emb: DataFrame) -> DataFrame:
             out = chunk[cols].copy()
             for t in range(LSH_TABLES):
                 out[f"b{t}"] = (
-                    bits[:, t * LSH_PLANES : (t + 1) * LSH_PLANES] @ weights
+                    bits[:, t * LSH_PMAX : (t + 1) * LSH_PMAX] @ weights
                 ).astype(np.int32)
             yield out
 
@@ -339,55 +370,112 @@ def with_table_buckets_pandas(emb: DataFrame) -> DataFrame:
     return emb.mapInPandas(assign, schema)
 
 
-_LSH_MELT_SQL = "\n    UNION ALL\n    ".join(
-    f"SELECT vec_id, {t} AS t, {_table_bucket_sql(t, 'embeddings')} AS bucket"
+_LSH_MELT_SQL = "\n        UNION ALL\n        ".join(
+    f"SELECT vec_id, {t} AS t, {_table_bucket16_sql(t)} AS bucket16"
     f" FROM embeddings"
     for t in range(LSH_TABLES)
 )
 
 
+LSH_STOP = 8 * LSH_OCC  # stop-bucket cull: occupancy > 8× target
+
+
 @register(
     "ann_lsh_bucketed",
     oracle=f"""
-WITH melted AS (
-    {_LSH_MELT_SQL}
+WITH msk AS (
+    SELECT {_MASK_SQL} AS m
+    FROM (SELECT COUNT(*) AS n FROM embeddings)
+),
+melted AS (
+    SELECT vec_id, t, bucket16 & m AS bucket
+    FROM (
+        {_LSH_MELT_SQL}
+    ) CROSS JOIN msk
+),
+kept AS (
+    SELECT m.vec_id, m.t, m.bucket
+    FROM melted m
+    JOIN (SELECT t, bucket FROM melted GROUP BY t, bucket
+          HAVING COUNT(*) <= {LSH_STOP}) k
+      ON k.t = m.t AND k.bucket = m.bucket
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        COUNT(*) AS n_tables
-FROM melted a JOIN melted b
+FROM kept a JOIN kept b
   ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 GROUP BY a.vec_id, b.vec_id
 """,
-    doc=f"Multi-table sign-random-projection LSH: {LSH_TABLES} tables × "
-    f"{LSH_PLANES} planes; candidate pairs share ≥1 table bucket.",
+    doc=f"Multi-table sign-random-projection LSH: {LSH_TABLES} tables, "
+    f"adaptive bucket prefix (occupancy target {LSH_OCC}); candidate "
+    "pairs share ≥1 table bucket.",
 )
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN scale path, in the production multi-table shape: T
-    independent sign-random-projection tables (T×P one matmul per Arrow
-    batch), candidates = pairs sharing a bucket in ANY table — a single
-    equi-join on the melted (table, bucket) key, so one shuffle covers
-    all T tables and AQE can split skewed buckets. n_tables (how many
-    tables agree) is a free collision-strength signal for downstream
-    re-rankers.
+    independent sign-random-projection tables (one matmul per Arrow
+    batch computes all T full-width buckets), candidates = pairs
+    sharing a bucket in ANY table — a single equi-join on the melted
+    (table, bucket) key, so one shuffle covers all T tables and AQE can
+    split skewed buckets. n_tables (how many tables agree) is a free
+    collision-strength signal for downstream re-rankers.
 
-    Single-table recall on this testdata is 0.02 (true top-10 neighbors
-    sit at cosine ≈ 0.3 → per-plane collision ≈ 0.6 — near-random data
-    is sign-LSH's worst case); {LSH_TABLES}×{LSH_PLANES} lifts candidate
-    recall to 0.42 at a ~22% candidate rate (ann_recall_report row,
-    driver-checked). At 10⁹ vectors raise P with corpus size to hold
-    per-bucket occupancy and add query-side multi-probe (Hamming-1 bucket
-    flips) instead of more tables — candidate cost stays ∝ occupancy·T."""
+    The bucket width ADAPTS to corpus size: each table hashes to
+    LSH_PMAX bits and the effective bucket is the low-p-bit prefix with
+    p = PMIN + #{{i : n ≥ OCC·2^(PMIN+i)}} — integer threshold sums both
+    engines evaluate identically from COUNT(*). Occupancy therefore
+    stays ≈ OCC at any n, and candidate volume stays ∝ n·T·OCC
+    (linear) instead of O(n²/2^p): the sf1 rehearsal measured the fixed
+    p=4 version at 106 s on 20k vectors (50M pairs); adaptive p=10
+    holds the same shape to ~1 s. At 10⁹ vectors p reaches PMAX —
+    widen LSH_PMAX (more planes in the same family) and add query-side
+    Hamming-1 multi-probe rather than more tables.
+
+    Quality on this testdata (near-random: true-neighbor cosine ≈ 0.3,
+    per-plane collision ≈ 0.6 — sign-LSH's worst case): candidate
+    recall is driver-watched every round via ann_recall_report;
+    single-table p=8 scored 0.02, multi-table holds 0.32 at sf0.01."""
     emb = load_table(spark, sf_dir, "embeddings")
+    msk = (
+        emb.agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            (
+                F.lit(2**LSH_PMIN - 1)
+                + sum(
+                    F.when(F.col("n") >= thr, bit).otherwise(0)
+                    for thr, bit in _MASK_TERMS
+                )
+            ).alias("m")
+        )
+    )
     bucketed = with_table_buckets_pandas(emb.select("vec_id", "embedding"))
     melt = F.array(
         *[
-            F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket"))
+            F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket16"))
             for t in range(LSH_TABLES)
         ]
     )
-    melted = bucketed.select("vec_id", F.explode(melt).alias("x")).select(
-        "vec_id", F.col("x.t").alias("t"), F.col("x.bucket").alias("bucket")
+    melted = (
+        bucketed.select("vec_id", F.explode(melt).alias("x"))
+        .crossJoin(F.broadcast(msk))
+        .select(
+            "vec_id",
+            F.col("x.t").alias("t"),
+            F.col("x.bucket16").bitwiseAND(F.col("m")).alias("bucket"),
+        )
     )
+    # stop-bucket cull (the stop-shingle trick, LSH edition): buckets
+    # at > 8× the occupancy target are degenerate — near-duplicate mass
+    # or hyperplane-hugging regions — carrying ~zero discriminative
+    # signal and quadratic join cost (sf1: 83 such buckets held 87% of
+    # all pair-slots). The cull's groupBy shuffles on the same
+    # (t, bucket) key as the pair join, so the exchange is reused.
+    kept_keys = (
+        melted.groupBy("t", "bucket")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") <= LSH_STOP)
+        .select("t", "bucket")
+    )
+    melted = melted.join(kept_keys, ["t", "bucket"], "left_semi")
     a, b = melted.alias("a"), melted.alias("b")
     return (
         a.join(
