@@ -80,7 +80,7 @@ def main() -> None:
         "udaf_pandas_weighted_avg", "approx_distinct_hll",
         "source_overlap_matrix", "tfidf_top_terms", "graph_pagerank",
         "dedup_lsh_verified", "chunk_overlap_windows",
-        "ann_recall_report", "stream_real_availablenow",
+        "ann_recall_report", "ann_lsh_multiprobe", "stream_real_availablenow",
         "multimodal_header_probe",
     ]
     doc["queries"] = {k: timings[k] for k in headline if k in timings}

@@ -434,6 +434,31 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-plane collision ≈ 0.6 — sign-LSH's worst case): candidate
     recall is driver-watched every round via ann_recall_report;
     single-table p=8 scored 0.02, multi-table holds 0.32 at sf0.01."""
+    melted, _ = _melted_kept_buckets(spark, sf_dir)
+    a, b = melted.alias("a"), melted.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_tables"))
+    )
+
+
+def _melted_kept_buckets(spark: SparkSession, sf_dir: str):
+    """Shared LSH front end: (culled melted (vec_id, t, bucket), mask).
+
+    Stop-bucket cull (the stop-shingle trick, LSH edition): buckets at
+    > 8× the occupancy target are degenerate — near-duplicate mass or
+    hyperplane-hugging regions — carrying ~zero discriminative signal
+    and quadratic join cost (sf1: 83 such buckets held 87% of all
+    pair-slots). The cull's groupBy shuffles on the same (t, bucket)
+    key as the downstream joins, so the exchange is reused."""
     emb = load_table(spark, sf_dir, "embeddings")
     msk = (
         emb.agg(F.count(F.lit(1)).alias("n"))
@@ -463,31 +488,132 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x.bucket16").bitwiseAND(F.col("m")).alias("bucket"),
         )
     )
-    # stop-bucket cull (the stop-shingle trick, LSH edition): buckets
-    # at > 8× the occupancy target are degenerate — near-duplicate mass
-    # or hyperplane-hugging regions — carrying ~zero discriminative
-    # signal and quadratic join cost (sf1: 83 such buckets held 87% of
-    # all pair-slots). The cull's groupBy shuffles on the same
-    # (t, bucket) key as the pair join, so the exchange is reused.
     kept_keys = (
         melted.groupBy("t", "bucket")
         .agg(F.count(F.lit(1)).alias("occ"))
         .where(F.col("occ") <= LSH_STOP)
         .select("t", "bucket")
     )
-    melted = melted.join(kept_keys, ["t", "bucket"], "left_semi")
-    a, b = melted.alias("a"), melted.alias("b")
+    return melted.join(kept_keys, ["t", "bucket"], "left_semi"), msk
+
+
+def _multiprobe_oracle() -> str:
+    from ..queries import REGISTRY
+
+    bf = REGISTRY["ann_topk_bruteforce"].oracle
+    return f"""
+WITH msk AS (
+    SELECT {_MASK_SQL} AS m
+    FROM (SELECT COUNT(*) AS n FROM embeddings)
+),
+melted AS (
+    SELECT vec_id, t, bucket16 & m AS bucket
+    FROM (
+        {_LSH_MELT_SQL}
+    ) CROSS JOIN msk
+),
+kept AS (
+    SELECT m.vec_id, m.t, m.bucket
+    FROM melted m
+    JOIN (SELECT t, bucket FROM melted GROUP BY t, bucket
+          HAVING COUNT(*) <= {LSH_STOP}) k
+      ON k.t = m.t AND k.bucket = m.bucket
+),
+probes AS (
+    SELECT DISTINCT query_id, t, bucket FROM (
+        SELECT mq.vec_id AS query_id, mq.t,
+               unnest(list_prepend(mq.bucket,
+                   list_transform(
+                       list_filter(range(0, {LSH_PMAX}), k -> (1 << k) <= s.m),
+                       k -> xor(mq.bucket, 1 << k)))) AS bucket
+        FROM kept mq CROSS JOIN msk s
+        WHERE mq.vec_id IN {QUERY_IDS}
+    )
+),
+cand AS (
+    SELECT DISTINCT p.query_id, k.vec_id
+    FROM probes p JOIN kept k ON k.t = p.t AND k.bucket = p.bucket
+    WHERE k.vec_id <> p.query_id
+),
+bf AS (SELECT query_id, neighbor_id FROM ({bf}) t)
+SELECT c.query_id,
+       COUNT(*) AS n_candidates,
+       CAST(SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / {TOP_K} AS recall
+FROM cand c
+LEFT JOIN bf b ON b.query_id = c.query_id AND b.neighbor_id = c.vec_id
+GROUP BY c.query_id
+ORDER BY c.query_id
+"""
+
+
+@register(
+    "ann_lsh_multiprobe",
+    oracle=_multiprobe_oracle(),
+    doc="Query-side Hamming-1 multi-probe LSH: probe own + bit-flipped "
+    "buckets per table; per-query candidate count and recall@10 vs "
+    "exact top-k.",
+)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The query-side half of the LSH scale story the pair-generator's
+    docstring promises: instead of adding tables (which multiplies
+    index size), each query probes its own bucket PLUS every Hamming-1
+    bit-flip within the adaptive prefix — (1 + p)·T buckets — trading
+    a bounded candidate-rate increase for recall. Per query this
+    reports the candidate count (the cost) and recall@10 vs the exact
+    brute-force answer (the quality), so the cost/quality frontier is
+    driver-visible at every scale. Candidates respect the same
+    stop-bucket cull as the pair generator; the probe list is tiny
+    (T·(1+p) rows/query) and broadcasts onto the bucketed corpus.
+
+    At sf0.01 (p=4, 16 buckets/table) probing 5·4 buckets covers most
+    of a 500-vector corpus — small-corpus degeneracy, reported
+    honestly; at sf1 (p=10) the same query probes 44 of 4096 buckets
+    (~4% candidate rate). Integer counts + one exact division keep the
+    oracle hash-exact."""
+    melted, msk = _melted_kept_buckets(spark, sf_dir)
+    q = melted.where(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "t", "bucket"
+    )
+    flips = F.array(
+        F.lit(0), *[F.lit(1 << k) for k in range(LSH_PMAX)]
+    )
+    probes = (
+        q.crossJoin(F.broadcast(msk))
+        .select(
+            "query_id",
+            "t",
+            F.explode(flips).alias("flip"),
+            "bucket",
+            "m",
+        )
+        .where(F.col("flip") <= F.col("m"))
+        .select(
+            "query_id", "t", F.col("bucket").bitwiseXOR(F.col("flip")).alias("bucket")
+        )
+        .distinct()
+    )
+    cand = (
+        melted.join(F.broadcast(probes), ["t", "bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    bf = ann_topk_bruteforce(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("vec_id"), F.lit(1).alias("hit")
+    )
+    hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
     return (
-        a.join(
-            b,
-            (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        cand.join(F.broadcast(bf), ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            hits.cast("long").alias("n_hits"),
+            (hits.cast("double") / TOP_K).alias("recall"),
         )
-        .groupBy(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_tables"))
+        .orderBy("query_id")
     )
 
 

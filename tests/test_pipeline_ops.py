@@ -207,3 +207,18 @@ def test_multimodal_header_probe_recovers_all_fields(spark, sf_dir):
             assert r.channels == r.doc_id % 2 + 1
         else:
             assert (r.w, r.h) == ((r.doc_id % 64 + 1) * 16, (r.doc_id % 48 + 1) * 16)
+
+
+def test_lsh_adaptive_mask_widths():
+    """The bucket-prefix mask must widen with corpus size: p=4 below
+    512 vectors, +1 bit per occupancy doubling, capped at 16 bits."""
+    from eventlog_spark.operators.similarity import _MASK_TERMS, LSH_PMIN
+
+    def mask(n: int) -> int:
+        return (2**LSH_PMIN - 1) + sum(bit for thr, bit in _MASK_TERMS if n >= thr)
+
+    assert mask(500) == 15        # p=4  (16 buckets/table)
+    assert mask(512) == 31        # p=5
+    assert mask(2000) == 63       # p=6
+    assert mask(20000) == 1023    # p=10
+    assert mask(10**9) == 65535   # p=16 cap
