@@ -997,6 +997,7 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.floor(sd(F.col("sv"), F.col("cv")) * PQ_FXP).cast("long") * PQ_KT + F.col(
         "cid"
     )
+    zeros = F.expr(f"array_repeat(CAST(0 AS BIGINT), {PQ_SUB})")
     for _ in range(PQ_ROUNDS):
         # argmin via MIN over (dist_fp · K + cid) keys; sv is constant
         # within each (vec_id, s) group so first() is deterministic
@@ -1005,21 +1006,33 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("vec_id", "s")
             .agg((F.min(key) % PQ_KT).alias("cid"), F.first("sv").alias("sv"))
         )
-        comp = (
-            asg.select("s", "cid", F.posexplode("sv").alias("pos0", "v"))
-            .groupBy("s", "cid", "pos0")
-            .agg(
-                (
-                    F.sum(F.floor(F.col("v") * PQ_FXP).cast("long")).cast("double")
-                    / (F.count(F.lit(1)) * F.lit(float(PQ_FXP)))
-                ).alias("cd")
-            )
+        # centroid update in ONE shuffle: per (s, cid), fold the member
+        # subvectors into a fixed-point BIGINT sum array (elementwise —
+        # integer addition is order-free, so collect_list order is
+        # irrelevant), then divide by the member count. Value-identical
+        # to a posexplode + per-dim SUM/COUNT (what the oracle does),
+        # without the second exchange and the array re-assembly.
+        iv_sums = F.aggregate(
+            F.collect_list("sv"),
+            zeros,
+            lambda acc, v: F.zip_with(
+                acc,
+                v,
+                lambda a, x: a + F.floor(x * PQ_FXP).cast("long"),
+            ),
         )
-        newc = comp.groupBy("s", "cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("pos0").alias("pos"), "cd"))),
-                lambda t: t["cd"],
-            ).alias("ncv")
+        newc = (
+            asg.groupBy("s", "cid")
+            .agg(iv_sums.alias("ivs"), F.count(F.lit(1)).alias("cnt"))
+            .select(
+                "s",
+                "cid",
+                F.transform(
+                    "ivs",
+                    lambda t: t.cast("double")
+                    / (F.col("cnt") * F.lit(float(PQ_FXP))),
+                ).alias("ncv"),
+            )
         )
         cent = (
             cent.join(F.broadcast(newc), ["s", "cid"], "left")
