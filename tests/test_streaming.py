@@ -321,3 +321,25 @@ def test_tail_stream_skips_uncommitted_orphans(spark, tmp_path):
     )
     _await(q, timeout=120)
     assert sorted(got) == [1, 2]  # orphans 3-4 withheld
+
+
+def test_stream_real_availablenow_matches_batch_twin(spark, sf_dir):
+    """The driver-visible REAL streaming query (readStream → watermarked
+    tumbling agg → availableNow → foreachBatch parquet sink) must
+    produce exactly the batch twin's rows; the source is asserted
+    isStreaming inside the query body itself."""
+    from eventlog_spark.operators.streamlike import (
+        stream_real_availablenow,
+        stream_tumbling_window,
+    )
+
+    got = {
+        (r.window_start, r.event_type): (r.n, float(r.sum_value))
+        for r in stream_real_availablenow(spark, sf_dir).collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n, float(r.sum_value))
+        for r in stream_tumbling_window(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert got, "streaming run produced no windows"
