@@ -81,6 +81,7 @@ def main() -> None:
         "source_overlap_matrix", "tfidf_top_terms", "graph_pagerank",
         "dedup_lsh_verified", "chunk_overlap_windows",
         "ann_recall_report", "ann_lsh_multiprobe", "stream_real_availablenow",
+        "stream_real_stateful",
         "multimodal_header_probe",
     ]
     doc["queries"] = {k: timings[k] for k in headline if k in timings}

@@ -437,3 +437,84 @@ def stream_real_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(sink)
+
+
+@register(
+    "stream_real_stateful",
+    oracle="""
+SELECT user_id, event_id, ts, CAST(cum_value AS DOUBLE) AS cum_value FROM (
+    SELECT user_id, event_id, ts, cum_value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+    FROM (
+        SELECT user_id, event_id, ts,
+               SUM(CAST(value AS DECIMAL(12,2))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_value
+        FROM events
+    ) WHERE cum_value >= 500
+)
+WHERE rk = 1
+""",
+    doc="REAL custom-stateful streaming run: applyInPandasWithState "
+    "threshold alerts (integer-cent state) executed via readStream + "
+    "availableNow through foreachBatch; returns the sink contents.",
+)
+def stream_real_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible execution of the CUSTOM STATEFUL operator — the
+    one streaming shape built-ins can't express (fire exactly once per
+    user on first threshold crossing, then stay silent). The stream is
+    real: readStream over the source parquet (symlink-staged dir),
+    per-user (cum_cents, alerted) state in the state store via
+    ``applyInPandasWithState``, availableNow trigger, every batch's
+    alerts appended to a parquet sink through ``foreachBatch``. The
+    driver hash-checks the sink against the batch twin's
+    running-DECIMAL-sum oracle: state accumulates integer CENTS derived
+    from the same DECIMAL(12,2) cast both engines agree on, so the
+    crossing decision and emitted cum_value are bit-exact — see
+    streams.threshold_alerts_cents for why float state could not be.
+
+    Scale: state is (long, bool) per user — O(distinct users) in the
+    state store (RocksDB off-heap on a cluster); alerts append
+    incrementally, exactly once per user across micro-batches."""
+    import os
+    import tempfile
+
+    from ..streaming.streams import threshold_alerts_cents
+
+    path = f"{sf_dir}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    src_dir = tempfile.mkdtemp(prefix="eventlog_stateful_src_")
+    os.symlink(path, os.path.join(src_dir, "events.parquet"))
+    raw = spark.readStream.schema(schema).parquet(src_dir)
+    assert raw.isStreaming, "source must be a streaming DataFrame"
+    ev = raw
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp")).select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
+    )
+    alerts = threshold_alerts_cents(ev)
+    sink = tempfile.mkdtemp(prefix="eventlog_stateful_sink_")
+    ckpt = tempfile.mkdtemp(prefix="eventlog_stateful_ckpt_")
+
+    def write_batch(bdf: DataFrame, _bid: int) -> None:
+        bdf.write.mode("append").parquet(sink)
+
+    q = (
+        alerts.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink).select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("cum_cents") / F.lit(100.0)).alias("cum_value"),
+    )

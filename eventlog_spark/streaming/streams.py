@@ -339,3 +339,52 @@ def threshold_alerts(events: DataFrame, threshold: float = 500.0) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ALERT_CENTS_SCHEMA = "user_id long, event_id long, ts timestamp, cum_cents long"
+_ALERT_CENTS_STATE_SCHEMA = "cum_cents long, alerted boolean"
+
+
+def threshold_alerts_cents(events: DataFrame, threshold_cents: int = 50_000) -> DataFrame:
+    """``threshold_alerts`` with EXACT integer-cent state — the variant a
+    driver can hash-check: float accumulation is deterministic only in
+    arrival order, but its last-ulp drift vs the batch twin's DECIMAL
+    running sum could flip a crossing decision at the boundary; integer
+    cents make state, crossing test, and output bit-exact across
+    engines and micro-batch splits. Callers must supply a ``cents``
+    column (``value`` cast through DECIMAL(12,2)·100 JVM-side, the same
+    cast the batch twin and its DuckDB oracle agree on). State per user
+    is (long, bool) — still O(distinct users) in the state store."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fire(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            cum, alerted = state.get
+        else:
+            cum, alerted = 0, False
+        out = []
+        chunks = [pdf for pdf in pdf_iter if not alerted]
+        if chunks and not alerted:
+            batch = pd.concat(chunks).sort_values(["ts", "event_id"])
+            for _, row in batch.iterrows():
+                cum += int(row["cents"])
+                if cum >= threshold_cents:
+                    out.append((user_id, int(row["event_id"]), row["ts"], cum))
+                    alerted = True
+                    break
+        state.update((int(cum), bool(alerted)))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_id", "ts", "cum_cents"]
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fire,
+        outputStructType=ALERT_CENTS_SCHEMA,
+        stateStructType=_ALERT_CENTS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

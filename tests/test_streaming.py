@@ -343,3 +343,24 @@ def test_stream_real_availablenow_matches_batch_twin(spark, sf_dir):
     }
     assert got == want
     assert got, "streaming run produced no windows"
+
+
+def test_stream_real_stateful_matches_batch_twin(spark, sf_dir):
+    """The real applyInPandasWithState run (integer-cent state,
+    availableNow, foreachBatch sink) fires exactly the batch twin's
+    alerts with bit-equal cumulative values."""
+    from eventlog_spark.operators.streamlike import (
+        stream_real_stateful,
+        stream_threshold_alert,
+    )
+
+    got = {
+        (r.user_id, r.event_id): float(r.cum_value)
+        for r in stream_real_stateful(spark, sf_dir).collect()
+    }
+    want = {
+        (r.user_id, r.event_id): float(r.cum_value)
+        for r in stream_threshold_alert(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert got, "stateful run produced no alerts"
