@@ -367,9 +367,10 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical operands. One shuffle on the 64-value dim key with
     map-side partial aggregation — the corpus never moves.
 
-    Scale note: sum(fp²) fits int64 up to ~10⁷ vectors at this scale
-    factor; beyond that widen to DECIMAL(38,0) (still exact, still
-    order-free) — a one-line change called out here deliberately."""
+    Scale note: fp² terms are summed as DECIMAL(19,0)×(19,0) →
+    DECIMAL(38,0) in BOTH engines (round-3 advisor fix) — exact and
+    order-free at any corpus size, where an int64 sum would silently
+    wrap past ~10⁷ vectors while the DuckDB oracle promoted to HUGEINT."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(F.posexplode("embedding").alias("pos", "v"))
     fp = F.floor(F.col("v").cast("double") * _DIM_FP).cast("long")
