@@ -100,12 +100,17 @@ _loaded = False
 # cannot cost any other query its row.
 # Round-4 rotation: rounds 1–3 cumulatively drove 93/140 queries green;
 # the 47 never-driver-checked queries (all local-green in
-# tests/test_oracle.py) take 47 of the 50 slots this round, plus three
-# anchors for formerly-red families (decimal TPC-H, log engine,
-# streaming twin). join_bucketed_colocated — the only query with catalog
-# side effects — sits at slot 50 so a harness abort there cannot cost
-# any other query its row. Green rows here lift cumulative driver
-# coverage to 140/140.
+# tests/test_oracle.py) take 47 of the 50 slots this round, plus the
+# decimal-TPC-H anchor and the two round-4 quality gates.
+# join_bucketed_colocated — the only query with catalog side effects —
+# sits at slot 50 so a harness abort there cannot cost any other query
+# its row. Green rows here lift cumulative driver coverage to 142/145.
+#
+# ROUND-5 ROTATION NOTE: still never driver-checked after r4 (added
+# late in round 4, window already full): ann_lsh_multiprobe,
+# multimodal_header_probe, stream_real_stateful. Swap them into the
+# first 50 next round (any three r4-green rows can rotate out) for
+# 145/145 cumulative coverage.
 _FIRST_50 = [
     # anchor (re-checked representative of the formerly hash-red
     # decimal family) + the two round-4 additions the verdict asked to
