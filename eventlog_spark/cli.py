@@ -1,13 +1,22 @@
 """CLI mirroring the reference's command tree (cmd/eventlog/cli/cli.go:23-129:
-``create | run | check | version`` + an ``inmem``-style ephemeral mode).
+``inmem | create | run | check | version``).
 
+    python -m eventlog_spark.cli inmem   [-m k:v] [--host H] [--port P]
+                                         [--max-scan-batch-size N]
+                                         [--max-payload-len N]
     python -m eventlog_spark.cli create  /path/to/log -m k:v -m k2:v2
     python -m eventlog_spark.cli run     /path/to/log --port 8080
-    python -m eventlog_spark.cli run     --inmem --port 8080    (ephemeral)
+    python -m eventlog_spark.cli run     --inmem --port 8080    (alias of inmem)
     python -m eventlog_spark.cli check   /path/to/log
-    python -m eventlog_spark.cli version /path/to/log
+    python -m eventlog_spark.cli version /path/to/log           (local file)
+    python -m eventlog_spark.cli version http://host:port       (remote server)
     python -m eventlog_spark.cli append  /path/to/log label '{"x":1}'
     python -m eventlog_spark.cli scan    /path/to/log [--from HEX] [-n N] [--reverse]
+
+``inmem`` serves a volatile in-memory eventlog that loses all data when
+the process terminates (cli.go:36-57); ``version`` with a URL connects
+to a running server like the reference's ``version <url>``
+(cli.go:113-124) — the file-path form is kept as a local convenience.
 """
 
 from __future__ import annotations
@@ -27,9 +36,47 @@ def _parse_metadata(pairs: list[str]) -> dict[str, str]:
     return meta
 
 
+def inmem_server(
+    spark,
+    metadata: dict[str, str] | None = None,
+    host: str = "127.0.0.1",
+    port: int = 8080,
+    max_scan_batch_size: int = 1000,
+    max_payload_len: int = 0,
+):
+    """Build the ``inmem`` subcommand's server (cli.go:36-57 parity):
+    the full 7-route HTTP API backed by the volatile in-memory engine.
+    Returned unstarted so the CLI can foreground it and tests can run
+    it on a thread; caller owns ``serve_forever()``/``shutdown()``."""
+    from .inmem import InMemEventLog
+    from .serving import EventLogHTTPServer
+
+    log = InMemEventLog.create(spark, metadata=metadata or {})
+    if max_payload_len:
+        log._max_payload_len = max_payload_len
+    return EventLogHTTPServer(
+        (host, port), log, max_read_batch_size=max_scan_batch_size
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="eventlog-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_inmem = sub.add_parser(
+        "inmem", aliases=["m"], help="serve a volatile in-memory eventlog"
+    )
+    p_inmem.add_argument("-m", action="append", default=[], help="metadata key:value")
+    p_inmem.add_argument("--host", default="127.0.0.1")
+    p_inmem.add_argument("--port", type=int, default=8080)
+    p_inmem.add_argument(
+        "--max-scan-batch-size", type=int, default=1000,
+        help="server-side scan batch clamp (0 = unlimited)",
+    )
+    p_inmem.add_argument(
+        "--max-payload-len", type=int, default=0,
+        help="payload size cap in bytes (0 = default 1 MiB)",
+    )
 
     p_create = sub.add_parser("create", help="create a new log (O22)")
     p_create.add_argument("path")
@@ -61,11 +108,38 @@ def main(argv: list[str] | None = None) -> int:
 
     args = ap.parse_args(argv)
 
+    # remote `version <url>` needs no Spark session at all (cli.go:113-124)
+    if args.cmd == "version" and args.path.startswith(("http://", "https://")):
+        from urllib.parse import urlparse
+
+        from .client import Client
+
+        u = urlparse(args.path)
+        c = Client(u.hostname or "127.0.0.1", u.port or 8080)
+        print(json.dumps({"version": format(c.version(), "x")}))
+        return 0
+
     from .log import EventLog
     from .session import get_spark
 
     spark = get_spark(app_name=f"eventlog_cli_{args.cmd}")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd in ("inmem", "m"):
+        srv = inmem_server(
+            spark,
+            metadata=_parse_metadata(args.m),
+            host=args.host,
+            port=args.port,
+            max_scan_batch_size=args.max_scan_batch_size,
+            max_payload_len=args.max_payload_len,
+        )
+        print(f"in-memory eventlog listening on http://{args.host}:{srv.server_address[1]}")
+        try:
+            srv.serve_forever()  # ctrl-c to stop; data dies with the process
+        except KeyboardInterrupt:
+            srv.shutdown()
+        return 0
 
     if args.cmd == "create":
         EventLog.create(spark, args.path, metadata=_parse_metadata(args.m))

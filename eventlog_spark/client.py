@@ -1,0 +1,267 @@
+"""HTTP client library — the user-facing twin of the reference client
+(client/client.go, client/http.go): transparent scan pagination, OCC
+append with CAS retry, and websocket head subscription, over the
+7-route facade in serving.py. Stdlib-only (http.client + wsclient.py).
+
+Parity map (behavior, not code):
+
+* ``scan()``            — client/http.go:342-429: re-request from the
+  last event's ``version-next`` (``version-previous`` when reverse)
+  until the sentinel ``"0"``, yielding events as one seamless iterator
+  no matter how small the server's read batch is clamped.
+* ``append*``           — client/http.go:216-336: binary wire body
+  (wire.py, O24), hex version in the path for the OCC variant.
+* ``try_append*``       — client/client.go:150-246: call
+  ``transaction()``, attempt ``append_check``; on
+  ``MismatchingVersions`` call ``sync()`` for a fresh assumed version
+  and repeat until committed or ``max_attempts`` exhausted.
+* ``listen`` / ``subscribe`` — client/http.go:507-585: websocket
+  ``/subscription``, one callback per pushed head (latest-wins
+  conflation happens server-side).
+* error mapping         — client/client.go:249-260: the server's 400
+  bodies (``ErrMismatchingVersions`` …) raise the same exception
+  taxonomy the engine itself uses (errors.py).
+
+One deliberate deviation, documented: the reference sends
+``skip_first`` on EVERY page request while resuming from
+``version-next`` — the next UNREAD event — which drops one event per
+page once the server clamps batches. Here ``skip_first`` applies to
+the first page only, which preserves the flag's meaning ("start after
+``version``") across pagination.
+"""
+
+from __future__ import annotations
+
+import http.client
+import json
+import time as _time
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
+
+from .errors import (
+    EventLogError,
+    InvalidPayload,
+    InvalidVersion,
+    MismatchingVersions,
+    PayloadSizeLimitExceeded,
+)
+from .wire import encode
+from .wsclient import WSSubscription
+
+_ERR_MAP = {
+    "ErrMismatchingVersions": MismatchingVersions,
+    "ErrInvalidPayload": InvalidPayload,
+    "ErrInvalidVersion": InvalidVersion,
+    "ErrMalformedVersion": InvalidVersion,
+    "ErrPayloadSizeLimitExceeded": PayloadSizeLimitExceeded,
+}
+
+
+@dataclass(frozen=True)
+class ClientEvent:
+    """One scanned event; versions are ints (hex on the wire), payload
+    is the raw JSON string exactly as the log stores it."""
+
+    version: int
+    version_prev: int
+    version_next: int
+    time: str
+    label: str
+    payload: str
+
+
+@dataclass(frozen=True)
+class AppendAck:
+    """Server acknowledgement of an append."""
+
+    version: int
+    version_previous: int
+    version_first: int
+    time: str
+
+
+class Client:
+    """Drop-in client for an ``EventLogHTTPServer`` (serving.py) — or
+    any server speaking the reference's HTTP API."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 8080, timeout: float = 30.0):
+        self.host = host
+        self.port = port
+        self.timeout = timeout
+
+    # -- transport ---------------------------------------------------------
+
+    def _request(self, method: str, path: str, body: bytes | None = None) -> tuple[int, bytes]:
+        conn = http.client.HTTPConnection(self.host, self.port, timeout=self.timeout)
+        try:
+            conn.request(method, path, body=body)
+            resp = conn.getresponse()
+            return resp.status, resp.read()
+        finally:
+            conn.close()
+
+    def _checked(self, method: str, path: str, body: bytes | None = None) -> bytes:
+        status, data = self._request(method, path, body)
+        if status == 400:
+            text = data.decode("utf-8", "replace")
+            raise _ERR_MAP.get(text, EventLogError)(text)
+        if status != 200:
+            raise EventLogError(f"unexpected status {status}: {data[:200]!r}")
+        return data
+
+    # -- append family (O1-O4 over the wire) --------------------------------
+
+    @staticmethod
+    def _parse_ack(data: bytes) -> AppendAck:
+        doc = json.loads(data)
+        version = int(doc["version"], 16)
+        return AppendAck(
+            version=version,
+            version_previous=int(doc["version-previous"], 16),
+            version_first=int(doc.get("version-first", doc["version"]), 16),
+            time=doc["time"],
+        )
+
+    def append(self, label: str, payload: str) -> AppendAck:
+        return self._parse_ack(self._checked("POST", "/log/", encode([(label, payload)])))
+
+    def append_multi(self, events: list[tuple[str, str]]) -> AppendAck:
+        return self._parse_ack(self._checked("POST", "/log/", encode(events)))
+
+    def append_check(self, assumed_version: int, label: str, payload: str) -> AppendAck:
+        return self.append_check_multi(assumed_version, [(label, payload)])
+
+    def append_check_multi(
+        self, assumed_version: int, events: list[tuple[str, str]]
+    ) -> AppendAck:
+        path = "/log/" + format(assumed_version, "x")
+        return self._parse_ack(self._checked("POST", path, encode(events)))
+
+    def try_append(
+        self,
+        transaction: Callable[[], tuple[str, str]],
+        sync: Callable[[], int] | None = None,
+        assumed_version: int | None = None,
+        max_attempts: int = 0,
+    ) -> AppendAck:
+        """CAS retry loop (client/client.go:150-199): run
+        ``transaction()`` to produce the event, attempt the OCC append;
+        when another writer won the race, re-``sync()`` the assumed
+        version and re-run the transaction (it may need to re-derive
+        its event from fresh state). ``sync`` defaults to asking the
+        server for its head version. ``max_attempts=0`` retries
+        forever, like the reference's ctx-less loop."""
+        return self.try_append_multi(
+            lambda: [transaction()], sync, assumed_version, max_attempts
+        )
+
+    def try_append_multi(
+        self,
+        transaction: Callable[[], list[tuple[str, str]]],
+        sync: Callable[[], int] | None = None,
+        assumed_version: int | None = None,
+        max_attempts: int = 0,
+    ) -> AppendAck:
+        sync = sync or self.version
+        assumed = self.version() if assumed_version is None else assumed_version
+        attempt = 0
+        while True:
+            attempt += 1
+            try:
+                return self.append_check_multi(assumed, transaction())
+            except MismatchingVersions:
+                if max_attempts and attempt >= max_attempts:
+                    raise
+                assumed = sync()
+
+    # -- scan with transparent pagination (O5-O9) ---------------------------
+
+    def scan(
+        self,
+        version: int | None = None,
+        reverse: bool = False,
+        skip_first: bool = False,
+        batch_hint: int = 0,
+    ) -> Iterator[ClientEvent]:
+        """Iterate events from ``version`` (default: initial version
+        forward / head version reverse), re-requesting from each page's
+        last ``version-next``/``version-previous`` until the ``"0"``
+        sentinel — the server's batch clamp is invisible to the caller
+        (client/http.go:342-429). ``batch_hint`` caps the per-request
+        ``n`` (the server clamps it further)."""
+        if version is None:
+            version = self.version() if reverse else self.version_initial()
+        while True:
+            q = []
+            if batch_hint:
+                q.append(f"n={batch_hint}")
+            if reverse:
+                q.append("reverse")
+            if skip_first:
+                q.append("skip_first")
+                skip_first = False  # first page only — see module docstring
+            path = "/log/" + format(version, "x") + ("?" + "&".join(q) if q else "")
+            page = json.loads(self._checked("GET", path))
+            if not page:
+                return
+            for doc in page:
+                ev = ClientEvent(
+                    version=int(doc["version"], 16),
+                    version_prev=int(doc["version-previous"], 16),
+                    version_next=int(doc["version-next"], 16),
+                    time=doc["time"],
+                    label=doc["label"],
+                    # re-minify exactly as validation.minify stored it
+                    # (ensure_ascii=False: the log keeps unicode raw)
+                    payload=json.dumps(
+                        doc["payload"], separators=(",", ":"), ensure_ascii=False
+                    )
+                    if not isinstance(doc["payload"], str)
+                    else doc["payload"],
+                )
+                yield ev
+                if (not reverse and ev.version_next == 0) or (
+                    reverse and ev.version_prev == 0
+                ):
+                    return
+            version = ev.version_next if not reverse else ev.version_prev
+
+    # -- metadata / versions (O10-O12) --------------------------------------
+
+    def version(self) -> int:
+        return int(json.loads(self._checked("GET", "/version"))["version"], 16)
+
+    def version_initial(self) -> int:
+        return int(
+            json.loads(self._checked("GET", "/version/initial"))["version-initial"], 16
+        )
+
+    def metadata(self) -> dict:
+        return json.loads(self._checked("GET", "/meta"))
+
+    # -- subscription (O13) --------------------------------------------------
+
+    def subscribe(self) -> WSSubscription:
+        """Raw websocket subscription; iterate ``recv_version()``."""
+        return WSSubscription(self.host, self.port, timeout=self.timeout)
+
+    def listen(
+        self,
+        on_update: Callable[[int], bool | None],
+        timeout: float | None = None,
+    ) -> None:
+        """Blocking push loop (client/http.go:507-585): call
+        ``on_update(head)`` for the current head and then every pushed
+        head, until the server closes, ``on_update`` returns False, or
+        ``timeout`` seconds elapse."""
+        deadline = None if timeout is None else _time.monotonic() + timeout
+        with self.subscribe() as sub:
+            while deadline is None or _time.monotonic() < deadline:
+                try:
+                    head = sub.recv_version()
+                except TimeoutError:  # socket timeout — re-check deadline
+                    continue
+                if head is None:
+                    return
+                if on_update(head) is False:
+                    return

@@ -25,8 +25,14 @@ decomposes the same semantics into:
 
 Equal-width bucketing balances when key density is roughly uniform —
 exactly true for the log's dense versions, true enough for event ids.
-(A pathological distribution would skew buckets but never break
-correctness; switch ``num_partitions`` up or pre-compact.)
+A pathological distribution skews buckets but never breaks correctness
+(bucket ids only need to be MONOTONE in the order key; the boundary
+pass fixes cross-bucket adjacency whatever the occupancy). For
+arbitrary skewed keys pass ``skewed=True``: bucket bounds then come
+from ``approxQuantile`` — one extra narrow pass over just the order
+column — so every bucket holds ≈ 1/n of the ROWS regardless of the
+value distribution (equi-depth, the histogram trick). Same single data
+shuffle either way; only the bounds derivation differs.
 
 Null caveat: lag/lead fill-in uses ``coalesce`` with the boundary
 value, so data columns that can legitimately hold NULLs would be
@@ -52,24 +58,47 @@ def with_adjacent(
     lead_cols: Sequence[str] = (),
     running_max_cols: Sequence[str] = (),
     num_partitions: int | None = None,
+    skewed: bool = False,
 ) -> DataFrame:
     """Add ``<c>_lag`` / ``<c>_lead`` / ``<c>_prevmax`` columns as if
     computed by a global ``Window.orderBy(order_col)`` (lag(1), lead(1),
     max over rows strictly before the current one), using the bucketed
     strategy described in the module docstring. ``order_col`` must be a
-    unique, non-null integer column (a version / sequence id)."""
+    unique, non-null integer column (a version / sequence id).
+
+    ``skewed=True`` derives equi-depth bucket bounds from
+    ``approxQuantile`` instead of equal-width min/max — use for order
+    keys with non-uniform value density (hash keys, quadratic ids),
+    where equal-width ranges would funnel most rows into few buckets.
+    Results are identical either way (bucketing is an internal
+    partitioning choice); only load balance differs."""
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    mn, mx = df.agg(F.min(order_col), F.max(order_col)).first()
-    if mn is None:  # empty input — bucket id is irrelevant
-        mn, mx = 0, 0
-    width = max(1, math.ceil((int(mx) - int(mn) + 1) / n))
-    part = df.withColumn(
-        _BKT,
-        F.least(
-            F.lit(n - 1), F.floor((F.col(order_col) - F.lit(int(mn))) / F.lit(width))
-        ).cast("int"),
-    ).repartition(n, F.col(_BKT))
+    if skewed:
+        # equi-depth: n-1 interior cut points; bucket id = number of
+        # bounds strictly below the value — monotone in the order key,
+        # which is the only property the boundary pass needs. The
+        # quantile job reads ONE column (pruned scan); bounds are
+        # approximate, so occupancy is ≈ rows/n, not exact — both are
+        # fine, correctness never depends on the bounds.
+        probs = [i / n for i in range(1, n)]
+        bounds = sorted(set(df.stat.approxQuantile(order_col, probs, 0.001)))
+        bucket = F.lit(0)
+        for b in bounds:
+            bucket = bucket + F.when(F.col(order_col) > F.lit(b), 1).otherwise(0)
+        part = df.withColumn(_BKT, bucket.cast("int")).repartition(n, F.col(_BKT))
+    else:
+        mn, mx = df.agg(F.min(order_col), F.max(order_col)).first()
+        if mn is None:  # empty input — bucket id is irrelevant
+            mn, mx = 0, 0
+        width = max(1, math.ceil((int(mx) - int(mn) + 1) / n))
+        part = df.withColumn(
+            _BKT,
+            F.least(
+                F.lit(n - 1),
+                F.floor((F.col(order_col) - F.lit(int(mn))) / F.lit(width)),
+            ).cast("int"),
+        ).repartition(n, F.col(_BKT))
 
     wloc = Window.partitionBy(_BKT).orderBy(order_col)
     wloc_prev = wloc.rowsBetween(Window.unboundedPreceding, -1)

@@ -248,7 +248,13 @@ def parse_media_header(p: bytes):
         ch = int.from_bytes(p[22:24], "little")
         sr = int.from_bytes(p[24:28], "little")
         return ("wav", 0, 0, sr, ch)
-    if len(p) >= 4 and p[:2] == b"\xff\xd8":
+    # len > 17: the shortest parseable JPEG (SOI + SOF0 with 1
+    # component) is 18 bytes, and the gate keeps 16-byte digest
+    # stand-ins (the manifest's md5 payloads) from ever reaching the
+    # SOF scan — a random digest starting \xff\xd8 could otherwise
+    # false-positive (~1e-10/doc) and silently diverge from the
+    # _fake_decode oracle (round-4 advice).
+    if len(p) >= 18 and p[:2] == b"\xff\xd8":
         i = 2
         while i + 9 <= len(p):
             if p[i] != 0xFF:

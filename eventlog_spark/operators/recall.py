@@ -8,11 +8,14 @@ with the exact brute-force top-k (``ann_topk_bruteforce``) and reported
 as integer hit counts plus a recall ratio.
 
 Composition strategy: the Spark side re-invokes the sibling operators'
-raw builder functions (one lazy DAG — Catalyst dedups the shared
-embeddings scan); the DuckDB oracle embeds the sibling queries' oracle
-SQL as subqueries, so both engines recompute each index from scratch
-and the comparison stays bit-exact end to end. Integer set
-intersection + a final tiny division — trivially oracle-exact.
+raw builder functions, which since round 5 resolve through the shared
+session-artifact cache (operators/artifacts.py) — the report MEASURES
+the same trained codebook / bucket assignment / answer sets the ANN
+queries serve, instead of retraining identical indexes (the round-4
+~22 s redundancy). The DuckDB oracle embeds the sibling queries' oracle
+SQL as subqueries; artifact values are identical to a fresh build by
+construction, so the comparison stays bit-exact end to end. Integer
+set intersection + a final tiny division — trivially oracle-exact.
 
 At 100 TB: recall evaluation is always sample-sized work (the query set
 is fixed and small); every subplan here inherits its operator's scale

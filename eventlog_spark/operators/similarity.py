@@ -129,22 +129,32 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The query set broadcasts; the corpus is scanned once; the
     per-query top-k is a WindowGroupLimit (each task keeps k rows per
     query before any shuffle). Ties break on vec_id so ordering is
-    deterministic across engines."""
+    deterministic across engines.
+
+    The 50-row answer set is a shared session artifact: it is the
+    ground truth every recall evaluation joins against
+    (ann_recall_report, ann_lsh_multiprobe), so the O(n·q) scan runs
+    once per session, not once per evaluator."""
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id").isin(*QUERY_IDS)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    cos = cosine_expr(F.col("q_emb"), F.col("embedding"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos", cos)
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= TOP_K)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rk")
-    )
+    from .artifacts import shared
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.where(F.col("vec_id").isin(*QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+        cos = cosine_expr(F.col("q_emb"), F.col("embedding"))
+        w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+        return (
+            emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+            .withColumn("cos", cos)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= TOP_K)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"), "rk")
+        )
+
+    return shared(spark, sf_dir, "ann_bf_topk", build)
 
 
 K_LISTS = 16
@@ -223,7 +233,16 @@ def ann_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection (once per vector, not once per candidate pair), so every
     cosine thereafter is one dot fold + a division — value-identical to
     the oracle's inline form (sqrt-then-multiply, same order). The
-    repartition restores parallelism over the single-file test scan."""
+    repartition restores parallelism over the single-file test scan.
+
+    The top-k answer set (k·|Q| rows) is a shared session artifact so
+    recall evaluation reuses it instead of re-running assignment."""
+    from .artifacts import shared
+
+    return shared(spark, sf_dir, "ann_ivf_topk", lambda: _ivf_probed_build(spark, sf_dir))
+
+
+def _ivf_probed_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = F.transform("embedding", lambda x: x.cast("double"))
     nrm = F.sqrt(
         F.aggregate(
@@ -433,21 +452,31 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Quality on this testdata (near-random: true-neighbor cosine ≈ 0.3,
     per-plane collision ≈ 0.6 — sign-LSH's worst case): candidate
     recall is driver-watched every round via ann_recall_report;
-    single-table p=8 scored 0.02, multi-table holds 0.32 at sf0.01."""
-    melted, _ = _melted_kept_buckets(spark, sf_dir)
-    a, b = melted.alias("a"), melted.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    single-table p=8 scored 0.02, multi-table holds 0.32 at sf0.01.
+
+    The candidate-pair set (∝ n·T·OCC rows) is a shared session
+    artifact — ann_recall_report measures it without re-running the
+    self-join; at scale it is the written candidates table a re-rank
+    job consumes."""
+    from .artifacts import shared
+
+    def build() -> DataFrame:
+        melted, _ = _melted_kept_buckets(spark, sf_dir)
+        a, b = melted.alias("a"), melted.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.t") == F.col("b.t"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .groupBy(
+                F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+            )
+            .agg(F.count(F.lit(1)).alias("n_tables"))
         )
-        .groupBy(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_tables"))
-    )
+
+    return shared(spark, sf_dir, "lsh_pairs", build)
 
 
 def _melted_kept_buckets(spark: SparkSession, sf_dir: str):
@@ -458,7 +487,14 @@ def _melted_kept_buckets(spark: SparkSession, sf_dir: str):
     hyperplane-hugging regions — carrying ~zero discriminative signal
     and quadratic join cost (sf1: 83 such buckets held 87% of all
     pair-slots). The cull's groupBy shuffles on the same (t, bucket)
-    key as the downstream joins, so the exchange is reused."""
+    key as the downstream joins, so the exchange is reused.
+
+    The culled melted assignment is a shared session artifact (built
+    once per (session, sf_dir); ann_lsh_bucketed, ann_lsh_multiprobe
+    and ann_recall_report all compose it) — the in-session stand-in for
+    the bucket-assignment table a cluster would write once."""
+    from .artifacts import shared
+
     emb = load_table(spark, sf_dir, "embeddings")
     msk = (
         emb.agg(F.count(F.lit(1)).alias("n"))
@@ -488,13 +524,16 @@ def _melted_kept_buckets(spark: SparkSession, sf_dir: str):
             F.col("x.bucket16").bitwiseAND(F.col("m")).alias("bucket"),
         )
     )
-    kept_keys = (
-        melted.groupBy("t", "bucket")
-        .agg(F.count(F.lit(1)).alias("occ"))
-        .where(F.col("occ") <= LSH_STOP)
-        .select("t", "bucket")
-    )
-    return melted.join(kept_keys, ["t", "bucket"], "left_semi"), msk
+    def build_kept() -> DataFrame:
+        kept_keys = (
+            melted.groupBy("t", "bucket")
+            .agg(F.count(F.lit(1)).alias("occ"))
+            .where(F.col("occ") <= LSH_STOP)
+            .select("t", "bucket")
+        )
+        return melted.join(kept_keys, ["t", "bucket"], "left_semi")
+
+    return shared(spark, sf_dir, "lsh_melted_kept", build_kept), msk
 
 
 def _multiprobe_oracle() -> str:

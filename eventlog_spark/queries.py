@@ -90,91 +90,86 @@ def oracle_sql() -> dict[str, str]:
 
 _loaded = False
 
-# The round-1 driver produced CORRECTNESS rows for exactly the FIRST 50
-# registry entries, so registration order is part of the verification
-# surface: the first 50 must cover every operator family (log engine,
-# dedup, ANN, text, multimodal, streaming, pipeline, UDF, sketches) plus
-# one representative of each formerly hash-red dtype case. Everything
-# else follows, and the only query with catalog side effects
-# (join_bucketed_colocated) goes dead LAST so a harness abort there
-# cannot cost any other query its row.
-# Round-4 rotation: rounds 1–3 cumulatively drove 93/140 queries green;
-# the 47 never-driver-checked queries (all local-green in
-# tests/test_oracle.py) take 47 of the 50 slots this round, plus the
-# decimal-TPC-H anchor and the two round-4 quality gates.
-# join_bucketed_colocated — the only query with catalog side effects —
-# sits at slot 50 so a harness abort there cannot cost any other query
-# its row. Green rows here lift cumulative driver coverage to 142/145.
+# The driver produces CORRECTNESS rows for exactly the FIRST 50 registry
+# entries, so registration order is part of the verification surface.
+# The only query with catalog side effects (join_bucketed_colocated)
+# goes dead LAST so a harness abort there cannot cost any other query
+# its row.
 #
-# ROUND-5 ROTATION NOTE: still never driver-checked after r4 (added
-# late in round 4, window already full): ann_lsh_multiprobe,
-# multimodal_header_probe, stream_real_stateful. Swap them into the
-# first 50 next round (any three r4-green rows can rotate out) for
-# 145/145 cumulative coverage.
+# ROUND-5 ROTATION (closing the verification ledger — VERDICT r4 item 1):
+# * the 13 queries whose only driver check is a round-1 hash FAIL
+#   (decimal/date-rendering family, fixed in r2 via canonicalize_output
+#   but never driver-reconfirmed),
+# * the 3 queries registered too late for the r4 window
+#   (ann_lsh_multiprobe, multimodal_header_probe, stream_real_stateful),
+# * every query whose implementation is touched this round (shared ANN
+#   codebook artifact; multimodal header-probe gating; streaming temp-dir
+#   hygiene) so the driver re-confirms them against the new code,
+# * the oldest-green rows (last green r2/r3) to keep rotating coverage.
+# Green rows here lift cumulative driver-green to 145/145.
 _FIRST_50 = [
-    # anchor (re-checked representative of the formerly hash-red
-    # decimal family) + the two round-4 additions the verdict asked to
-    # make driver-visible (index quality, real streaming execution)
+    # anchor (representative of the formerly hash-red decimal family)
     "q1_pricing_summary",
+    # the 13 round-1 stale-red rows (fix in canonicalize_output above;
+    # all local-green in tests/test_oracle.py since round 2)
+    "q2_min_cost_supplier",
+    "q5_local_supplier_volume",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_shipping_priority",
+    "q18_large_volume_customer",
+    "join_full_outer",
+    "pivot_returnflag",
+    "subquery_above_group_avg",
+    "subquery_argmin_per_group",
+    "window_range_frame",
+    "window_rank_suite",
+    # never driver-checked (registered late in round 4)
+    "ann_lsh_multiprobe",
+    "multimodal_header_probe",
+    "stream_real_stateful",
+    # touched this round: shared ANN artifact amortization
+    "ann_ivf_pq",
+    "ann_lsh_bucketed",
     "ann_recall_report",
-    "stream_real_availablenow",
-    # SCD2 / MERGE / incremental maintenance
-    "scd2_user_state",
-    "merge_upsert_orders",
-    "incremental_agg_merge",
-    "zorder_layout_key",
-    # dedup tail
-    "dedup_segments",
-    "dedup_semantic_cluster",
-    "dedup_winnowing",
-    # sampling / splits / quotas / mixtures
-    "sample_stratified",
-    "sample_temperature_mixture",
-    "domain_quota_cap",
-    "corpus_train_val_split",
-    "corpus_shard_assign",
-    "corpus_interleave_schedule",
-    # corpus statistics / retrieval
-    "corpus_length_histogram",
-    "corpus_dataset_card",
-    "vocab_topk",
-    "tfidf_top_terms",
-    "bm25_search",
-    "text_bpe_pair_counts",
-    # sketches
-    "sketch_count_min",
-    "sketch_bloom_filter",
-    # event analytics
-    "event_funnel",
-    "event_retention",
-    "event_transition_matrix",
-    "event_value_outliers",
-    "event_daily_ewma",
-    "event_type_lift",
-    # packing / quality gates
-    "pack_token_budget",
-    "quality_relative_filter",
-    "quality_gopher_rules",
-    "quality_model_scores",
-    # embedding family
-    "embedding_centroid_assign",
-    "embedding_quantize_int8",
-    "embedding_pq_codes",
-    "embedding_dim_stats",
-    "embedding_whiten_apply",
-    # ANN tail
     "ann_pq_adc_topk",
-    "ann_range_search",
-    # text filtering tail
-    "text_decontaminate",
-    "text_repetition_score",
-    "text_inverse_freq_score",
-    "text_blocklist_filter",
-    "text_bigram_surprisal",
-    # misc tail
-    "source_overlap_matrix",
+    # touched this round: multimodal header gating + oracle-mirrored skip
+    "multimodal_decode_features",
     "multimodal_frame_sample",
-    "stream_late_arrival_audit",
+    # touched this round: streaming temp-dir hygiene + restart proof
+    "stream_real_availablenow",
+    "stream_real_restart",
+    # new this round: quantile-bounds adjacency under a skewed order key
+    "integrity_adjacent_skewed",
+    # oldest green rows (last green round 2)
+    "log_scan_reverse",
+    "log_scan_skip_first",
+    "stream_sliding_window",
+    "window_sessionize",
+    # oldest green rows (last green round 3) — log engine family
+    "eventlog_engine_roundtrip",
+    "eventlog_binary_roundtrip",
+    "eventlog_inmem_roundtrip",
+    "log_integrity_audit",
+    "log_scan_forward",
+    "log_version_bounds",
+    # last green round 3 — dedup family
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_connected_components",
+    "dedup_lsh_verified",
+    # last green round 3 — ANN baselines
+    "ann_topk_bruteforce",
+    "ann_ivf_probed",
+    # last green round 3 — misc
+    "pipeline_curate",
+    "graph_pagerank",
+    "q3_shipping_priority",
+    "udaf_pandas_weighted_avg",
+    "udtf_span_split",
     # catalog side effects — dead last within the window
     "join_bucketed_colocated",
 ]

@@ -354,7 +354,18 @@ def threshold_alerts_cents(events: DataFrame, threshold_cents: int = 50_000) -> 
     engines and micro-batch splits. Callers must supply a ``cents``
     column (``value`` cast through DECIMAL(12,2)·100 JVM-side, the same
     cast the batch twin and its DuckDB oracle agree on). State per user
-    is (long, bool) — still O(distinct users) in the state store."""
+    is (long, bool) — still O(distinct users) in the state store.
+
+    ORDERING CONTRACT (round-4 advice): rows are sorted by
+    (ts, event_id) only WITHIN each micro-batch; across batches the
+    operator consumes arrival order. Equivalence to the batch twin's
+    global ts order therefore requires batch boundaries that respect
+    event time: stream_real_stateful feeds ONE file → one batch, and
+    stream_real_restart splits files BY ts, so both satisfy it. A
+    multi-file source with interleaved event times (or
+    maxFilesPerTrigger) would need per-user buffering in state until
+    the watermark advances before emitting — the production variant
+    for out-of-order arrival, not what this operator claims."""
     import pandas as pd  # noqa: PLC0415 — worker-side import
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

@@ -1,0 +1,176 @@
+"""Client library tests — the PySpark rendition of client/client_test.go:
+transparent scan pagination against a server with a TINY read-batch
+clamp (client_test.go:29 forces FastHTTPMaxReadBatchSize=2), the
+TryAppend CAS retry loop over real HTTP, and websocket Listen."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from eventlog_spark.client import Client
+from eventlog_spark.errors import InvalidVersion, MismatchingVersions
+from eventlog_spark.log import EventLog
+from eventlog_spark.serving import EventLogHTTPServer
+
+
+@pytest.fixture()
+def clamped(spark, tmp_path):
+    """Server whose scan batches are clamped to 2 events — pagination
+    is exercised by ANY scan of ≥3 events."""
+    log = EventLog.create(spark, str(tmp_path / "log"), metadata={"name": "clamped"})
+    srv = EventLogHTTPServer(("127.0.0.1", 0), log, max_read_batch_size=2)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield Client("127.0.0.1", srv.server_address[1]), log
+    srv.shutdown()
+
+
+def _seed(client: Client, n: int = 5) -> None:
+    for i in range(1, n + 1):
+        client.append(f"e{i}", '{"i":%d}' % i)
+
+
+def test_scan_paginates_transparently(clamped):
+    """client_test.go:433-462: 5 events through a batch-2 clamp arrive
+    as one seamless forward iterator (3 underlying requests)."""
+    client, _ = clamped
+    _seed(client)
+    events = list(client.scan(version=1))
+    assert [e.label for e in events] == ["e1", "e2", "e3", "e4", "e5"]
+    assert [e.version for e in events] == [1, 2, 3, 4, 5]
+    assert [e.version_next for e in events] == [2, 3, 4, 5, 0]
+    assert events[0].payload == '{"i":1}'
+
+
+def test_scan_reverse_and_skip_first(clamped):
+    client, _ = clamped
+    _seed(client)
+    assert [e.version for e in client.scan(version=5, reverse=True)] == [5, 4, 3, 2, 1]
+    # skip_first holds across page boundaries: starts AFTER v1, still
+    # yields every later event exactly once
+    assert [e.version for e in client.scan(version=1, skip_first=True)] == [2, 3, 4, 5]
+    # defaults: forward from the initial version, reverse from head
+    assert [e.version for e in client.scan()] == [1, 2, 3, 4, 5]
+    assert [e.version for e in client.scan(reverse=True)] == [5, 4, 3, 2, 1]
+
+
+def test_append_family_and_versions(clamped):
+    client, _ = clamped
+    ack = client.append("first", '{"a":1}')
+    assert (ack.version, ack.version_previous) == (1, 0)
+    ack = client.append_multi([("second", '{"b":2}'), ("third", '{"c":3}')])
+    assert (ack.version_first, ack.version) == (2, 3)
+    ack = client.append_check(3, "fourth", '{"d":4}')
+    assert ack.version == 4
+    with pytest.raises(MismatchingVersions):
+        client.append_check(3, "stale", '{"e":5}')
+    assert client.version() == 4
+    assert client.version_initial() == 1
+    assert client.metadata()["name"] == "clamped"
+    with pytest.raises(InvalidVersion):
+        list(client.scan(version=0xFF))
+
+
+def test_try_append_cas_retry(clamped):
+    """client/client.go:150-199: on MismatchingVersions the transaction
+    re-runs against a re-synced assumed version until committed."""
+    client, _ = clamped
+    client.append("seed", '{"i":0}')
+    calls = {"transaction": 0, "sync": 0}
+
+    def transaction():
+        calls["transaction"] += 1
+        if calls["transaction"] == 1:
+            # a competing writer lands between our sync and our append
+            client.append("intruder", '{"race":true}')
+        return ("txn", '{"attempt":%d}' % calls["transaction"])
+
+    def sync():
+        calls["sync"] += 1
+        return client.version()
+
+    ack = client.try_append(transaction, sync, assumed_version=1)
+    assert calls["transaction"] == 2  # re-ran after losing the race
+    assert calls["sync"] == 1
+    assert ack.version == 3
+    events = list(client.scan(version=1))
+    assert [e.label for e in events] == ["seed", "intruder", "txn"]
+    assert events[-1].payload == '{"attempt":2}'
+
+
+def test_try_append_gives_up_after_max_attempts(clamped):
+    client, _ = clamped
+    client.append("seed", '{"i":0}')
+
+    def always_racing():
+        client.append("intruder", '{"x":1}')
+        return ("txn", '{"y":2}')
+
+    with pytest.raises(MismatchingVersions):
+        client.try_append(always_racing, assumed_version=1, max_attempts=2)
+
+
+def test_listen_receives_pushed_heads(clamped):
+    client, _ = clamped
+    client.append("first", '{"i":1}')
+    heads: list[int] = []
+    got_push = threading.Event()
+
+    def on_update(head: int):
+        heads.append(head)
+        if head >= 2:
+            got_push.set()
+            return False
+        return None
+
+    t = threading.Thread(
+        target=client.listen, args=(on_update,), kwargs={"timeout": 30}, daemon=True
+    )
+    t.start()
+    # wait for the subscriber to receive the current head, then push
+    import time
+
+    deadline = time.monotonic() + 10
+    while not heads and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert heads and heads[0] == 1  # immediate current-head delivery
+    client.append("second", '{"i":2}')
+    assert got_push.wait(10), f"no push received, heads={heads}"
+    t.join(10)
+    assert heads[-1] == 2
+
+
+def test_cli_inmem_server_full_surface(spark):
+    """cmd/eventlog/cli/cli.go:23-57: the `inmem` subcommand serves the
+    full 7-route API over the volatile in-memory engine; `version <url>`
+    inspects a RUNNING server (cli.go:113-124)."""
+    import contextlib
+    import io
+
+    from eventlog_spark.cli import inmem_server, main
+
+    srv = inmem_server(
+        spark, metadata={"mode": "ephemeral"}, port=0, max_scan_batch_size=2
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        client = Client("127.0.0.1", srv.server_address[1])
+        assert client.metadata()["mode"] == "ephemeral"
+        _seed(client, 5)
+        # paginated scan across the batch-2 clamp, inmem engine
+        assert [e.version for e in client.scan()] == [1, 2, 3, 4, 5]
+        assert client.version() == 5
+        assert client.version_initial() == 1
+        with pytest.raises(MismatchingVersions):
+            client.append_check(3, "stale", '{"x":1}')
+        # remote `version <url>` (no Spark session needed client-side)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = main(["version", f"http://127.0.0.1:{srv.server_address[1]}"])
+        assert rc == 0
+        assert '"version": "5"' in buf.getvalue()
+    finally:
+        srv.shutdown()

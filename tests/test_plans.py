@@ -20,9 +20,19 @@ from eventlog_spark.plans import (
     pushed_filters,
     read_schemas,
 )
+from eventlog_spark.operators import artifacts
 from eventlog_spark.queries import REGISTRY, _ensure_loaded
 
 _ensure_loaded()
+
+
+@pytest.fixture(autouse=True)
+def _fresh_ann_builds(monkeypatch):
+    """Plan assertions inspect the FULL build plan (training broadcasts,
+    LUT joins); the session artifact cache would sever it at a
+    checkpoint once another test materialized the artifact. Force
+    fresh, uncached builds for every plan test."""
+    monkeypatch.setattr(artifacts, "ENABLED", False)
 
 
 def q(spark, sf_dir, name):

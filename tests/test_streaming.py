@@ -364,3 +364,44 @@ def test_stream_real_stateful_matches_batch_twin(spark, sf_dir):
     }
     assert got == want
     assert got, "stateful run produced no alerts"
+
+
+def test_stream_restart_recovers_state_and_reads_only_delta(spark, sf_dir):
+    """Round-4 verdict item 6: two availableNow runs over a SHARED
+    checkpoint. The assertions pin the two recovery properties:
+
+    * delta-only reprocessing — every alert fired in run 1 has a
+      crossing event before the cutoff, and NO alert is duplicated
+      (a replay of run-1 files in run 2 would re-fire alerts with
+      fresh state);
+    * state survival — run-2 alerts whose cumulative includes run-1
+      events carry the globally-correct cum_value (checked against the
+      batch twin), which is impossible if the state store restarted
+      empty."""
+    from eventlog_spark.operators.streamlike import (
+        _RESTART_CUTOFF,
+        stream_real_restart,
+        stream_threshold_alert,
+    )
+
+    rows = stream_real_restart(spark, sf_dir).collect()
+    assert rows, "restart run produced no alerts"
+    # exactly one alert per user across both runs
+    users = [r.user_id for r in rows]
+    assert len(users) == len(set(users)), "restart re-fired an alert"
+    runs = {r.run_id for r in rows}
+    assert runs == {1, 2}, f"both runs must contribute alerts, got {runs}"
+    import datetime
+
+    cutoff = datetime.datetime.fromisoformat(_RESTART_CUTOFF)
+    for r in rows:
+        assert (r.ts < cutoff) == (r.run_id == 1), (
+            f"user {r.user_id}: crossing at {r.ts} tagged run {r.run_id}"
+        )
+    # cum_values equal the batch twin's global running-sum truth
+    got = {(r.user_id, r.event_id): float(r.cum_value) for r in rows}
+    want = {
+        (r.user_id, r.event_id): float(r.cum_value)
+        for r in stream_threshold_alert(spark, sf_dir).collect()
+    }
+    assert got == want
