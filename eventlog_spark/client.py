@@ -265,3 +265,131 @@ class Client:
                     return
                 if on_update(head) is False:
                     return
+
+
+class LocalClient:
+    """The reference's SECOND client implementation (client/inmem.go):
+    the same client surface bound directly to an in-process log engine
+    (either engine — parquet ``EventLog`` or ``InMemEventLog``), no HTTP
+    in between. Gives embedded users the identical programming model the
+    HTTP client offers remote users: AppendAck results, paginated
+    ``scan``, the ``try_append`` CAS loop, ``listen`` push delivery."""
+
+    def __init__(self, log):
+        self._log = log
+
+    # -- append family -------------------------------------------------------
+
+    @staticmethod
+    def _ack(r) -> AppendAck:
+        from datetime import datetime, timezone
+
+        t = (
+            datetime.fromtimestamp(r.timestamp, tz=timezone.utc)
+            .isoformat(timespec="seconds")
+            .replace("+00:00", "Z")
+        )
+        return AppendAck(
+            version=r.version,
+            version_previous=r.version_previous,
+            version_first=r.version_first,
+            time=t,
+        )
+
+    def append(self, label: str, payload: str) -> AppendAck:
+        return self._ack(self._log.append(label, payload))
+
+    def append_multi(self, events: list[tuple[str, str]]) -> AppendAck:
+        return self._ack(self._log.append_multi(events))
+
+    def append_check(self, assumed_version: int, label: str, payload: str) -> AppendAck:
+        return self._ack(self._log.append_check(assumed_version, label, payload))
+
+    def append_check_multi(
+        self, assumed_version: int, events: list[tuple[str, str]]
+    ) -> AppendAck:
+        return self._ack(self._log.append_check_multi(assumed_version, events))
+
+    try_append = Client.try_append
+    try_append_multi = Client.try_append_multi
+
+    # -- scan ----------------------------------------------------------------
+
+    def scan(
+        self,
+        version: int | None = None,
+        reverse: bool = False,
+        skip_first: bool = False,
+        batch_hint: int = 1000,
+    ) -> Iterator[ClientEvent]:
+        """Same pagination contract as the HTTP client (resume from
+        version-next/-previous until the 0 sentinel), batched through
+        the engine's ``scan`` so no page ever materializes more than
+        ``batch_hint`` rows on the driver."""
+        if version is None:
+            version = self.version() if reverse else self.version_initial()
+        while True:
+            rows = self._log.scan(
+                version=version,
+                reverse=reverse,
+                limit=batch_hint,
+                skip_first=skip_first,
+            ).collect()
+            skip_first = False
+            if not rows:
+                return
+            for r in rows:
+                ev = ClientEvent(
+                    version=r.version,
+                    version_prev=r.version_prev,
+                    version_next=r.version_next,
+                    time=str(r.timestamp),
+                    label=r.label,
+                    payload=r.payload,
+                )
+                yield ev
+                if (not reverse and ev.version_next == 0) or (
+                    reverse and ev.version_prev == 0
+                ):
+                    return
+            version = ev.version_next if not reverse else ev.version_prev
+
+    # -- metadata / versions -------------------------------------------------
+
+    def version(self) -> int:
+        return self._log.version()
+
+    def version_initial(self) -> int:
+        return self._log.version_initial()
+
+    def metadata(self) -> dict:
+        return self._log.metadata()
+
+    # -- subscription --------------------------------------------------------
+
+    def listen(
+        self,
+        on_update: Callable[[int], bool | None],
+        timeout: float | None = None,
+    ) -> None:
+        """client/inmem.go:177-196 semantics: deliver the current head
+        immediately, then every pushed head from the log's latest-wins
+        hub, until ``on_update`` returns False or ``timeout`` elapses."""
+        import queue as _queue
+
+        deadline = None if timeout is None else _time.monotonic() + timeout
+        q, close = self._log.subscribe()
+        try:
+            if on_update(self._log.version()) is False:
+                return
+            while deadline is None or _time.monotonic() < deadline:
+                remaining = None if deadline is None else deadline - _time.monotonic()
+                wait = 0.25 if remaining is None else max(0.01, min(0.25, remaining))
+                try:
+                    head = q.get(timeout=wait)
+                except _queue.Empty:
+                    continue
+                if on_update(head) is False:
+                    return
+        finally:
+            close()

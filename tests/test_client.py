@@ -174,3 +174,66 @@ def test_cli_inmem_server_full_surface(spark):
         assert '"version": "5"' in buf.getvalue()
     finally:
         srv.shutdown()
+
+
+def test_local_client_inmem_engine(spark):
+    """client/inmem.go: the same client surface bound directly to an
+    in-process engine — paginated scan, OCC, CAS retry, listen — no
+    HTTP. Runs over the in-memory engine here; the parquet engine
+    shares the exact EventLog API."""
+    from eventlog_spark.client import LocalClient
+    from eventlog_spark.inmem import InMemEventLog
+
+    log = InMemEventLog.create(spark, metadata={"engine": "inmem"})
+    c = LocalClient(log)
+    for i in range(1, 6):
+        ack = c.append(f"e{i}", '{"i":%d}' % i)
+    assert ack.version == 5 and ack.version_previous == 4
+    assert c.version() == 5 and c.version_initial() == 1
+    assert c.metadata()["engine"] == "inmem"
+
+    # paginated scan with a tiny batch hint — resume via version_next
+    events = list(c.scan(version=1, batch_hint=2))
+    assert [e.version for e in events] == [1, 2, 3, 4, 5]
+    assert [e.label for e in events] == ["e1", "e2", "e3", "e4", "e5"]
+    assert [e.version for e in c.scan(reverse=True, batch_hint=2)] == [5, 4, 3, 2, 1]
+    assert [e.version for e in c.scan(version=1, skip_first=True, batch_hint=2)] == [
+        2, 3, 4, 5,
+    ]
+
+    # OCC + CAS retry straight against the engine
+    with pytest.raises(MismatchingVersions):
+        c.append_check(3, "stale", '{"x":1}')
+    calls = {"n": 0}
+
+    def txn():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            c.append("intruder", '{"r":1}')
+        return ("txn", '{"ok":true}')
+
+    ack = c.try_append(txn, assumed_version=5)
+    assert calls["n"] == 2 and ack.version == 7
+
+    # listen: immediate current head, then pushed heads
+    heads = []
+    got = threading.Event()
+
+    def on_update(h):
+        heads.append(h)
+        if h >= 8:
+            got.set()
+            return False
+
+    t = threading.Thread(target=c.listen, args=(on_update,), kwargs={"timeout": 15}, daemon=True)
+    t.start()
+    import time
+
+    deadline = time.monotonic() + 10
+    while not heads and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert heads and heads[0] == 7
+    c.append("push", '{"p":1}')
+    assert got.wait(10)
+    t.join(10)
+    assert heads[-1] == 8
