@@ -305,7 +305,15 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh = shingles(docs).join(cand_docs, "doc_id", "left_semi")
+    # the candidate-restricted shingle table feeds THREE consumers
+    # (sizes + both sides of the intersection self-join) — one lazy
+    # checkpoint computes the shingle pipeline once, and it is small
+    # by construction (candidate docs only)
+    sh = (
+        shingles(docs)
+        .join(cand_docs, "doc_id", "left_semi")
+        .localCheckpoint(eager=False)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -1021,6 +1029,10 @@ def _ivf_pq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("dvec", lambda x: x * x), F.lit(0.0), lambda a, v: a + v
         )
     )
+    # the normalized projection is consumed by FOUR subtrees (subspace
+    # explode, IVF assignment, query set, exact re-rank) — one lazy
+    # checkpoint computes it once instead of four times (unlike the
+    # codebook/codes case, this boundary REPLACES recomputation)
     emb = (
         base.select("vec_id", "dvec", nrm.alias("nrm"))
         .select(
@@ -1030,6 +1042,7 @@ def _ivf_pq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("dvec", lambda x: x / F.col("nrm")).alias("nv"),
         )
         .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
     )
 
     # ---- PQ codebook training (deterministic fixed-point Lloyd) ----

@@ -259,6 +259,9 @@ def _ivf_probed_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", dv.alias("ev"), nrm.alias("ne"))
         .repartition(spark.sparkContext.defaultParallelism)
+        # three consumers (codebook, assignment, query set) — compute
+        # the cast+norm projection once (see curation.py's emb note)
+        .localCheckpoint(eager=False)
     )
     cents = emb.where(F.col("vec_id") < K_LISTS).select(
         F.col("vec_id").alias("cid"),
