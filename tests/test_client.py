@@ -42,6 +42,11 @@ def test_scan_paginates_transparently(clamped):
     assert [e.version for e in events] == [1, 2, 3, 4, 5]
     assert [e.version_next for e in events] == [2, 3, 4, 5, 0]
     assert events[0].payload == '{"i":1}'
+    # every batch hint (server clamps to 2 anyway; 1 forces a request
+    # per event) yields the identical seamless sequence, both directions
+    for bh in (1, 2, 3, 4):
+        assert [e.version for e in client.scan(version=1, batch_hint=bh)] == [1, 2, 3, 4, 5]
+        assert [e.version for e in client.scan(reverse=True, batch_hint=bh)] == [5, 4, 3, 2, 1]
 
 
 def test_scan_reverse_and_skip_first(clamped):
