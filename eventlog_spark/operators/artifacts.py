@@ -63,3 +63,12 @@ def shared(
         df = build().localCheckpoint(eager=False)
         _CACHE[key] = df
     return df
+
+
+def lazy_checkpoint(df: DataFrame) -> DataFrame:
+    """Lazy ``localCheckpoint`` that becomes a NO-OP when ``ENABLED``
+    is False. Production paths use the checkpoint to compute a
+    multiply-consumed subtree once; plan-shape tests and the PLANS.md
+    inventory flip ``ENABLED`` off so the FULL tree stays visible
+    (a checkpointed DataFrame's plan is just `Scan ExistingRDD`)."""
+    return df.localCheckpoint(eager=False) if ENABLED else df

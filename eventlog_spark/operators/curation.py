@@ -299,7 +299,9 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (round-3 PLANS.md measured 32 shuffles / 9.5 s cold vs 3.0 s
     # warm), while the verify stage's own exchanges still reuse. Lazy,
     # so plan-only inspection (tools/plan_inventory.py) runs no jobs.
-    cands = lsh_candidate_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    from .artifacts import lazy_checkpoint
+
+    cands = lazy_checkpoint(lsh_candidate_pairs(spark, sf_dir))
     cand_docs = (
         cands.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
@@ -309,11 +311,7 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (sizes + both sides of the intersection self-join) — one lazy
     # checkpoint computes the shingle pipeline once, and it is small
     # by construction (candidate docs only)
-    sh = (
-        shingles(docs)
-        .join(cand_docs, "doc_id", "left_semi")
-        .localCheckpoint(eager=False)
-    )
+    sh = lazy_checkpoint(shingles(docs).join(cand_docs, "doc_id", "left_semi"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -1032,8 +1030,12 @@ def _ivf_pq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the normalized projection is consumed by FOUR subtrees (subspace
     # explode, IVF assignment, query set, exact re-rank) — one lazy
     # checkpoint computes it once instead of four times (unlike the
-    # codebook/codes case, this boundary REPLACES recomputation)
-    emb = (
+    # codebook/codes case, this boundary REPLACES recomputation;
+    # measured 32.5 → 15.6 s at sf1). lazy_checkpoint no-ops under the
+    # plan-inventory/plan-test flag so the full tree stays auditable.
+    from .artifacts import lazy_checkpoint
+
+    emb = lazy_checkpoint(
         base.select("vec_id", "dvec", nrm.alias("nrm"))
         .select(
             "vec_id",
@@ -1042,7 +1044,6 @@ def _ivf_pq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("dvec", lambda x: x / F.col("nrm")).alias("nv"),
         )
         .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint(eager=False)
     )
 
     # ---- PQ codebook training (deterministic fixed-point Lloyd) ----

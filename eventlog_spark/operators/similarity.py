@@ -255,13 +255,14 @@ def _ivf_probed_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
         )
 
-    emb = (
+    from .artifacts import lazy_checkpoint
+
+    # three consumers (codebook, assignment, query set) — compute the
+    # cast+norm projection once (see curation.py's emb note)
+    emb = lazy_checkpoint(
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", dv.alias("ev"), nrm.alias("ne"))
         .repartition(spark.sparkContext.defaultParallelism)
-        # three consumers (codebook, assignment, query set) — compute
-        # the cast+norm projection once (see curation.py's emb note)
-        .localCheckpoint(eager=False)
     )
     cents = emb.where(F.col("vec_id") < K_LISTS).select(
         F.col("vec_id").alias("cid"),
