@@ -106,7 +106,14 @@ _loaded = False
 #   codebook artifact; multimodal header-probe gating; streaming temp-dir
 #   hygiene) so the driver re-confirms them against the new code,
 # * the oldest-green rows (last green r2/r3) to keep rotating coverage.
-# Green rows here lift cumulative driver-green to 145/145.
+# Green rows here lift cumulative driver-green to 147/147.
+#
+# ROUND-6 ROTATION NOTE: once CORRECTNESS_r05 is green, every query has
+# a green row. Keep the window fresh by rotating in (a) any query whose
+# implementation round 6 touches, (b) the ~30 remaining last-green-r3
+# rows that did not fit this window (agg_* family, stream_* twins,
+# json_extract, sample_hash_stats, timeseries_rollup, q3/q22, udf pair,
+# text_* basics), oldest first. join_bucketed_colocated stays dead last.
 _FIRST_50 = [
     # anchor (representative of the formerly hash-red decimal family)
     "q1_pricing_summary",
