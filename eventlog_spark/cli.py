@@ -51,9 +51,9 @@ def inmem_server(
     from .inmem import InMemEventLog
     from .serving import EventLogHTTPServer
 
-    log = InMemEventLog.create(spark, metadata=metadata or {})
-    if max_payload_len:
-        log._max_payload_len = max_payload_len
+    log = InMemEventLog.create(
+        spark, metadata=metadata or {}, max_payload_len=max_payload_len
+    )
     return EventLogHTTPServer(
         (host, port), log, max_read_batch_size=max_scan_batch_size
     )

@@ -258,6 +258,14 @@ class Client:
         with self.subscribe() as sub:
             while deadline is None or _time.monotonic() < deadline:
                 try:
+                    if deadline is not None:
+                        # clamp the socket timeout to the remaining
+                        # deadline — recv_version blocks on the socket's
+                        # full timeout otherwise, overshooting by up to
+                        # self.timeout seconds (round-5 advice)
+                        sub.set_timeout(
+                            max(1e-3, min(self.timeout, deadline - _time.monotonic()))
+                        )
                     head = sub.recv_version()
                 except TimeoutError:  # socket timeout — re-check deadline
                     continue

@@ -81,8 +81,15 @@ def with_adjacent(
         # quantile job reads ONE column (pruned scan); bounds are
         # approximate, so occupancy is ≈ rows/n, not exact — both are
         # fine, correctness never depends on the bounds.
+        # n == 1 → no interior cut points; approxQuantile rejects an
+        # empty probability list, so short-circuit to a single bucket
+        # (the equal-width branch already handles n == 1 the same way).
         probs = [i / n for i in range(1, n)]
-        bounds = sorted(set(df.stat.approxQuantile(order_col, probs, 0.001)))
+        bounds = (
+            sorted(set(df.stat.approxQuantile(order_col, probs, 0.001)))
+            if probs
+            else []
+        )
         bucket = F.lit(0)
         for b in bounds:
             bucket = bucket + F.when(F.col(order_col) > F.lit(b), 1).otherwise(0)

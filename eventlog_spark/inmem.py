@@ -68,10 +68,16 @@ class InMemEventLog(EventLog):
         spark: SparkSession,
         path: str | None = None,
         metadata: dict[str, str] | None = None,
+        max_payload_len: int | None = None,
     ) -> "InMemEventLog":
         """O22 for the ephemeral engine; ``path`` accepted (ignored) so
-        both engines share a creation signature in harnesses."""
-        return cls(spark, metadata=metadata)
+        both engines share a creation signature in harnesses.
+        ``max_payload_len`` overrides the payload size limit (the CLI's
+        ``--max-payload-len``, cli.go:43) through the public API."""
+        log = cls(spark, metadata=metadata)
+        if max_payload_len:
+            log._max_payload_len = max_payload_len
+        return log
 
     # -- storage seam overrides ---------------------------------------------
 

@@ -57,12 +57,28 @@ def shared(
     mid-session."""
     if not ENABLED:
         return build()
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app = spark.sparkContext.applicationId
+    # evict entries from dead sessions: their checkpointed RDD blocks
+    # are gone with the old context, and keeping the DataFrame refs
+    # would pin storage forever in a long-lived process that cycles
+    # sessions (round-5 advice). Dropping the reference is the release
+    # mechanism — the ContextCleaner unpersists unreferenced
+    # checkpointed RDDs on its next GC-driven sweep.
+    for k in [k for k in _CACHE if k[0] != app]:
+        del _CACHE[k]
+    key = (app, sf_dir, name)
     df = _CACHE.get(key)
     if df is None:
         df = build().localCheckpoint(eager=False)
         _CACHE[key] = df
     return df
+
+
+def clear() -> None:
+    """Drop every cached artifact reference, letting the ContextCleaner
+    unpersist the checkpointed blocks. For tests and long-lived sessions
+    that iterate many datasets."""
+    _CACHE.clear()
 
 
 def lazy_checkpoint(df: DataFrame) -> DataFrame:

@@ -322,11 +322,21 @@ def threshold_alerts(events: DataFrame, threshold: float = 500.0) -> DataFrame:
         chunks = [pdf for pdf in pdf_iter if not alerted]
         if chunks and not alerted:
             batch = pd.concat(chunks).sort_values(["ts", "event_id"])
-            # vectorized running sum — pandas cumsum adds sequentially
-            # in row order, so totals are bit-identical to the
-            # row-at-a-time loop it replaces (and ~100× faster on big
-            # per-user batches)
-            totals = cum + batch["value"].astype(float).cumsum()
+            # vectorized running sum, SEEDED with the carried-over state:
+            # cumsum over [cum, v1, v2, ...] replays the row-at-a-time
+            # fold ((cum+v1)+v2)+... exactly. `cum + values.cumsum()`
+            # would instead compute cum+(v1+v2+...) — float addition is
+            # non-associative, so with nonzero carried state a near-tie
+            # crossing could flip across micro-batches (round-5 advice).
+            totals = (
+                pd.concat(
+                    [pd.Series([cum]), batch["value"].astype(float)],
+                    ignore_index=True,
+                )
+                .cumsum()
+                .iloc[1:]
+                .reset_index(drop=True)
+            )
             crossed = totals >= threshold
             if crossed.any():
                 pos = int(crossed.to_numpy().argmax())

@@ -47,6 +47,13 @@ class WSSubscription:
             raise ConnectionError("bad Sec-WebSocket-Accept")
         self._buf = rest
 
+    def set_timeout(self, timeout: float | None) -> None:
+        """Adjust the socket timeout mid-subscription — ``listen``
+        clamps it to the remaining deadline each iteration so a blocking
+        ``recv_version`` can't overshoot the caller's deadline by a full
+        socket timeout."""
+        self._sock.settimeout(timeout)
+
     def _recv_exact(self, n: int) -> bytes:
         while len(self._buf) < n:
             chunk = self._sock.recv(4096)
