@@ -760,6 +760,14 @@ def embedding_whiten_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_KT = 64      # trained codes per subspace
 PQ_ROUNDS = 2   # deterministic Lloyd rounds
 PQ_RERANK = 80  # ADC shortlist size fed to the exact re-rank
+# Codebook TRAINING sample cap (round-5 verdict item 1): Lloyd trains on
+# the PQ_TRAIN_CAP vectors with the smallest (md5(vec_id), vec_id) key —
+# a deterministic, order-free, cross-engine-replayable sample — so
+# training cost is FLAT in corpus size (FAISS trains on ~100k-1M
+# vectors regardless of index size). Encode/codes stay full-corpus.
+# Non-binding below 4096 vectors (sf0.01 has 500, sf0.1 has 2000), so
+# small-SF results are unchanged; binding at sf1 (20k) and beyond.
+PQ_TRAIN_CAP = 4096
 
 
 def _ivf_pq_oracle() -> str:
@@ -780,13 +788,13 @@ def _ivf_pq_oracle() -> str:
         for s in range(PQ_M)
     )
 
-    def assign_key(cent: str) -> str:
+    def assign_key(cent: str, src: str = "tsub") -> str:
         d = sd("v.sv[i]", "c.sv[i]")
         return (
             f"SELECT v.vec_id, v.s,\n"
             f"           CAST(MIN(CAST(FLOOR(({d}) * {PQ_FXP}) AS BIGINT)"
             f" * {PQ_KT} + c.cid) % {PQ_KT} AS BIGINT) AS cid\n"
-            f"    FROM sub v JOIN {cent} c ON c.s = v.s\n"
+            f"    FROM {src} v JOIN {cent} c ON c.s = v.s\n"
             f"    GROUP BY v.vec_id, v.s"
         )
 
@@ -838,6 +846,12 @@ WITH emb AS (
 sub AS (
     {sub_union}
 ),
+tids AS (
+    SELECT vec_id FROM (
+        SELECT vec_id, {md5_int_sql("CAST(vec_id AS VARCHAR)")} AS h FROM emb
+    ) ORDER BY h, vec_id LIMIT {PQ_TRAIN_CAP}
+),
+tsub AS (SELECT v.* FROM sub v JOIN tids t ON t.vec_id = v.vec_id),
 cent0 AS (SELECT s, vec_id AS cid, sv FROM sub WHERE vec_id < {PQ_KT}),
 a1 AS (
     {assign_key("cent0")}
@@ -942,10 +956,14 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf0.01: 0.92 — exactly the probed-lists-exact ceiling (asserted
     ≥ 0.8 in tests/test_pipeline_ops.py) — vs 0.36 before training.
 
-    Scale: training is sample-sized work (at 100 TB you train on a
-    ~1M-vector sample; here the corpus is the sample) and every training
+    Scale: training is CAPPED-sample work — the Lloyd loop consumes the
+    PQ_TRAIN_CAP vectors with the smallest (md5(vec_id), vec_id) key
+    (deterministic, order-free, oracle-replayable via ORDER BY/LIMIT),
+    so codebook training cost is flat in corpus size, exactly as FAISS
+    trains on a fixed ~100k-1M sample at any index size. Every training
     shuffle is codebook-sized (M×K×SUB rows) except the one-row-per-
-    vector assignment aggregate, which combines map-side. The trained
+    SAMPLE-vector assignment aggregate, which combines map-side.
+    Encode/codes remain full-corpus. The trained
     codebook is localCheckpoint'ed LAZILY (256 rows — severs the
     training subtree so encode/LUT/re-rank don't replay it; lazy so
     plan-only inspection doesn't execute jobs). At serving scale: codes
@@ -1059,6 +1077,25 @@ def _ivf_pq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub = emb.select("vec_id", F.explode(subs).alias("x")).select(
         "vec_id", F.col("x.s").alias("s"), F.col("x.sv").alias("sv")
     )
+    # Lloyd trains on a FIXED-SIZE deterministic sample: the PQ_TRAIN_CAP
+    # vectors with the smallest (md5(vec_id), vec_id) — a TakeOrdered
+    # over a pruned one-column projection, order-free and replayed
+    # bit-identically by the oracle's ORDER BY ... LIMIT. This pins
+    # training cost regardless of corpus size (the round-5 5× probe
+    # measured corpus-trained Lloyd at 1.8× for 5× data — the repo's
+    # last scale-with-n training path). Encode/codes below stay
+    # full-corpus, as production does.
+    from .dedup import md5_int_col
+
+    tids = (
+        emb.select(
+            "vec_id", md5_int_col(F.col("vec_id").cast("string")).alias("h")
+        )
+        .orderBy("h", "vec_id")
+        .limit(PQ_TRAIN_CAP)
+        .select("vec_id")
+    )
+    tsub = sub.join(F.broadcast(tids), "vec_id")
     cent = sub.where(F.col("vec_id") < PQ_KT).select(
         "s", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
     )
@@ -1070,7 +1107,7 @@ def _ivf_pq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         # argmin via MIN over (dist_fp · K + cid) keys; sv is constant
         # within each (vec_id, s) group so first() is deterministic
         asg = (
-            sub.join(F.broadcast(cent), "s")
+            tsub.join(F.broadcast(cent), "s")
             .groupBy("vec_id", "s")
             .agg((F.min(key) % PQ_KT).alias("cid"), F.first("sv").alias("sv"))
         )
