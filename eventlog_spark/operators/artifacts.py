@@ -30,13 +30,120 @@ to False to force a fresh, uncached build.
 
 from __future__ import annotations
 
-from collections.abc import Callable
+import hashlib
+import json
+import os
+import shutil
+import uuid
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
 ENABLED = True
 
 _CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+# -- persisted artifact tables (offline-train / online-serve) -----------------
+#
+# Round-5 verdict item 2: promote trained ANN artifacts from session
+# checkpoints to PERSISTED tables — written once per (dataset, params),
+# served by every later session. This is the lakehouse shape: FAISS
+# writes its codebook to disk; a 100 TB deployment writes the PQ codes
+# as a table bucketed/partitioned by IVF list id so a probed query
+# prunes code files by list. ``ARTIFACT_ROOT`` is that warehouse; the
+# dataset fingerprint (source file stats + trainer params + version)
+# is the staleness guard — touch the source data or change a training
+# constant and the artifact re-trains.
+
+ARTIFACT_VERSION = "1"
+ARTIFACT_ROOT = os.environ.get(
+    "SPARK_GRAFT_ARTIFACTS",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".artifacts",
+    ),
+)
+
+
+def _file_sig(path: str) -> list:
+    """(size, mtime_ns) signature for a parquet file OR directory."""
+    if os.path.isdir(path):
+        sig = []
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                sig.append([f, st.st_size, st.st_mtime_ns])
+        return sig
+    try:
+        st = os.stat(path)
+        return [[os.path.basename(path), st.st_size, st.st_mtime_ns]]
+    except FileNotFoundError:
+        return [[os.path.basename(path), -1, -1]]
+
+
+def dataset_fingerprint(
+    sf_dir: str, inputs: Sequence[str], params: str = ""
+) -> str:
+    """Deterministic key for persisted artifacts: hashes the source
+    tables' file stats plus the trainer's parameter string, so stale
+    artifacts can never serve changed data or changed training code."""
+    sig = {
+        "v": ARTIFACT_VERSION,
+        "params": params,
+        "files": [
+            [t, _file_sig(os.path.join(sf_dir, f"{t}.parquet"))]
+            for t in sorted(inputs)
+        ],
+    }
+    return hashlib.md5(json.dumps(sig, sort_keys=True).encode()).hexdigest()[:16]
+
+
+def persisted_bundle(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: Sequence[tuple[str, Sequence[str] | None]],
+    build_all: Callable[[], dict[str, DataFrame]],
+    *,
+    inputs: Sequence[str],
+    params: str = "",
+) -> dict[str, DataFrame]:
+    """Return the persisted artifact tables named in ``tables``
+    (``(name, partition_by)`` pairs), training and writing them ONCE if
+    any is missing for this (dataset, params) fingerprint.
+
+    ``build_all`` runs the full offline job and returns every frame by
+    name — one invocation materializes the whole bundle, so a codebook
+    and its codes never pay training twice. Writes go to a temp dir and
+    publish via atomic rename (a concurrent writer loses cleanly and
+    discards its copy). Read-back is a plain parquet scan: a filter on
+    a ``partition_by`` column prunes files — the plan-tested serving
+    guarantee (probed IVF lists read only their own code files).
+
+    Under ``ENABLED=False`` (plan tests / plan inventory) this returns
+    ``build_all()`` directly so the full training tree stays visible."""
+    if not ENABLED:
+        return build_all()
+    fp = dataset_fingerprint(sf_dir, inputs, params)
+    paths = {name: os.path.join(ARTIFACT_ROOT, f"{name}-{fp}") for name, _ in tables}
+    if not all(
+        os.path.exists(os.path.join(p, "_SUCCESS")) for p in paths.values()
+    ):
+        os.makedirs(ARTIFACT_ROOT, exist_ok=True)
+        frames = build_all()
+        for name, partition_by in tables:
+            path = paths[name]
+            if os.path.exists(os.path.join(path, "_SUCCESS")):
+                continue
+            tmp = path + f".tmp-{uuid.uuid4().hex}"
+            writer = frames[name].write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(tmp)
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)  # concurrent writer won
+    return {name: spark.read.parquet(p) for name, p in paths.items()}
 
 
 def shared(

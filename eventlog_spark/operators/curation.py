@@ -1001,68 +1001,93 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared(spark, sf_dir, "ann_pq_topk", lambda: _ivf_pq_build(spark, sf_dir))
 
 
-def _ivf_pq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+# Distance kernels UNROLLED into explicit column arithmetic: the
+# higher-order `aggregate(zip_with(...))` fold never enters whole-stage
+# codegen (interpreted per element — the dominant cost of PQ training at
+# sf1: ~5M 16-dim folds per Lloyd round), while the unrolled sum
+# compiles. Bit-exactness is preserved because the unrolled tree replays
+# the fold's exact IEEE sequence: ((((0.0 + t0) + t1) + ...) with
+# identical per-term arithmetic — the same left-to-right order DuckDB's
+# list_sum uses, so the training-replay oracle matches to the last bit.
 
+
+def _sq_l2(a, b, n: int):
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    acc = F.lit(0.0)
+    for i in range(n):
+        d = a.getItem(i) - b.getItem(i)
+        acc = acc + d * d
+    return acc
+
+
+def _dot(a, b, n: int = 64):
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    acc = F.lit(0.0)
+    for i in range(n):
+        acc = acc + a.getItem(i) * b.getItem(i)
+    return acc
+
+
+def _emb_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (vec_id, dvec, nrm, nv) normalized-embedding projection —
+    consumed by PQ training's subspace explode, the IVF assignment, the
+    query set, and the exact re-rank, so it is a session-shared artifact
+    (one materialization serves every subtree and every ANN query;
+    measured 32.5 → 15.6 s at sf1 when it replaced four recomputes).
+
+    nrm stays a FOLD on purpose: it references the computed ``dvec``
+    array exactly once, so CollapseProject keeps one copy. An unrolled
+    64-getItem form references dvec 64×, which defeats the optimizer's
+    used-once guard and inlines the transform() array per term —
+    measured 12 s/stage at sf1 vs ~0 for the fold. The unrolled kernels
+    above are safe because they index CONCRETE columns that exist
+    post-exchange, not computed aliases."""
+    from .artifacts import shared
+
+    def build() -> DataFrame:
+        dv = F.transform("embedding", lambda x: x.cast("double"))
+        base = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", dv.alias("dvec")
+        )
+        nrm = F.sqrt(
+            F.aggregate(
+                F.transform("dvec", lambda x: x * x), F.lit(0.0), lambda a, v: a + v
+            )
+        )
+        return (
+            base.select("vec_id", "dvec", nrm.alias("nrm"))
+            .select(
+                "vec_id",
+                "dvec",
+                "nrm",
+                F.transform("dvec", lambda x: x / F.col("nrm")).alias("nv"),
+            )
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+
+    return shared(spark, sf_dir, "ann_emb_norm", build)
+
+
+def _pq_offline_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The OFFLINE index-build job: train the PQ codebooks, encode the
+    corpus, assign every vector to its IVF list. Returns the two frames
+    production writes as tables —
+
+    * ``pq_codebook``: (s, cid, cv) — PQ_M·PQ_KT rows, the trained
+      subspace centroids (what FAISS persists to its index file).
+    * ``pq_codes``: (vec_id, c0..c{M-1}, list_id) — one row per corpus
+      vector; persisted PARTITIONED BY list_id so a probed query's scan
+      prunes code files by list.
+
+    Runs once per (dataset, training params) via persisted_bundle; every
+    serving session after that reads the tables cold."""
     from .corpus import PQ_FXP, PQ_M, PQ_SUB
-    from .similarity import K_LISTS, N_PROBE, QUERY_IDS, TOP_K
+    from .similarity import K_LISTS
 
-    # Distance kernels UNROLLED into explicit column arithmetic: the
-    # higher-order `aggregate(zip_with(...))` fold never enters
-    # whole-stage codegen (interpreted per element — the dominant cost
-    # of PQ training at sf1: ~5M 16-dim folds per Lloyd round), while
-    # the unrolled sum compiles. Bit-exactness is preserved because the
-    # unrolled tree replays the fold's exact IEEE sequence:
-    # ((((0.0 + t0) + t1) + ... ) with identical per-term arithmetic —
-    # the same left-to-right order DuckDB's list_sum uses, so the
-    # training-replay oracle still matches to the last bit.
-    def sd(a, b, n: int = PQ_SUB):
-        a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
-        acc = F.lit(0.0)
-        for i in range(n):
-            d = a.getItem(i) - b.getItem(i)
-            acc = acc + d * d
-        return acc
+    def sd(a, b):
+        return _sq_l2(a, b, PQ_SUB)
 
-    def dot(a, b, n: int = 64):
-        a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
-        acc = F.lit(0.0)
-        for i in range(n):
-            acc = acc + a.getItem(i) * b.getItem(i)
-        return acc
-
-    dv = F.transform("embedding", lambda x: x.cast("double"))
-    base = load_table(spark, sf_dir, "embeddings").select("vec_id", dv.alias("dvec"))
-    # nrm stays a FOLD on purpose: it references the computed `dvec`
-    # array exactly once, so CollapseProject keeps one copy. An
-    # unrolled 64-getItem form references dvec 64×, which defeats the
-    # optimizer's used-once guard and inlines the transform() array
-    # per term — measured 12 s/stage at sf1 vs ~0 for the fold. The
-    # unrolled kernels below are safe because they index CONCRETE
-    # columns that exist post-exchange, not computed aliases.
-    nrm = F.sqrt(
-        F.aggregate(
-            F.transform("dvec", lambda x: x * x), F.lit(0.0), lambda a, v: a + v
-        )
-    )
-    # the normalized projection is consumed by FOUR subtrees (subspace
-    # explode, IVF assignment, query set, exact re-rank) — one lazy
-    # checkpoint computes it once instead of four times (unlike the
-    # codebook/codes case, this boundary REPLACES recomputation;
-    # measured 32.5 → 15.6 s at sf1). lazy_checkpoint no-ops under the
-    # plan-inventory/plan-test flag so the full tree stays auditable.
-    from .artifacts import lazy_checkpoint
-
-    emb = lazy_checkpoint(
-        base.select("vec_id", "dvec", nrm.alias("nrm"))
-        .select(
-            "vec_id",
-            "dvec",
-            "nrm",
-            F.transform("dvec", lambda x: x / F.col("nrm")).alias("nv"),
-        )
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    emb = _emb_normalized(spark, sf_dir)
 
     # ---- PQ codebook training (deterministic fixed-point Lloyd) ----
     subs = F.array(
@@ -1165,7 +1190,7 @@ def _ivf_pq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # ---- IVF coarse quantizer (unchanged proven shape) ----
+    # ---- IVF coarse quantizer: one list id per vector ----
     cents = emb.where(F.col("vec_id") < K_LISTS).select(
         F.col("vec_id").alias("cid"),
         F.col("dvec").alias("cv"),
@@ -1173,13 +1198,47 @@ def _ivf_pq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = (
         emb.crossJoin(F.broadcast(cents))
-        .withColumn("cos", dot("dvec", "cv") / (F.col("nrm") * F.col("nc")))
+        .withColumn("cos", _dot("dvec", "cv") / (F.col("nrm") * F.col("nc")))
         .groupBy("vec_id")
         .agg(
             F.max_by("cid", F.struct(F.col("cos"), (-F.col("cid")).alias("neg"))).alias(
                 "list_id"
             )
         )
+    )
+    # the codes table: PQ codes + IVF list per vector. The cp⋈assigned
+    # shuffle join is the bundle's ONE corpus×corpus join; it runs in
+    # the offline job only.
+    codes = cp.join(assigned, "vec_id")
+    return {"pq_codebook": cent, "pq_codes": codes}
+
+
+def _ivf_pq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from . import artifacts as _art
+    from .artifacts import persisted_bundle
+    from .corpus import PQ_FXP, PQ_M, PQ_SUB
+    from .similarity import K_LISTS, N_PROBE, QUERY_IDS, TOP_K
+
+    def sd(a, b):
+        return _sq_l2(a, b, PQ_SUB)
+
+    tabs = persisted_bundle(
+        spark,
+        sf_dir,
+        [("pq_codebook", None), ("pq_codes", ("list_id",))],
+        lambda: _pq_offline_frames(spark, sf_dir),
+        inputs=("embeddings",),
+        params=f"kt{PQ_KT}-r{PQ_ROUNDS}-cap{PQ_TRAIN_CAP}-k{K_LISTS}",
+    )
+    cent, codes = tabs["pq_codebook"], tabs["pq_codes"]
+
+    emb = _emb_normalized(spark, sf_dir)
+    cents = emb.where(F.col("vec_id") < K_LISTS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("dvec").alias("cv"),
+        F.col("nrm").alias("nc"),
     )
     q = emb.where(F.col("vec_id").isin(*QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"),
@@ -1190,13 +1249,29 @@ def _ivf_pq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     wp = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cid"))
     probes = (
         q.crossJoin(F.broadcast(cents))
-        .withColumn("cos", dot("qv", "cv") / (F.col("nq") * F.col("nc")))
+        .withColumn("cos", _dot("qv", "cv") / (F.col("nq") * F.col("nc")))
         .withColumn("rn", F.row_number().over(wp))
         .where(F.col("rn") <= N_PROBE)
         .select("query_id", "cid")
     )
+    if _art.ENABLED:
+        # THE QUERY ROUTER: resolve the probed lists on the driver
+        # (≤ |Q|·n_probe rows — control plane, same role as a FAISS
+        # coarse-quantizer lookup) so the codes read below carries a
+        # LITERAL list_id filter — static partition pruning against the
+        # partitioned codes table; the scan touches only the probed
+        # lists' files (plan-asserted in tests/test_plans.py). Under the
+        # plan-audit flag the lazy probes frame joins instead, keeping
+        # the full tree visible without executing jobs.
+        rows = probes.collect()
+        probes = spark.createDataFrame(
+            [(int(r["query_id"]), int(r["cid"])) for r in rows],
+            "query_id long, cid long",
+        )
+        lists = sorted({int(r["cid"]) for r in rows})
+        codes = codes.where(F.col("list_id").isin(lists))
 
-    # ---- ADC: per-query LUT joins over the candidate codes ----
+    # ---- ADC: per-query LUT joins over the pruned candidate codes ----
     luts = []
     for s in range(PQ_M):
         qsv = q.select("query_id", F.slice("qnv", s * PQ_SUB + 1, PQ_SUB).alias("qsv"))
@@ -1211,12 +1286,11 @@ def _ivf_pq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias(f"l{s}"),
             )
         )
-    cand = (
-        assigned.join(F.broadcast(probes), assigned.list_id == probes.cid)
+    adc = (
+        codes.join(F.broadcast(probes), codes["list_id"] == probes["cid"])
         .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id")
+        .select("query_id", "vec_id", *[f"c{s}" for s in range(PQ_M)])
     )
-    adc = cand.join(cp, "vec_id")
     for s in range(PQ_M):
         adc = adc.join(F.broadcast(luts[s]), ["query_id", f"c{s}"])
     adc = adc.select(

@@ -46,3 +46,62 @@ def test_cached_values_equal_fresh_build(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(artifacts, "ENABLED", False)
     fresh = {tuple(r) for r in ann_ivf_probed(spark, sf_dir).collect()}
     assert cached == fresh and cached
+
+
+def test_persisted_bundle_write_once_and_fingerprinting(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """persisted_bundle writes each table once per (dataset, params)
+    fingerprint, serves later calls from disk without invoking the
+    builder, and re-trains when the params change."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(artifacts, "ARTIFACT_ROOT", str(tmp_path))
+    calls = {"n": 0}
+
+    def build_all():
+        calls["n"] += 1
+        return {"tbl": spark.range(6).withColumn("p", F.col("id") % 2)}
+
+    spec = [("tbl", ("p",))]
+    tabs = artifacts.persisted_bundle(
+        spark, sf_dir, spec, build_all, inputs=("embeddings",), params="a"
+    )
+    assert tabs["tbl"].count() == 6 and calls["n"] == 1
+    # second call (≙ a cold new session): served from disk, no rebuild
+    tabs2 = artifacts.persisted_bundle(
+        spark, sf_dir, spec, build_all, inputs=("embeddings",), params="a"
+    )
+    assert calls["n"] == 1 and tabs2["tbl"].count() == 6
+    # changed training params → new fingerprint → retrain
+    artifacts.persisted_bundle(
+        spark, sf_dir, spec, build_all, inputs=("embeddings",), params="b"
+    )
+    assert calls["n"] == 2
+    # partition layout is real directory partitioning (file pruning)
+    (d,) = [p for p in os.listdir(tmp_path) if p.startswith("tbl-") and "a" not in p[4:]][:1] or [
+        sorted(p for p in os.listdir(tmp_path) if p.startswith("tbl-"))[0]
+    ]
+    assert {"p=0", "p=1"} <= set(os.listdir(os.path.join(tmp_path, d)))
+
+
+def test_ivf_pq_served_cold_without_retraining(spark, sf_dir, tmp_path, monkeypatch):
+    """The offline-train/online-serve split end-to-end: once the
+    codebook/codes tables exist, a NEW session (empty artifact cache)
+    serves ann_ivf_pq from the tables — the trainer must not run."""
+    from eventlog_spark.operators import curation
+
+    monkeypatch.setattr(artifacts, "ARTIFACT_ROOT", str(tmp_path))
+    monkeypatch.setattr(artifacts, "_CACHE", {})
+    first = {tuple(r) for r in curation._ivf_pq_build(spark, sf_dir).collect()}
+
+    monkeypatch.setattr(artifacts, "_CACHE", {})  # simulate a fresh session
+
+    def boom(*a, **k):
+        raise AssertionError("offline trainer ran although tables exist")
+
+    monkeypatch.setattr(curation, "_pq_offline_frames", boom)
+    second = {tuple(r) for r in curation._ivf_pq_build(spark, sf_dir).collect()}
+    assert first == second and first

@@ -401,3 +401,24 @@ def test_ivf_pq_lut_joins_are_broadcast(spark, sf_dir):
     df = q(spark, sf_dir, "ann_ivf_pq")
     assert count_nodes(df, "BroadcastHashJoin") >= 8, "probes/LUT/re-rank not broadcast"
     assert count_nodes(df, "SortMergeJoin") <= 1
+
+
+def test_ivf_pq_serving_prunes_code_partitions(spark, sf_dir, tmp_path, monkeypatch):
+    """The served IVF-PQ plan reads the persisted codes table with a
+    LITERAL list_id partition filter — only the probed lists' files are
+    scanned (the bucketed-codes serving guarantee; a full-table code
+    scan would be corpus-sized at 10⁹ vectors)."""
+    from eventlog_spark.operators import curation
+
+    monkeypatch.setattr(artifacts, "ENABLED", True)  # undo autouse fixture
+    monkeypatch.setattr(artifacts, "_CACHE", {})
+    monkeypatch.setattr(artifacts, "ARTIFACT_ROOT", str(tmp_path))
+    plan = formatted_plan(curation._ivf_pq_build(spark, sf_dir))
+    assert "PartitionFilters" in plan and "list_id" in plan
+    import re
+
+    (pf,) = [
+        line for line in plan.splitlines()
+        if "PartitionFilters" in line and "list_id" in line
+    ][:1]
+    assert re.search(r"list_id#\d+ (INSET|IN \()", pf), f"no literal IN filter: {pf}"
