@@ -31,7 +31,6 @@ from .dedup import (
     lsh_candidate_pairs,
     md5_int_col,
     md5_int_sql,
-    shingles,
 )
 
 # -- RAG-style chunking --------------------------------------------------------
@@ -290,18 +289,18 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     |corpus| — at 100 TB the verify cost tracks the (tiny) candidate
     set. LSH false positives surface as verified=0 rows: the operator
     measures its own precision."""
-    docs = load_table(spark, sf_dir, "documents")
-    # The candidate-pair subtree appears in three downstream branches
-    # (doc restriction ×2, final join). Checkpoint ONLY this tiny
-    # DataFrame (≲ thousands of pair rows — never the shingle
-    # pipeline): the triple-referenced subtree is severed so a COLD
-    # plan no longer replays shingle→signature→band three times
-    # (round-3 PLANS.md measured 32 shuffles / 9.5 s cold vs 3.0 s
-    # warm), while the verify stage's own exchanges still reuse. Lazy,
-    # so plan-only inspection (tools/plan_inventory.py) runs no jobs.
+    # The candidate pairs and the corpus shingle table are both
+    # session-shared artifacts now (dedup.lsh_candidate_pairs /
+    # dedup.shingles_shared) — this query composes the SAME
+    # materializations dedup_minhash_lsh, dedup_connected_components
+    # and dedup_ngram_jaccard serve from, so a cold run here replays
+    # neither the shingle pipeline nor the band join (round-3 PLANS.md
+    # measured 32 shuffles / 9.5 s cold before the pair checkpoint;
+    # round-6 removes the remaining duplicate shingle pass).
     from .artifacts import lazy_checkpoint
+    from .dedup import shingles_shared
 
-    cands = lazy_checkpoint(lsh_candidate_pairs(spark, sf_dir))
+    cands = lsh_candidate_pairs(spark, sf_dir)
     cand_docs = (
         cands.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
@@ -309,9 +308,11 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the candidate-restricted shingle table feeds THREE consumers
     # (sizes + both sides of the intersection self-join) — one lazy
-    # checkpoint computes the shingle pipeline once, and it is small
-    # by construction (candidate docs only)
-    sh = lazy_checkpoint(shingles(docs).join(cand_docs, "doc_id", "left_semi"))
+    # checkpoint computes the (cheap, from the shared shingle artifact)
+    # semi-join once; it is small by construction (candidate docs only)
+    sh = lazy_checkpoint(
+        shingles_shared(spark, sf_dir).join(cand_docs, "doc_id", "left_semi")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -96,6 +96,27 @@ def shingles(df: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def shingles_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, shh) corpus shingle table as a session-shared
+    artifact. Five near-dup operators start from this identical
+    projection (ngram-Jaccard's inverted index, the MinHash signature
+    feeding LSH pairs / connected components / LSH-verify, and the
+    verify stage's shingle sets); before sharing, each re-ran the
+    tokenize→shingle→hash→distinct pipeline over the full documents
+    table (~100 s of the sf1 suite, round-5 verdict item 3). At 100 TB
+    this is a persisted intermediate table written once per corpus
+    snapshot; the session-scoped localCheckpoint is the single-session
+    stand-in, exactly like the ANN artifacts."""
+    from .artifacts import shared
+
+    return shared(
+        spark,
+        sf_dir,
+        "doc_shingles",
+        lambda: shingles(load_table(spark, sf_dir, "documents")),
+    )
+
+
 _SHINGLES_SQL = f"""
 SELECT DISTINCT doc_id, {md5_int_sql('sh')} AS shh FROM (
     SELECT doc_id,
@@ -170,8 +191,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     meet, so cost tracks true overlap instead of n². The hot shuffle is
     groupBy(shingle); a stop-shingle filter (drop shingles in > T docs)
     caps skew at web scale — not needed at this corpus size."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(docs)
+    sh = shingles_shared(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -195,8 +215,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(docs)
+    sh = shingles_shared(spark, sf_dir)
     x = F.col("shh") % P31
     aggs = [
         F.min((F.lit(a) * x + F.lit(b)) % P31).alias(f"mh{j}")
@@ -239,7 +258,22 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band key is an equi-join key (hash join, AQE-skew-splittable) — no
     similarity is ever computed for non-colliding pairs. Verify
     candidates with dedup_ngram_jaccard semantics downstream if
-    exactness is needed."""
+    exactness is needed.
+
+    Session-shared artifact: THREE queries consume this exact pair set
+    (dedup_minhash_lsh, dedup_connected_components, dedup_lsh_verified)
+    — one materialization serves all of them."""
+    from .artifacts import shared
+
+    return shared(
+        spark,
+        sf_dir,
+        "doc_lsh_pairs",  # NOT "lsh_pairs" — that names the ANN embedding-LSH artifact (similarity.py)
+        lambda: _lsh_candidate_pairs_build(spark, sf_dir),
+    )
+
+
+def _lsh_candidate_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _minhash_signature(spark, sf_dir)
     band_structs = F.array(
         *[

@@ -96,87 +96,76 @@ _loaded = False
 # goes dead LAST so a harness abort there cannot cost any other query
 # its row.
 #
-# ROUND-5 ROTATION (closing the verification ledger — VERDICT r4 item 1):
-# * the 13 queries whose only driver check is a round-1 hash FAIL
-#   (decimal/date-rendering family, fixed in r2 via canonicalize_output
-#   but never driver-reconfirmed),
-# * the 3 queries registered too late for the r4 window
-#   (ann_lsh_multiprobe, multimodal_header_probe, stream_real_stateful),
-# * every query whose implementation is touched this round (shared ANN
-#   codebook artifact; multimodal header-probe gating; streaming temp-dir
-#   hygiene) so the driver re-confirms them against the new code,
-# * the oldest-green rows (last green r2/r3) to keep rotating coverage.
-# Green rows here lift cumulative driver-green to 147/147.
-#
-# ROUND-6 ROTATION NOTE: once CORRECTNESS_r05 is green, every query has
-# a green row. Keep the window fresh by rotating in (a) any query whose
-# implementation round 6 touches, (b) the ~30 remaining last-green-r3
-# rows that did not fit this window (agg_* family, stream_* twins,
-# json_extract, sample_hash_stats, timeseries_rollup, q3/q22, udf pair,
-# text_* basics), oldest first. join_bucketed_colocated stays dead last.
+# ROUND-6 ROTATION (freshness — VERDICT r5 item 4): every query is
+# cumulatively green (r5 closed the ledger), so the window maximizes
+# how RECENT each row's latest check is:
+# (a) every query round 6 touches — the shared-artifact ANN family
+#     (training-sample cap, persisted codebook/codes tables) and the
+#     shared-shingle dedup family, plus the equi-depth guard's query —
+#     so the driver re-confirms them against the new code;
+# (b) the 26 rows whose latest driver check is still round 1 (green
+#     then, local oracle-green every round since);
+# (c) 11 of the oldest round-3 rows (agg_* family, stream_* twins,
+#     json_extract, sample_hash_stats, timeseries_rollup, q22).
+# ROUND-7 NOTE: rotate in the remaining r3 rows (text_* basics,
+# window_running_total, approx_*, join_broadcast_dim/range/skew,
+# chunk_overlap_windows, multimodal_manifest, dedup_embedding_cosine)
+# plus anything round 7 touches, oldest first.
 _FIRST_50 = [
-    # anchor (representative of the formerly hash-red decimal family)
-    "q1_pricing_summary",
-    # the 13 round-1 stale-red rows (fix in canonicalize_output above;
-    # all local-green in tests/test_oracle.py since round 2)
-    "q2_min_cost_supplier",
-    "q5_local_supplier_volume",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_shipping_priority",
-    "q18_large_volume_customer",
-    "join_full_outer",
-    "pivot_returnflag",
-    "subquery_above_group_avg",
-    "subquery_argmin_per_group",
-    "window_range_frame",
-    "window_rank_suite",
-    # never driver-checked (registered late in round 4)
-    "ann_lsh_multiprobe",
-    "multimodal_header_probe",
-    "stream_real_stateful",
-    # touched this round: shared ANN artifact amortization
+    # (a) touched this round — shared-artifact ANN family
     "ann_ivf_pq",
-    "ann_lsh_bucketed",
     "ann_recall_report",
-    "ann_pq_adc_topk",
-    # touched this round: multimodal header gating + oracle-mirrored skip
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    # touched this round: streaming temp-dir hygiene + restart proof
-    "stream_real_availablenow",
-    "stream_real_restart",
-    # new this round: quantile-bounds adjacency under a skewed order key
-    "integrity_adjacent_skewed",
-    # oldest green rows (last green round 2)
-    "log_scan_reverse",
-    "log_scan_skip_first",
-    "stream_sliding_window",
-    "window_sessionize",
-    # oldest green rows (last green round 3) — log engine family
-    "eventlog_engine_roundtrip",
-    "eventlog_binary_roundtrip",
-    "eventlog_inmem_roundtrip",
-    "log_integrity_audit",
-    "log_scan_forward",
-    "log_version_bounds",
-    # last green round 3 — dedup family
-    "dedup_exact",
+    "ann_topk_bruteforce",
+    "ann_ivf_probed",
+    "ann_lsh_bucketed",
+    "ann_lsh_multiprobe",
+    "ann_range_search",
+    # (a) touched this round — shared-shingle dedup family
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_connected_components",
     "dedup_lsh_verified",
-    # last green round 3 — ANN baselines
-    "ann_topk_bruteforce",
-    "ann_ivf_probed",
-    # last green round 3 — misc
-    "pipeline_curate",
-    "graph_pagerank",
-    "q3_shipping_priority",
-    "udaf_pandas_weighted_avg",
-    "udtf_span_split",
+    # (a) touched this round — equi-depth single-partition guard
+    "integrity_adjacent_skewed",
+    # (b) latest driver check is round 1 — all 26
+    "agg_distinct",
+    "agg_percentiles",
+    "array_collect_ops",
+    "date_functions",
+    "explode_unnest",
+    "join_anti",
+    "join_asof",
+    "join_semi",
+    "q4_priority_late_ship",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_quantity",
+    "q19_disjunctive_revenue",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
+    "scalar_functions",
+    "setop_except",
+    "setop_intersect",
+    "setop_union",
+    "topk_orders",
+    "window_topk_per_group",
+    # (c) oldest round-3 rows
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "json_extract",
+    "sample_hash_stats",
+    "timeseries_rollup",
+    "q22_idle_customers",
+    "stream_dedup",
+    "stream_interval_join",
+    "stream_session_window",
+    "stream_threshold_alert",
     # catalog side effects — dead last within the window
     "join_bucketed_colocated",
 ]
