@@ -38,6 +38,7 @@ Design (Spark-first, not a port):
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import queue
@@ -78,6 +79,7 @@ EVENT_SCHEMA = StructType(
 
 _STATE_FILE = "_state.json"  # leading underscore → invisible to parquet readers
 _META_FILE = "_eventlog_meta.json"
+_COMMIT_LOCK_FILE = "_commit.lock"  # cross-process commit mutex (flock)
 
 
 def checksum_expr() -> Column:
@@ -277,6 +279,64 @@ class EventLog:
                 pq.write_table(kept, tmp)
                 os.replace(tmp, full)
 
+    @contextlib.contextmanager
+    def _commit_section(self):
+        """The commit critical section, linearizable ACROSS OS PROCESSES.
+
+        The reference engine assumes a single process (its commit mutex
+        is an in-process ``sync.RWMutex``, eventlog/file/file.go:57) —
+        a second writer process would corrupt the log. We go one step
+        further (SURVEY §7 names multi-driver OCC as the known edge):
+
+        1. the thread RLock serializes commits within this process;
+        2. an ``flock`` on ``_commit.lock`` serializes commits across
+           processes (advisory, kernel-released on crash — no stale
+           locks);
+        3. inside the flock, the PUBLISHED ``_state.json`` is re-read:
+           if another writer advanced the head since we last looked,
+           the in-memory head/timestamp re-sync to it, so version
+           assignment continues from the true head and an OCC
+           ``assumed_version`` is validated against the real latest —
+           two processes CAS-racing on one log see exactly-one-winner
+           per version, same as two threads.
+
+        At scale this is the commit protocol of a table format: an
+        atomic publish step that orders writers (the lock file plays
+        the role of the metastore's/log store's atomic append).
+        Readers stay lock-free: scans read the last PUBLISHED state.
+        In-memory engines (path=None) keep the thread lock only."""
+        with self._lock:
+            if self.path is None:
+                yield
+                return
+            with open(os.path.join(self.path, _COMMIT_LOCK_FILE), "a") as fh:
+                import fcntl  # POSIX-only; fine for the lock's purpose
+
+                fcntl.flock(fh, fcntl.LOCK_EX)
+                try:
+                    self._refresh_published_state()
+                    yield
+                finally:
+                    fcntl.flock(fh, fcntl.LOCK_UN)
+
+    def _refresh_published_state(self) -> None:
+        """Adopt the published state if another process advanced it.
+        No fallback scan here: a missing/corrupt state file just means
+        nobody published since we loaded — keep the in-memory view."""
+        try:
+            with open(self._state_path()) as f:
+                st = json.load(f)
+            latest = int(st["latest_version"])
+        except (FileNotFoundError, KeyError, ValueError):
+            return
+        if latest != self._latest:
+            self._latest = latest
+            self._initial = int(st["version_initial"])
+            self._last_ts = int(st["last_timestamp"])
+            self._stream_commits = {
+                str(k): int(v) for k, v in st.get("stream_commits", {}).items()
+            }
+
     def _write_state(self) -> None:
         tmp = self._state_path() + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -360,7 +420,7 @@ class EventLog:
             validate_payload(payload, self._max_payload_len)
             prepared.append((label, minify_json(payload)))
 
-        with self._lock:
+        with self._commit_section():
             if assumed_version is not None and assumed_version != self._latest:
                 raise MismatchingVersions(
                     f"assumed version {assumed_version} != latest {self._latest}"
@@ -490,7 +550,7 @@ class EventLog:
     ) -> AppendResult | None:
         from .functions.versioning import with_dense_versions_counted
 
-        with self._lock:
+        with self._commit_section():
             if txn is not None and self._stream_commits.get(txn[0], -1) >= txn[1]:
                 return None  # replayed batch: already committed, skip
             base = self._latest

@@ -242,3 +242,76 @@ def test_local_client_inmem_engine(spark):
     assert got.wait(10)
     t.join(10)
     assert heads[-1] == 8
+
+
+def test_strict_reference_pagination_drops_one_per_page(clamped):
+    """The compat flag reproduces the reference client's pagination bug
+    byte-for-byte: skip_first is resent on every page request while
+    resuming from version-next (the next UNREAD event), so each page
+    boundary swallows one event (client/http.go:342-429). The default
+    mode applies skip_first to the first page only — no drop."""
+    client, _ = clamped
+    _seed(client)
+    strict = Client(
+        client.host, client.port, strict_reference_pagination=True
+    )
+    # batch-2 clamp: page 1 skips v1 → [2,3]; resume from v4 resends
+    # skip_first → v4 dropped → [5]
+    assert [e.version for e in strict.scan(version=1, skip_first=True)] == [2, 3, 5]
+    assert [e.version for e in client.scan(version=1, skip_first=True)] == [2, 3, 4, 5]
+
+
+def test_follow_exactly_once_across_push_drop(clamped):
+    """follow(): appends from another thread arrive exactly once, in
+    order, even when a websocket push frame is dropped — the catch-up
+    scan from the last yielded version recovers on the next wakeup."""
+    import time
+
+    client, _ = clamped
+    _seed(client, 3)
+    # timeout stays ample (it also bounds every HTTP request, and a
+    # Spark-backed append/scan under concurrent load can take seconds);
+    # drop recovery normally rides the NEXT push frame, with the 10 s
+    # socket wakeup as the backstop
+    client.timeout = 10.0
+
+    # force ONE dropped push frame: wrap the subscription so the first
+    # received frame is discarded (recv blocks for the next one)
+    orig_subscribe = client.subscribe
+    state = {"dropped": False}
+
+    def subscribe():
+        sub = orig_subscribe()
+        orig_recv = sub.recv_version
+
+        def recv():
+            v = orig_recv()
+            if not state["dropped"] and v is not None:
+                state["dropped"] = True
+                return orig_recv()  # frame lost; block for the next
+            return v
+
+        sub.recv_version = recv
+        return sub
+
+    client.subscribe = subscribe
+
+    got: list[int] = []
+    done = threading.Event()
+
+    def run():
+        for ev in client.follow(version=0, timeout=45):
+            got.append(ev.version)
+            if len(got) >= 6:
+                break
+        done.set()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    time.sleep(0.3)  # let follow catch up 1..3 and block on the socket
+    for i in (4, 5, 6):
+        client.append(f"late{i}", '{"i":%d}' % i)
+        time.sleep(0.3)
+    assert done.wait(60), f"follow never completed; got={got}"
+    assert got == [1, 2, 3, 4, 5, 6]
+    assert state["dropped"], "test harness never exercised the push drop"

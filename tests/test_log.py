@@ -418,3 +418,79 @@ def test_occ_concurrent_try_append_all_land(log):
     audit = log.check_integrity().collect()[0]
     assert audit.checksum_violations == 0
     assert audit.chain_violations == 0
+
+
+_WRITER_SCRIPT = r"""
+import json, sys
+
+repo, path, wid, n = sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4])
+sys.path.insert(0, repo)
+from pyspark.sql import SparkSession
+
+from eventlog_spark.log import EventLog
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName(f"occ_writer_{wid}")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .getOrCreate()
+)
+log = EventLog.open(spark, path)
+wins = []
+for i in range(n):
+    r = log.try_append(
+        log.version(),
+        lambda: (f"writer{wid}", json.dumps({"writer": wid, "seq": i})),
+        max_retries=512,
+    )
+    wins.append(r.version)
+print("WINS:" + ",".join(map(str, wins)))
+spark.stop()
+"""
+
+
+def test_two_process_occ_commit_protocol(spark, tmp_path):
+    """SURVEY §7's known edge, closed: TWO OS PROCESSES append to one
+    log path through the OCC path concurrently. The flock'd commit
+    section + published-state refresh must produce exactly-one-winner
+    per version — dense versions 1..2N with no duplicates — and a
+    clean integrity audit afterward. (The reference engine would
+    corrupt here: its commit mutex is in-process only, file.go:57.)"""
+    import os
+    import subprocess
+    import sys
+
+    path = str(tmp_path / "occ2p")
+    EventLog.create(spark, path, metadata={"test": "two-process"})
+    n = 10
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WRITER_SCRIPT, repo, path, str(wid), str(n)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for wid in (1, 2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, f"writer failed:\n{err[-2000:]}"
+        outs.append(out)
+    wins = []
+    for out in outs:
+        (line,) = [ln for ln in out.splitlines() if ln.startswith("WINS:")]
+        wins.extend(int(v) for v in line[5:].split(","))
+    # exactly-one-winner per version: the union of both writers' acked
+    # versions is a permutation of 1..2N
+    assert sorted(wins) == list(range(1, 2 * n + 1))
+    reopened = EventLog.open(spark, path)
+    assert reopened.version() == 2 * n
+    rows = reopened.scan(version=1, limit=2 * n).collect()
+    assert [r.version for r in rows] == list(range(1, 2 * n + 1))
+    audit = reopened.check_integrity().collect()[0]
+    assert audit.checksum_violations == 0
+    assert audit.chain_violations == 0
+    assert audit.payload_violations == 0
