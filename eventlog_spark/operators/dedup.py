@@ -476,6 +476,16 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot / (F.sqrt(na) * F.sqrt(nb))
 
 
+# The exact all-pairs baseline is QUADRATIC BY DESIGN (it is the
+# measuring stick approximate methods are judged against) — so it runs
+# over a fixed-size deterministic hash-sample, the same gating as
+# IVF-PQ training (curation.py:PQ_TRAIN_CAP): the EMB_EXACT_CAP vectors
+# with the smallest (md5(vec_id), vec_id). Non-binding below 4096
+# vectors (sf0.01: 500, sf0.1: 2000 — results unchanged there); at sf1
+# (20k) and beyond the baseline stays a bounded 4096² tile job instead
+# of growing n². Oracle replays the sample via ORDER BY/LIMIT.
+EMB_EXACT_CAP = 4096
+
 _COSINE_SQL = (
     "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
     " / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))"
@@ -486,11 +496,18 @@ _COSINE_SQL = (
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
+WITH sids AS (
+    SELECT vec_id FROM (
+        SELECT vec_id, {md5_int_sql("CAST(vec_id AS VARCHAR)")} AS h FROM embeddings
+    ) ORDER BY h, vec_id LIMIT {EMB_EXACT_CAP}
+),
+e AS (SELECT emb.vec_id, emb.embedding FROM embeddings emb JOIN sids s ON s.vec_id = emb.vec_id)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE {_COSINE_SQL} >= {COSINE_THRESHOLD}
 """,
-    doc="Embedding near-dup pairs by cosine (brute-force; LSH variant in similarity.py).",
+    doc="Embedding near-dup pairs by exact cosine over a fixed-size "
+    "hash-sample (the labeled quadratic baseline; LSH variant in similarity.py).",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force all-pairs cosine as a TILED block matmul — no driver
@@ -517,7 +534,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    def sample_ids() -> DataFrame:
+        # the EMB_EXACT_CAP gate (see constant above): smallest
+        # (md5(vec_id), vec_id) — TakeOrdered over a one-column scan
+        return (
+            load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", md5_int_col(F.col("vec_id").cast("string")).alias("h"))
+            .orderBy("h", "vec_id")
+            .limit(EMB_EXACT_CAP)
+            .select("vec_id")
+        )
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .join(F.broadcast(sample_ids()), "vec_id")
+    )
     mn, mx, n = emb.agg(
         F.min("vec_id"), F.max("vec_id"), F.count(F.lit(1))
     ).first()
@@ -531,7 +563,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         # independent scan per leg: a self-cogroup over one shared plan
         # would leave both legs with identical attribute ids, and the
         # analyzer's dedup then strips the right leg's data columns
-        t = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        t = (
+            load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding")
+            .join(F.broadcast(sample_ids()), "vec_id")
+        )
         return t.withColumn(
             "blk",
             F.least(
