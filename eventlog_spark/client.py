@@ -462,3 +462,41 @@ class LocalClient:
                     return
         finally:
             close()
+
+    def follow(
+        self,
+        version: int | None = None,
+        timeout: float | None = None,
+        batch_hint: int = 1000,
+    ) -> Iterator[ClientEvent]:
+        """Same contract as ``Client.follow`` (exactly-once ordered
+        iterator over events after ``version``), bound to the in-process
+        hub: subscribe first, catch-up scan from the last yielded
+        version on entry and after every pushed head or poll wakeup —
+        latest-wins conflation in the hub never loses an event."""
+        import queue as _queue
+
+        last = self.version() if version is None else version
+        deadline = None if timeout is None else _time.monotonic() + timeout
+        q, close = self._log.subscribe()
+        try:
+            while deadline is None or _time.monotonic() < deadline:
+                if self.version() > last:
+                    it = (
+                        self.scan(batch_hint=batch_hint)
+                        if last == 0
+                        else self.scan(
+                            version=last, skip_first=True, batch_hint=batch_hint
+                        )
+                    )
+                    for ev in it:
+                        last = ev.version
+                        yield ev
+                remaining = None if deadline is None else deadline - _time.monotonic()
+                wait = 0.25 if remaining is None else max(0.01, min(0.25, remaining))
+                try:
+                    q.get(timeout=wait)
+                except _queue.Empty:
+                    continue
+        finally:
+            close()

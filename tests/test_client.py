@@ -315,3 +315,34 @@ def test_follow_exactly_once_across_push_drop(clamped):
     assert done.wait(60), f"follow never completed; got={got}"
     assert got == [1, 2, 3, 4, 5, 6]
     assert state["dropped"], "test harness never exercised the push drop"
+
+
+def test_local_client_follow(spark):
+    """LocalClient.follow mirrors Client.follow: exactly-once ordered
+    delivery of concurrent appends over the in-process hub."""
+    import time
+
+    from eventlog_spark.client import LocalClient
+    from eventlog_spark.inmem import InMemEventLog
+
+    log = InMemEventLog.create(spark)
+    c = LocalClient(log)
+    for i in (1, 2):
+        c.append(f"e{i}", '{"i":%d}' % i)
+    got: list[int] = []
+    done = threading.Event()
+
+    def run():
+        for ev in c.follow(version=0, timeout=20):
+            got.append(ev.version)
+            if len(got) >= 4:
+                break
+        done.set()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    time.sleep(0.3)
+    c.append("e3", '{"i":3}')
+    c.append("e4", '{"i":4}')
+    assert done.wait(30), f"follow never completed; got={got}"
+    assert got == [1, 2, 3, 4]
