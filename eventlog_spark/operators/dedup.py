@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries import register
-from ..tables import load_table
+from ..tables import load_table, spread
 
 _HEX = "0123456789abcdef"
 P31 = 2_147_483_647  # 2^31 - 1, Mersenne prime
@@ -113,7 +113,7 @@ def shingles_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "doc_shingles",
-        lambda: shingles(load_table(spark, sf_dir, "documents")),
+        lambda: shingles(spread(load_table(spark, sf_dir, "documents"))),
     )
 
 
@@ -437,7 +437,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic on the md5-derived word hash, so the fingerprint
     is engine-independent. Near-dup = small Hamming distance; pair it
     with a band join on simhash prefixes for retrieval at scale."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     tfs = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .groupBy("doc_id", "word")
@@ -654,7 +654,7 @@ def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic on both engines, no timestamps involved. At 100 TB
     hot boilerplate segments skew the hash partition; AQE skew-split
     handles it (the per-key payload is just (doc_id, seg_no))."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     from pyspark.sql import Window
 
     d = docs.select("doc_id", F.split("text", " ").alias("w"))

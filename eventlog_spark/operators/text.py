@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries import register
-from ..tables import load_table
+from ..tables import load_table, spread
 from .dedup import md5_int_col, md5_int_sql
 
 STOPWORDS = ("the", "a", "to", "of", "in", "and")
@@ -224,7 +224,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — so the only shuffle is the per-doc overlap count, carrying
     one row per (doc, matched gram). Never an O(docs × eval) comparison;
     cost ∝ matching grams."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     w = docs.withColumn("w", F.split("text", " ")).where(F.size("w") >= DECON_N)
     arr = F.transform(
         F.sequence(F.lit(1), F.size("w") - (DECON_N - 1)),
@@ -274,7 +274,7 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetitive flag uses integer cross-multiplication (100·d < 55·t) so
     no float threshold can diverge between engines. The one shuffle is
     the per-source partial+final aggregate."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     w = docs.withColumn("w", F.split("text", " ")).where(F.size("w") >= 3)
     tri = F.transform(
         F.sequence(F.lit(1), F.size("w") - 2),
@@ -448,7 +448,7 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT pairs — at that point bucket the join on w1 instead; the
     demo broadcasts). The stream itself shuffles once, for the final
     per-doc rollup."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     w = F.split("text", " ")
     pairs = F.expr(
         "transform(sequence(1, size(w) - 1), "
