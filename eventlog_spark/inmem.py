@@ -23,26 +23,13 @@ contract-suite second config, not for 100 TB data paths.
 
 from __future__ import annotations
 
-import struct
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
 from .log import EVENT_SCHEMA, EventLog, _Hub
-from .sources.binformat import xxh64
+from .sources.binformat import spark_checksum as _spark_checksum  # noqa: F401 — shared fast-path checksum
 from .validation import DEFAULT_MAX_PAYLOAD_LEN
-
-
-def _spark_checksum(timestamp: int, label: str, payload: str, version_prev: int) -> int:
-    """Chained XXH64 equal to F.xxhash64(timestamp, label, payload,
-    version_prev) — long fields hash their 8-byte LE form, strings their
-    UTF-8 bytes, each result seeding the next field's hash (seed 42)."""
-    h = 42
-    h = xxh64(struct.pack("<q", timestamp), h)
-    h = xxh64(label.encode("utf-8"), h)
-    h = xxh64(payload.encode("utf-8"), h)
-    h = xxh64(struct.pack("<q", version_prev), h)
-    return h - (1 << 64) if h >= (1 << 63) else h  # signed long column
 
 
 class InMemEventLog(EventLog):

@@ -297,3 +297,21 @@ def eventlog_files_to_dataframe(spark, paths: str | list[str], *, verify: bool =
             )
 
     return df.mapInPandas(parse, _ENTRY_SCHEMA)
+
+
+def spark_checksum(timestamp: int, label: str, payload: str, version_prev: int) -> int:
+    """Chained XXH64 equal to ``F.xxhash64(timestamp, label, payload,
+    version_prev)`` — long fields hash their 8-byte LE form, strings
+    their UTF-8 bytes, each result seeding the next field's hash (seed
+    42). Bit-parity with the JVM expression is asserted in
+    tests/test_sources.py; both storage engines' fast write paths use
+    this so ``check_integrity`` (which recomputes via the JVM
+    expression) verifies their rows."""
+    import struct as _struct
+
+    h = 42
+    h = xxh64(_struct.pack("<q", timestamp), h)
+    h = xxh64(label.encode("utf-8"), h)
+    h = xxh64(payload.encode("utf-8"), h)
+    h = xxh64(_struct.pack("<q", version_prev), h)
+    return h - (1 << 64) if h >= (1 << 63) else h  # signed long column
