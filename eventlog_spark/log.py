@@ -805,8 +805,15 @@ class EventLog:
         files. Interactive appends create one small parquet file per
         commit (the analog of the reference's per-entry disk write);
         compaction restores scan efficiency. At scale this is the
-        OPTIMIZE/bin-packing job, run out-of-band."""
-        with self._lock:
+        OPTIMIZE/bin-packing job, run out-of-band.
+
+        Takes the CROSS-PROCESS commit section, not just the thread
+        lock: compaction deletes and rewrites fragment files, so a
+        commit landing in another process mid-rewrite would have its
+        fragment silently dropped. Inside the flock it also re-syncs to
+        the published head first, so the rewrite includes every
+        committed row."""
+        with self._commit_section():
             df = self.dataframe()
             if df.isEmpty():
                 return
