@@ -1255,7 +1255,11 @@ def _ivf_pq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("pq_codebook", None), ("pq_codes", ("list_id",))],
         lambda: _pq_offline_frames(spark, sf_dir),
         inputs=("embeddings",),
-        params=f"kt{PQ_KT}-r{PQ_ROUNDS}-cap{PQ_TRAIN_CAP}-k{K_LISTS}",
+        # EVERY constant that shapes the persisted tables belongs in the
+        # fingerprint — a layout change (e.g. 4×16 → 8×8 subspaces) must
+        # re-train, never serve stale codes of a different schema
+        params=f"kt{PQ_KT}-r{PQ_ROUNDS}-cap{PQ_TRAIN_CAP}-k{K_LISTS}"
+        f"-m{PQ_MT}x{PQ_SUBT}",
     )
     cent, codes = tabs["pq_codebook"], tabs["pq_codes"]
 
