@@ -124,7 +124,17 @@ def persisted_bundle(
     if not ENABLED:
         return build_all()
     fp = dataset_fingerprint(sf_dir, inputs, params)
-    paths = {name: os.path.join(ARTIFACT_ROOT, f"{name}-{fp}") for name, _ in tables}
+    # dir layout: <name>-<dataset tag>-<content fingerprint>. The tag
+    # (hash of the dataset PATH) scopes garbage collection: different
+    # datasets' artifacts coexist, while a NEW fingerprint for the same
+    # (name, dataset) supersedes the old one — stale source data or
+    # changed trainer params — which is deleted, so the warehouse never
+    # accumulates dead directories across corpus refreshes.
+    dstag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    paths = {
+        name: os.path.join(ARTIFACT_ROOT, f"{name}-{dstag}-{fp}")
+        for name, _ in tables
+    }
     if not all(
         os.path.exists(os.path.join(p, "_SUCCESS")) for p in paths.values()
     ):
@@ -143,6 +153,11 @@ def persisted_bundle(
                 os.rename(tmp, path)
             except OSError:
                 shutil.rmtree(tmp, ignore_errors=True)  # concurrent writer won
+            prefix = f"{name}-{dstag}-"
+            keep = os.path.basename(path)
+            for d in os.listdir(ARTIFACT_ROOT):
+                if d.startswith(prefix) and d != keep and ".tmp-" not in d:
+                    shutil.rmtree(os.path.join(ARTIFACT_ROOT, d), ignore_errors=True)
     return {name: spark.read.parquet(p) for name, p in paths.items()}
 
 

@@ -75,16 +75,17 @@ def test_persisted_bundle_write_once_and_fingerprinting(
         spark, sf_dir, spec, build_all, inputs=("embeddings",), params="a"
     )
     assert calls["n"] == 1 and tabs2["tbl"].count() == 6
-    # changed training params → new fingerprint → retrain
+    # changed training params → new fingerprint → retrain, and the
+    # SUPERSEDED fingerprint of the same (name, dataset) is GC'd — the
+    # warehouse holds exactly one live dir per artifact per dataset
     artifacts.persisted_bundle(
         spark, sf_dir, spec, build_all, inputs=("embeddings",), params="b"
     )
     assert calls["n"] == 2
+    dirs = [p for p in os.listdir(tmp_path) if p.startswith("tbl-")]
+    assert len(dirs) == 1, f"stale fingerprint not GC'd: {dirs}"
     # partition layout is real directory partitioning (file pruning)
-    (d,) = [p for p in os.listdir(tmp_path) if p.startswith("tbl-") and "a" not in p[4:]][:1] or [
-        sorted(p for p in os.listdir(tmp_path) if p.startswith("tbl-"))[0]
-    ]
-    assert {"p=0", "p=1"} <= set(os.listdir(os.path.join(tmp_path, d)))
+    assert {"p=0", "p=1"} <= set(os.listdir(os.path.join(tmp_path, dirs[0])))
 
 
 def test_ivf_pq_served_cold_without_retraining(spark, sf_dir, tmp_path, monkeypatch):
