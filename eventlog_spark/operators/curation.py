@@ -1367,6 +1367,221 @@ def _ivf_pq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- BPE merge training (the iterative tokenizer-training loop) ----------------
+
+BPE_MERGES = 6
+
+
+@register(
+    "text_bpe_train",
+    oracle="""
+WITH v0 AS (
+    SELECT word, cnt,
+           ' ' || array_to_string(list_transform(range(1, len(word) + 1),
+                                  i -> substr(word, CAST(i AS INT), 1)), ' ')
+               || ' ' AS sym
+    FROM (
+        SELECT word, COUNT(*) AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ) WHERE len(word) >= 2
+        GROUP BY word
+    )
+),
+p1 AS (
+    SELECT pair, CAST(SUM(cnt) AS BIGINT) AS total FROM (
+        SELECT cnt,
+               unnest(list_transform(range(1, len(arr)),
+                      i -> arr[i] || ' ' || arr[i + 1])) AS pair
+        FROM (SELECT cnt, string_split(trim(sym), ' ') AS arr FROM v0)
+    ) GROUP BY pair
+),
+b1 AS (SELECT pair, total FROM p1 ORDER BY total DESC, pair LIMIT 1),
+v1 AS (
+    SELECT word, cnt,
+           replace(sym, ' ' || b.pair || ' ',
+                   ' ' || replace(b.pair, ' ', '') || ' ') AS sym
+    FROM v0 CROSS JOIN b1 b
+),
+p2 AS (
+    SELECT pair, CAST(SUM(cnt) AS BIGINT) AS total FROM (
+        SELECT cnt,
+               unnest(list_transform(range(1, len(arr)),
+                      i -> arr[i] || ' ' || arr[i + 1])) AS pair
+        FROM (SELECT cnt, string_split(trim(sym), ' ') AS arr FROM v1)
+    ) GROUP BY pair
+),
+b2 AS (SELECT pair, total FROM p2 ORDER BY total DESC, pair LIMIT 1),
+v2 AS (
+    SELECT word, cnt,
+           replace(sym, ' ' || b.pair || ' ',
+                   ' ' || replace(b.pair, ' ', '') || ' ') AS sym
+    FROM v1 CROSS JOIN b2 b
+),
+p3 AS (
+    SELECT pair, CAST(SUM(cnt) AS BIGINT) AS total FROM (
+        SELECT cnt,
+               unnest(list_transform(range(1, len(arr)),
+                      i -> arr[i] || ' ' || arr[i + 1])) AS pair
+        FROM (SELECT cnt, string_split(trim(sym), ' ') AS arr FROM v2)
+    ) GROUP BY pair
+),
+b3 AS (SELECT pair, total FROM p3 ORDER BY total DESC, pair LIMIT 1),
+v3 AS (
+    SELECT word, cnt,
+           replace(sym, ' ' || b.pair || ' ',
+                   ' ' || replace(b.pair, ' ', '') || ' ') AS sym
+    FROM v2 CROSS JOIN b3 b
+),
+p4 AS (
+    SELECT pair, CAST(SUM(cnt) AS BIGINT) AS total FROM (
+        SELECT cnt,
+               unnest(list_transform(range(1, len(arr)),
+                      i -> arr[i] || ' ' || arr[i + 1])) AS pair
+        FROM (SELECT cnt, string_split(trim(sym), ' ') AS arr FROM v3)
+    ) GROUP BY pair
+),
+b4 AS (SELECT pair, total FROM p4 ORDER BY total DESC, pair LIMIT 1),
+v4 AS (
+    SELECT word, cnt,
+           replace(sym, ' ' || b.pair || ' ',
+                   ' ' || replace(b.pair, ' ', '') || ' ') AS sym
+    FROM v3 CROSS JOIN b4 b
+),
+p5 AS (
+    SELECT pair, CAST(SUM(cnt) AS BIGINT) AS total FROM (
+        SELECT cnt,
+               unnest(list_transform(range(1, len(arr)),
+                      i -> arr[i] || ' ' || arr[i + 1])) AS pair
+        FROM (SELECT cnt, string_split(trim(sym), ' ') AS arr FROM v4)
+    ) GROUP BY pair
+),
+b5 AS (SELECT pair, total FROM p5 ORDER BY total DESC, pair LIMIT 1),
+v5 AS (
+    SELECT word, cnt,
+           replace(sym, ' ' || b.pair || ' ',
+                   ' ' || replace(b.pair, ' ', '') || ' ') AS sym
+    FROM v4 CROSS JOIN b5 b
+),
+p6 AS (
+    SELECT pair, CAST(SUM(cnt) AS BIGINT) AS total FROM (
+        SELECT cnt,
+               unnest(list_transform(range(1, len(arr)),
+                      i -> arr[i] || ' ' || arr[i + 1])) AS pair
+        FROM (SELECT cnt, string_split(trim(sym), ' ') AS arr FROM v5)
+    ) GROUP BY pair
+),
+b6 AS (SELECT pair, total FROM p6 ORDER BY total DESC, pair LIMIT 1),
+v6 AS (
+    SELECT word, cnt,
+           replace(sym, ' ' || b.pair || ' ',
+                   ' ' || replace(b.pair, ' ', '') || ' ') AS sym
+    FROM v5 CROSS JOIN b6 b
+)
+SELECT rank, pair, merged, total FROM (
+    SELECT CAST(1 AS INT) AS rank, pair, replace(pair, ' ', '') AS merged, total FROM b1
+    UNION ALL
+    SELECT CAST(2 AS INT) AS rank, pair, replace(pair, ' ', '') AS merged, total FROM b2
+    UNION ALL
+    SELECT CAST(3 AS INT) AS rank, pair, replace(pair, ' ', '') AS merged, total FROM b3
+    UNION ALL
+    SELECT CAST(4 AS INT) AS rank, pair, replace(pair, ' ', '') AS merged, total FROM b4
+    UNION ALL
+    SELECT CAST(5 AS INT) AS rank, pair, replace(pair, ' ', '') AS merged, total FROM b5
+    UNION ALL
+    SELECT CAST(6 AS INT) AS rank, pair, replace(pair, ' ', '') AS merged, total FROM b6
+)
+ORDER BY rank
+""",
+    doc=f"BPE tokenizer training: {BPE_MERGES} greedy merge rounds over the "
+    "corpus vocabulary (argmax adjacent-symbol pair, merge, repeat) - "
+    "the learned merge table in rank order.",
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LOOP that text_bpe_pair_counts is one step of — actual BPE
+    tokenizer training [Sennrich+ '16]: greedily take the most frequent
+    adjacent symbol pair (weighted by word count), merge it everywhere,
+    repeat. Returns the learned merge table (rank, pair, merged symbol,
+    count at merge time) — the artifact a tokenizer ships.
+
+    Spark-first shape: the corpus collapses to its VOCABULARY first
+    (one token shuffle with map-side combine), so every training round
+    is vocab-sized — pair counting explodes ~word-length rows per
+    vocab entry, and the argmax is a 1-row TakeOrdered. The corpus is
+    never touched again: at 100 TB training cost depends on |vocab|,
+    not tokens. Each round's merge applies as a broadcast CROSS JOIN
+    of the 1-row argmax onto the vocab, entirely JVM-side.
+
+    Cross-engine determinism: words are space-joined symbol strings
+    (``' a b c '``) and a merge is a literal ``replace`` of
+    ``' L R '`` with ``' LR '`` — both engines scan non-overlapping
+    occurrences left-to-right, so merged vocabularies stay identical;
+    the argmax tie-breaks on (count DESC, pair text ASC); counts are
+    integer sums. The DuckDB oracle replays all BPE_MERGES rounds
+    stage by stage.
+
+    Each round's vocab is lazily checkpointed: round k+1's plan reads
+    round k's materialization instead of replaying the whole merge
+    chain (same pattern as the Lloyd loop's centroid checkpoints)."""
+    from .artifacts import lazy_checkpoint
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "word",
+            "cnt",
+            F.concat(
+                F.lit(" "),
+                F.trim(F.regexp_replace("word", "(.)", "$1 ")),
+                F.lit(" "),
+            ).alias("sym"),
+        )
+    )
+    vocab = lazy_checkpoint(vocab)
+    merges = []
+    for k in range(1, BPE_MERGES + 1):
+        arr = F.split(F.trim(F.col("sym")), " ")
+        pair_arr = F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.concat(
+                F.element_at(arr, i), F.lit(" "), F.element_at(arr, i + 1)
+            ),
+        )
+        pairs = (
+            vocab.select(F.explode(pair_arr).alias("pair"), "cnt")
+            .groupBy("pair")
+            .agg(F.sum("cnt").cast("long").alias("total"))
+        )
+        best = lazy_checkpoint(
+            pairs.orderBy(F.col("total").desc(), "pair").limit(1)
+        )
+        merges.append(
+            best.select(
+                F.lit(k).cast("int").alias("rank"),
+                "pair",
+                F.regexp_replace("pair", " ", "").alias("merged"),
+                "total",
+            )
+        )
+        vocab = lazy_checkpoint(
+            vocab.crossJoin(F.broadcast(best)).select(
+                "word",
+                "cnt",
+                F.expr(
+                    "replace(sym, ' ' || pair || ' ',"
+                    " ' ' || replace(pair, ' ', '') || ' ')"
+                ).alias("sym"),
+            )
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out.orderBy("rank")
+
+
 # -- BPE pair statistics (tokenizer-training prep) ----------------------------
 
 BPE_TOPK = 50
