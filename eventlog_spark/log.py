@@ -154,7 +154,14 @@ class EventLog:
         self._stream_commits: dict[str, int] = {}  # foreachBatch idempotence
         self._load_meta()
         self._load_state()
-        self._truncate_orphans()
+        # Orphan truncation deletes fragment rows above the committed
+        # head — inside the cross-process commit section, so opening a
+        # log while another process is MID-COMMIT (fragment written,
+        # state not yet published) blocks until that commit publishes
+        # instead of eating its fragment. Single-process opens pay one
+        # uncontended flock.
+        with self._commit_section():
+            self._truncate_orphans()
 
     # -- lifecycle (O21/O22) ------------------------------------------------
 
