@@ -537,7 +537,31 @@ def _melted_kept_buckets(spark: SparkSession, sf_dir: str):
         )
         return melted.join(kept_keys, ["t", "bucket"], "left_semi")
 
-    return shared(spark, sf_dir, "lsh_melted_kept", build_kept), msk
+    def serve_kept() -> DataFrame:
+        # OFFLINE/ONLINE split, LSH edition (mirrors the IVF-PQ
+        # codebook/codes tables): the culled bucket assignment — whose
+        # build is the Arrow-batched hyperplane projection over every
+        # vector — persists once per (dataset, LSH params) and serves
+        # every later session cold, partitioned by table id. The
+        # column select normalizes the partition column's read-back
+        # type so the inline (plan-audit) and served paths are
+        # schema-identical.
+        from .artifacts import persisted_bundle
+
+        tabs = persisted_bundle(
+            spark,
+            sf_dir,
+            [("lsh_buckets", ("t",))],
+            lambda: {"lsh_buckets": build_kept()},
+            inputs=("embeddings",),
+            params=f"tables{LSH_TABLES}-stop{LSH_STOP}"
+            f"-p{LSH_PMIN}.{LSH_PMAX}",
+        )
+        return tabs["lsh_buckets"].select(
+            "vec_id", F.col("t").cast("int").alias("t"), "bucket"
+        )
+
+    return shared(spark, sf_dir, "lsh_melted_kept", serve_kept), msk
 
 
 def _multiprobe_oracle() -> str:
