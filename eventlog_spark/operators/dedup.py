@@ -748,3 +748,99 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.groupBy("label").applyInPandas(
         _pairs, "label int, keep_id long, dup_id long"
     )
+
+
+# -- exact-substring dedup (Lee et al. 2022 style) ----------------------------
+
+SUBSTR_K = 20  # duplicated-span detection length, in characters
+
+
+@register(
+    "dedup_substring_exact",
+    oracle=f"""
+WITH d AS (SELECT doc_id, text, n_chars FROM documents),
+g AS (SELECT doc_id, i AS pos, substr(text, i, {SUBSTR_K}) AS gram
+      FROM d, unnest(generate_series(1, n_chars - {SUBSTR_K} + 1)) AS t(i)
+      WHERE n_chars >= {SUBSTR_K}),
+f AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
+dp AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (gram)),
+x AS (SELECT doc_id, pos,
+             lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS np
+      FROM dp),
+c AS (SELECT doc_id,
+             COUNT(*) AS n_dup_grams,
+             SUM(LEAST({SUBSTR_K}, COALESCE(np - pos, {SUBSTR_K}))) AS dup_chars
+      FROM x GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(c.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CAST(COALESCE(c.dup_chars, 0) AS BIGINT) AS dup_chars,
+       CAST(COALESCE(c.dup_chars, 0) AS DOUBLE) / d.n_chars AS dup_frac
+FROM d LEFT JOIN c USING (doc_id)
+""",
+    doc="Exact substring dedup: per-doc count of corpus-duplicated "
+    f"{SUBSTR_K}-char grams and the exact character coverage of the "
+    "duplicated spans (interval-union via a lead() window).",
+)
+def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile — the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better")
+    operator the sampling families deliberately approximate: winnowing
+    SAMPLES fingerprints and MinHash estimates set overlap, but exact
+    dedup must see EVERY length-K window. Per document it reports how
+    many of its K-char grams occur more than once in the corpus
+    (within-doc repeats count too, as in the paper) and the exact number
+    of characters covered by those duplicated spans.
+
+    Spark-first plan, no Python anywhere: ``sequence`` + ``explode``
+    enumerates the stride-1 gram start positions (codegen, stays in the
+    document's partition), ONE groupBy on the gram finds corpus-wide
+    frequencies, a shuffle join marks duplicated positions, and the
+    span-union length is computed EXACTLY with a per-doc ``lead()``
+    window: a position covers ``min(K, next_pos - pos)`` fresh
+    characters, so summing that over sorted duplicated positions is the
+    union length of the fixed-width intervals — no interval-merge UDF.
+
+    Scale: stride-1 gram rows are a K-fold blow-up of the corpus
+    (100 TB -> the gram shuffle is the cost, exactly as in the paper's
+    suffix-array build). Production runs keep only an 8-byte xxhash64 of
+    each gram (collision odds ~n²/2^64) which caps the shuffle at
+    8 bytes/char; the gram string is kept here only so the DuckDB oracle
+    is bit-exact. The groupBy is partial-aggregated map-side, the join
+    key is the gram itself (uniformly distributed — no skew), and the
+    window partitions by doc_id, co-located with the original explode.
+    Reference scope: the eventlog reference has no relational engine;
+    this extends SURVEY.md §2.2's LLM-curation family.
+    """
+    k = SUBSTR_K
+    d = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text", "n_chars"
+    )
+    g = (
+        d.where(F.col("n_chars") >= k)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.col("n_chars") - k + 1)).alias("pos"),
+            "text",
+        )
+        .select("doc_id", "pos", F.expr(f"substring(text, pos, {k})").alias("gram"))
+    )
+    dup_grams = g.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt")).where("cnt > 1")
+    dp = g.join(dup_grams.select("gram"), "gram").select("doc_id", "pos")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    x = dp.withColumn("np", F.lead("pos").over(w))
+    c = x.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_grams"),
+        F.sum(
+            F.least(F.lit(k), F.coalesce(F.col("np") - F.col("pos"), F.lit(k)))
+        ).alias("dup_chars"),
+    )
+    return d.join(c, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+        F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
+        (F.coalesce("dup_chars", F.lit(0)).cast("double") / F.col("n_chars")).alias(
+            "dup_frac"
+        ),
+    )

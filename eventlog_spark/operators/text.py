@@ -473,3 +473,98 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("s").cast("double") / F.count(F.lit(1))).alias("mean_surprisal"),
         )
     )
+
+
+# -- PII detection + redaction (customer contact cards) -----------------------
+
+_PHONE_RE = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_CUSTID_RE = "Customer#[0-9]+"
+# deterministic synthetic phone digits (the trimmed testdata has no phone
+# column): TPC-H's c_phone shape, derived from the keys with integer-only
+# arithmetic so both engines build the identical fixture.
+_PH_SQL = (
+    "lpad(CAST(10 + c_nationkey % 25 AS VARCHAR), 2, '0') || '-' || "
+    "lpad(CAST((c_custkey * 7919 + 104729) % 1000 AS VARCHAR), 3, '0') || '-' || "
+    "lpad(CAST((c_custkey * 6271 + 15485863) % 1000 AS VARCHAR), 3, '0') || '-' || "
+    "lpad(CAST((c_custkey * 4093 + 32452843) % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+WITH card AS (
+  SELECT c_custkey,
+         c_name || ' in segment ' || c_mktsegment
+                || ' reachable at ' || {_PH_SQL} || '.' AS contact
+  FROM customer)
+SELECT c_custkey,
+       CAST(len(regexp_extract_all(contact, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(contact, '{_CUSTID_RE}')) AS BIGINT) AS n_ids,
+       CAST(len(regexp_extract_all(contact, '{_PHONE_RE}'))
+            + len(regexp_extract_all(contact, '{_CUSTID_RE}')) AS BIGINT) AS n_pii,
+       CAST(CASE WHEN regexp_matches(contact, '{_PHONE_RE}')
+                      OR regexp_matches(contact, '{_CUSTID_RE}')
+                 THEN 1 ELSE 0 END AS BIGINT) AS has_pii,
+       regexp_replace(
+           regexp_replace(contact, '{_PHONE_RE}', '[PHONE]', 'g'),
+           '{_CUSTID_RE}', '[ID]', 'g') AS redacted
+FROM card
+""",
+    doc="PII scrub over customer contact cards: phone / customer-id "
+    "match counts and the fully redacted text.",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the scrubbing stage every
+    crawl-to-training pipeline runs before text leaves quarantine.
+    The fixture is a free-text "contact card" per customer: the numeric
+    id TPC-H embeds in ``c_name`` plus a deterministic phone-shaped
+    string rebuilt identically in both engines (the trimmed testdata
+    drops ``c_phone``), so the REGEXES, not the fixture, are what the
+    oracle checks.
+
+    Per row: per-pattern match counts (``regexp_extract_all`` with
+    explicit group 0 — Spark's default group is 1), a has-PII flag, and
+    the redacted text via chained ``regexp_replace``. No capture-group
+    backreferences in the replacements — Spark ($1) and DuckDB/RE2 (\\1)
+    disagree on that syntax, so redaction masks whole matches only.
+
+    Scale: a pure shuffle-free map stage over one table — the regexes
+    compile once per task into DFA/NFA automata and stream row-by-row
+    inside WholeStageCodegen, so at 100 TB this pipelines into the
+    writer at scan speed. Real deployments swap the two literals for a
+    few dozen patterns (email, SSN, IP, credit card with a Luhn
+    post-check); the plan shape is unchanged.
+    Reference scope: extends SURVEY.md SS2.2's LLM-curation family.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    phone = F.concat_ws(
+        "-",
+        F.lpad((F.lit(10) + F.col("c_nationkey") % 25).cast("string"), 2, "0"),
+        F.lpad(((F.col("c_custkey") * 7919 + 104729) % 1000).cast("string"), 3, "0"),
+        F.lpad(((F.col("c_custkey") * 6271 + 15485863) % 1000).cast("string"), 3, "0"),
+        F.lpad(((F.col("c_custkey") * 4093 + 32452843) % 10000).cast("string"), 4, "0"),
+    )
+    contact = F.concat(
+        F.col("c_name"),
+        F.lit(" in segment "),
+        F.col("c_mktsegment"),
+        F.lit(" reachable at "),
+        phone,
+        F.lit("."),
+    )
+    card = cust.select("c_custkey", contact.alias("contact"))
+    n_phones = F.size(F.regexp_extract_all("contact", F.lit(_PHONE_RE), 0))
+    n_ids = F.size(F.regexp_extract_all("contact", F.lit(_CUSTID_RE), 0))
+    return card.select(
+        "c_custkey",
+        n_phones.cast("long").alias("n_phones"),
+        n_ids.cast("long").alias("n_ids"),
+        (n_phones + n_ids).cast("long").alias("n_pii"),
+        F.when((n_phones > 0) | (n_ids > 0), 1).otherwise(0).cast("long").alias(
+            "has_pii"
+        ),
+        F.regexp_replace(
+            F.regexp_replace("contact", _PHONE_RE, "[PHONE]"), _CUSTID_RE, "[ID]"
+        ).alias("redacted"),
+    )

@@ -108,7 +108,7 @@ _loaded = False
 # (c) 11 of the oldest round-3 rows (agg_* family, stream_* twins,
 #     json_extract, sample_hash_stats, timeseries_rollup, q22).
 # ROUND-7 NOTE: rotate in the remaining r3 rows (stream_threshold_alert,
-# text_* basics,
+# stream_interval_join, stream_session_window, text_* basics,
 # window_running_total, approx_*, join_broadcast_dim/range/skew,
 # chunk_overlap_windows, multimodal_manifest, dedup_embedding_cosine)
 # plus anything round 7 touches, oldest first.
@@ -128,8 +128,11 @@ _FIRST_50 = [
     "dedup_lsh_verified",
     # (a) touched this round — equi-depth single-partition guard
     "integrity_adjacent_skewed",
-    # (a) NEW this round — BPE merge-training loop
+    # (a) NEW this round — BPE merge-training loop, exact-substring dedup,
+    # PII redaction
     "text_bpe_train",
+    "dedup_substring_exact",
+    "text_pii_redact",
     # (b) latest driver check is round 1 — all 26
     "agg_distinct",
     "agg_percentiles",
@@ -166,8 +169,6 @@ _FIRST_50 = [
     "timeseries_rollup",
     "q22_idle_customers",
     "stream_dedup",
-    "stream_interval_join",
-    "stream_session_window",
     # catalog side effects — dead last within the window
     "join_bucketed_colocated",
 ]
