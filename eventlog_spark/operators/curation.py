@@ -1522,6 +1522,19 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each round's vocab is lazily checkpointed: round k+1's plan reads
     round k's materialization instead of replaying the whole merge
     chain (same pattern as the Lloyd loop's centroid checkpoints)."""
+    merges, _vocab = _bpe_vocab_rounds(spark, sf_dir)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out.orderBy("rank")
+
+
+def _bpe_vocab_rounds(spark: SparkSession, sf_dir: str):
+    """Run the BPE_MERGES greedy merge rounds over the corpus vocabulary;
+    return ``(merge_rows, final_vocab)`` — the per-round 1-row merge
+    frames (rank, pair, merged, total) and the fully merged vocabulary
+    (word, cnt, sym). Shared by ``text_bpe_train`` (ships the merge
+    table) and ``text_bpe_encode`` (applies the final vocabulary)."""
     from .artifacts import lazy_checkpoint
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1576,10 +1589,119 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("sym"),
             )
         )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionAll(m)
-    return out.orderBy("rank")
+    return merges, vocab
+
+
+# -- BPE encoding (apply the trained tokenizer to the corpus) -----------------
+
+
+def _bpe_chain_sql(rounds: int) -> str:
+    """The v0..v<rounds> merge-replay CTE chain (same stages the
+    text_bpe_train oracle writes out longhand), generated so the encode
+    oracle reuses it without retyping BPE_MERGES stages."""
+    parts = [
+        """v0 AS (
+    SELECT word, cnt,
+           ' ' || array_to_string(list_transform(range(1, len(word) + 1),
+                                  i -> substr(word, CAST(i AS INT), 1)), ' ')
+               || ' ' AS sym
+    FROM (
+        SELECT word, COUNT(*) AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ) WHERE len(word) >= 2
+        GROUP BY word
+    )
+)"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""p{k} AS (
+    SELECT pair, CAST(SUM(cnt) AS BIGINT) AS total FROM (
+        SELECT cnt,
+               unnest(list_transform(range(1, len(arr)),
+                      i -> arr[i] || ' ' || arr[i + 1])) AS pair
+        FROM (SELECT cnt, string_split(trim(sym), ' ') AS arr FROM v{k - 1})
+    ) GROUP BY pair
+),
+b{k} AS (SELECT pair, total FROM p{k} ORDER BY total DESC, pair LIMIT 1),
+v{k} AS (
+    SELECT word, cnt,
+           replace(sym, ' ' || b.pair || ' ',
+                   ' ' || replace(b.pair, ' ', '') || ' ') AS sym
+    FROM v{k - 1} CROSS JOIN b{k} b
+)"""
+        )
+    return ",\n".join(parts)
+
+
+@register(
+    "text_bpe_encode",
+    oracle=f"""
+WITH {_bpe_chain_sql(BPE_MERGES)},
+tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+enc AS (
+    SELECT t.doc_id,
+           len(t.word) AS n_chars,
+           CASE WHEN v.sym IS NULL THEN len(t.word)
+                ELSE len(string_split(trim(v.sym), ' ')) END AS n_sym
+    FROM tok t LEFT JOIN v{BPE_MERGES} v ON t.word = v.word
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_chars) AS BIGINT) AS n_char_tokens,
+       CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(n_chars) - SUM(n_sym) AS DOUBLE) / SUM(n_chars)
+           AS compression
+FROM enc GROUP BY doc_id
+""",
+    doc=f"Apply the {BPE_MERGES}-merge trained BPE vocabulary to every "
+    "document: per-doc word/char-token/BPE-token counts and the "
+    "compression the learned merges achieve.",
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving half of the tokenizer loop — ``text_bpe_train``
+    learns the merge table; this query ENCODES the corpus with it and
+    reports what a tokenizer's users actually ask: tokens per document
+    and the compression vs character-level. Because BPE merges are
+    deterministic functions of the word alone, encoding is a VOCABULARY
+    JOIN, not a per-token merge loop: the final merged vocabulary
+    (word → symbol sequence, vocab-sized) broadcasts onto the token
+    stream, and out-of-vocabulary words (the length-1 words training
+    excludes) fall back to character symbols via the left-join NULL arm.
+
+    Scale: the train loop is vocab-sized (see ``text_bpe_train``); the
+    encode pass is ONE broadcast-joined projection over the token
+    stream plus the per-doc groupBy — the same two-stage shape at
+    100 TB, where real tokenizers are likewise applied as a broadcast
+    automaton (the merge table is KBs) over a corpus-partitioned map.
+    The compression column is an exact integer-ratio double, identical
+    across engines. The DuckDB oracle replays training stage-by-stage
+    (generated CTE chain) and re-encodes every document."""
+    _merges, vocab = _bpe_vocab_rounds(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    vsym = vocab.select(
+        "word",
+        F.size(F.split(F.trim(F.col("sym")), " ")).alias("v_n_sym"),
+    )
+    enc = tok.join(F.broadcast(vsym), "word", "left").select(
+        "doc_id",
+        F.length("word").alias("n_chars"),
+        F.coalesce("v_n_sym", F.length("word")).alias("n_sym"),
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("n_chars").cast("long").alias("n_char_tokens"),
+        F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+        (
+            (F.sum("n_chars") - F.sum("n_sym")).cast("double")
+            / F.sum("n_chars")
+        ).alias("compression"),
+    )
 
 
 # -- BPE pair statistics (tokenizer-training prep) ----------------------------

@@ -108,7 +108,7 @@ _loaded = False
 # (c) 11 of the oldest round-3 rows (agg_* family, stream_* twins,
 #     json_extract, sample_hash_stats, timeseries_rollup, q22).
 # ROUND-7 NOTE: rotate in the remaining r3 rows (stream_threshold_alert,
-# stream_interval_join, stream_session_window, text_* basics,
+# stream_interval_join, stream_session_window, stream_dedup, text_* basics,
 # window_running_total, approx_*, join_broadcast_dim/range/skew,
 # chunk_overlap_windows, multimodal_manifest, dedup_embedding_cosine)
 # plus anything round 7 touches, oldest first.
@@ -131,6 +131,7 @@ _FIRST_50 = [
     # (a) NEW this round — BPE merge-training loop, exact-substring dedup,
     # PII redaction
     "text_bpe_train",
+    "text_bpe_encode",
     "dedup_substring_exact",
     "text_pii_redact",
     # (b) latest driver check is round 1 — all 26
@@ -168,7 +169,6 @@ _FIRST_50 = [
     "sample_hash_stats",
     "timeseries_rollup",
     "q22_idle_customers",
-    "stream_dedup",
     # catalog side effects — dead last within the window
     "join_bucketed_colocated",
 ]
