@@ -1761,3 +1761,128 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total").desc(), "pair")
         .limit(BPE_TOPK)
     )
+
+
+# -- DSIR-style importance resampling -----------------------------------------
+
+DSIR_BUCKETS = 256
+DSIR_SCALE = 1_000_000
+DSIR_TARGET_LANG = "en"
+
+
+@register(
+    "sample_importance_dsir",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents
+),
+b AS (SELECT doc_id, lang, {md5_int_sql('word')} % {DSIR_BUCKETS} AS bkt FROM tok),
+raw AS (SELECT bkt, COUNT(*) AS c_raw FROM b GROUP BY bkt),
+tgt AS (SELECT bkt, COUNT(*) AS c_tgt FROM b WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bkt),
+tot AS (SELECT (SELECT COUNT(*) FROM b) AS t_raw,
+               (SELECT COUNT(*) FROM b WHERE lang = '{DSIR_TARGET_LANG}') AS t_tgt),
+wt AS (
+    SELECT r.bkt,
+           ({DSIR_SCALE} * COALESCE(g.c_tgt, 0) * t.t_raw) // (r.c_raw * t.t_tgt)
+               AS w_fp
+    FROM raw r LEFT JOIN tgt g USING (bkt) CROSS JOIN tot t
+),
+doc AS (
+    SELECT doc_id, COUNT(*) AS n_tokens, SUM(w_fp) AS score_fp
+    FROM b JOIN wt USING (bkt) GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(score_fp AS BIGINT) AS score_fp,
+       CAST(score_fp // n_tokens AS BIGINT) AS mean_w_fp,
+       CAST({md5_int_sql('CAST(doc_id AS VARCHAR)')} % {DSIR_SCALE} AS BIGINT) AS u_fp,
+       CAST(CASE WHEN {md5_int_sql('CAST(doc_id AS VARCHAR)')} % {DSIR_SCALE}
+                      < LEAST({DSIR_SCALE}, score_fp // n_tokens)
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM doc
+""",
+    doc="DSIR-style importance resampling toward the target-language "
+    "distribution: hashed-unigram importance weights, per-doc scores, "
+    "and a deterministic accept/reject draw.",
+)
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance resampling for data selection [DSIR, Xie+ '23]: score
+    every raw document by how much its hashed n-gram features look like
+    a TARGET distribution (here: the 'en' slice as the quality proxy),
+    then accept/reject with probability ∝ the importance weight. The
+    selected subset approximates sampling from the target distribution
+    while drawing from the full raw corpus — the principled version of
+    'keep what looks like Wikipedia'.
+
+    Deterministic rational surrogate (repo-wide pattern — tfidf's
+    rational idf, surprisal's fixed point): the true DSIR weight is a
+    log-likelihood ratio; here each hashed-unigram bucket carries
+    ``w_fp = floor(SCALE · (c_tgt · T_raw) / (c_raw · T_tgt))`` — the
+    target/raw probability ratio in parts-per-million, integer-exact in
+    both engines (no logs, no transcendentals) — and a document's score
+    sums its tokens' bucket weights. The accept draw is the md5-uniform
+    ``u_fp ~ U[0, SCALE)`` against the capped mean weight, so the
+    selection is reproducible run-to-run and engine-to-engine.
+
+    Plan shape: the corpus tokenizes and hashes ONCE into per-(doc,
+    bucket) partial counts (map-side combined, then lazily checkpointed
+    — it feeds both the histogram and the scorer, and must not replay
+    the token explode twice); the 256-bucket raw/target histograms and
+    their totals reduce from those counts, the weight table is 256 rows
+    and broadcasts back, and per-doc scoring is ``Σ cnt·w_fp`` riding a
+    doc_id groupBy. At 100 TB: one linear token pass + one doc-bucket
+    shuffle; the feature space is FIXED-width (the point of hashed
+    features), so nothing grows with vocabulary. Integer bounds:
+    numerator ≤ SCALE·c_tgt·T_raw (~8e15 at sf1); at petabyte token
+    counts the product moves to DECIMAL(38,0) unchanged in shape."""
+    from .artifacts import lazy_checkpoint
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+    )
+    db = lazy_checkpoint(
+        tok.select(
+            "doc_id",
+            "lang",
+            (md5_int_col(F.col("word")) % DSIR_BUCKETS).alias("bkt"),
+        )
+        .groupBy("doc_id", "lang", "bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    is_tgt = F.col("lang") == DSIR_TARGET_LANG
+    bc = db.groupBy("bkt").agg(
+        F.sum("cnt").alias("c_raw"),
+        F.sum(F.when(is_tgt, F.col("cnt")).otherwise(0)).alias("c_tgt"),
+    )
+    tot = bc.agg(
+        F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
+    )
+    wt = bc.crossJoin(F.broadcast(tot)).select(
+        "bkt",
+        F.expr(
+            f"({DSIR_SCALE} * coalesce(c_tgt, 0) * t_raw)"
+            " DIV (c_raw * t_tgt)"
+        ).alias("w_fp"),
+    )
+    doc = (
+        db.join(F.broadcast(wt), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("w_fp")).alias("score_fp"),
+        )
+    )
+    u_fp = md5_int_col(F.col("doc_id").cast("string")) % DSIR_SCALE
+    mean_w = F.expr("score_fp DIV n_tokens")
+    return doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("score_fp").cast("long").alias("score_fp"),
+        mean_w.cast("long").alias("mean_w_fp"),
+        u_fp.cast("long").alias("u_fp"),
+        F.when(u_fp < F.least(F.lit(DSIR_SCALE), mean_w), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("keep"),
+    )

@@ -720,3 +720,76 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("vec_id") != F.col("probe_id")) & (cos >= RANGE_RADIUS))
         .select("probe_id", "vec_id")
     )
+
+
+# -- hard-negative mining (contrastive-training prep) -------------------------
+
+
+@register(
+    "ann_hard_negatives",
+    oracle=f"""
+SELECT query_id, negative_id, neg_label, rk FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS negative_id,
+           b.label AS neg_label,
+           ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_sum(list_transform(range(1, {DIM + 1}),
+                            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                        / (sqrt(list_sum(list_transform(range(1, {DIM + 1}),
+                            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                         * sqrt(list_sum(list_transform(range(1, {DIM + 1}),
+                            i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) DESC,
+                        b.vec_id
+           ) AS rk
+    FROM embeddings a JOIN embeddings b ON b.label != a.label
+    WHERE a.vec_id IN {QUERY_IDS}
+)
+WHERE rk <= {TOP_K}
+""",
+    doc="Hard-negative mining: per anchor, the top-k most cosine-similar "
+    "vectors with a DIFFERENT label — the pairs contrastive training "
+    "wants.",
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — the embedding-training-data stage that
+    turns an ANN index into contrastive pairs: for each anchor, the
+    most similar vectors whose LABEL differs (near the anchor in vector
+    space but semantically wrong) are exactly the negatives that give a
+    contrastive loss its gradient [e.g. DPR / SimCSE training recipes].
+
+    Same exact plan shape as ``ann_topk_bruteforce`` — the anchor set
+    broadcasts, the corpus is scanned once, the label-mismatch
+    predicate rides the broadcast join, and the per-anchor top-k is a
+    WindowGroupLimit (each task keeps k rows per anchor before any
+    shuffle). Ties break on vec_id, so ordering is deterministic across
+    engines.
+
+    Scale: O(n·q) per mining pass with a broadcast anchor set — in
+    production the anchor set is a training batch (thousands), so the
+    pass is one corpus scan per batch; for corpus-wide mining the
+    candidate generator swaps to the served IVF/LSH index (the
+    ``ann_lsh_bucketed`` / ``ann_ivf_probed`` path) with the label
+    filter applied to the candidate list, cost ∝ bucket occupancy.
+    """
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    cos = cosine_expr(F.col("q_emb"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        emb.join(F.broadcast(anchors), F.col("label") != F.col("q_label"))
+        .withColumn("cos", cos)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("neg_label"),
+            "rk",
+        )
+    )

@@ -108,7 +108,8 @@ _loaded = False
 # (c) 11 of the oldest round-3 rows (agg_* family, stream_* twins,
 #     json_extract, sample_hash_stats, timeseries_rollup, q22).
 # ROUND-7 NOTE: rotate in the remaining r3 rows (stream_threshold_alert,
-# stream_interval_join, stream_session_window, stream_dedup, text_* basics,
+# stream_interval_join, stream_session_window, stream_dedup, json_extract,
+# sample_hash_stats, text_* basics,
 # window_running_total, approx_*, join_broadcast_dim/range/skew,
 # chunk_overlap_windows, multimodal_manifest, dedup_embedding_cosine)
 # plus anything round 7 touches, oldest first.
@@ -134,6 +135,8 @@ _FIRST_50 = [
     "text_bpe_encode",
     "dedup_substring_exact",
     "text_pii_redact",
+    "ann_hard_negatives",
+    "sample_importance_dsir",
     # (b) latest driver check is round 1 — all 26
     "agg_distinct",
     "agg_percentiles",
@@ -165,8 +168,6 @@ _FIRST_50 = [
     "agg_cube",
     "agg_grouping_sets",
     "agg_rollup",
-    "json_extract",
-    "sample_hash_stats",
     "timeseries_rollup",
     "q22_idle_customers",
     # catalog side effects — dead last within the window
