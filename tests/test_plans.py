@@ -422,3 +422,46 @@ def test_ivf_pq_serving_prunes_code_partitions(spark, sf_dir, tmp_path, monkeypa
         if "PartitionFilters" in line and "list_id" in line
     ][:1]
     assert re.search(r"list_id#\d+ (INSET|IN \()", pf), f"no literal IN filter: {pf}"
+
+
+def test_pii_redact_is_pure_codegen(spark, sf_dir):
+    """text_pii_redact: regex counts + chained redaction is one
+    shuffle-free, Python-free projection over customer."""
+    df = q(spark, sf_dir, "text_pii_redact")
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_substring_dedup_pushes_length_gate(spark, sf_dir):
+    """dedup_substring_exact: the n_chars >= K guard reaches the
+    parquet scan (short docs never explode), and the per-doc coverage
+    window partitions by doc_id (no global window)."""
+    df = q(spark, sf_dir, "dedup_substring_exact")
+    pf = pushed_filters(df)
+    assert any("n_chars" in p for p in pf), f"length gate not pushed: {pf}"
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_hard_negatives_broadcast_anchors_topk(spark, sf_dir):
+    """ann_hard_negatives: the anchor set broadcasts (corpus scanned
+    once, label predicate rides the join) and the per-anchor top-k is
+    a WindowGroupLimit, never a global sort."""
+    df = q(spark, sf_dir, "ann_hard_negatives")
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert not has_node(df, "SortMergeJoin")
+
+
+def test_dsir_weights_broadcast_onto_counts(spark, sf_dir):
+    """sample_importance_dsir: the 256-row weight table (and the 1-row
+    totals) broadcast back onto the doc-bucket counts — scoring never
+    shuffle-joins the corpus against the histogram."""
+    df = q(spark, sf_dir, "sample_importance_dsir")
+    plan = formatted_plan(df)
+    assert "BroadcastExchange" in plan
+    assert not has_node(df, "SortMergeJoin")
+    assert "MapInPandas" not in plan
