@@ -1120,3 +1120,75 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(probe))
         .select("rk", "vec_id", "adc_fp", exact.alias("exact_fp"))
     )
+
+
+# -- length-bucketed batching / padding-waste audit ---------------------------
+
+PAD_BATCH = 8  # sequences per batch within a length bucket
+
+
+@register(
+    "corpus_padding_waste",
+    oracle=f"""
+WITH d AS (
+    SELECT len(string_split(text, ' ')) AS n_tok FROM documents
+),
+b AS (
+    SELECT n_tok,
+           CASE WHEN n_tok <= 1 THEN 1
+                ELSE 1 << length(bin(n_tok - 1)) END AS bucket
+    FROM d
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST((COUNT(*) + {PAD_BATCH - 1}) // {PAD_BATCH} AS BIGINT) AS n_batches,
+       CAST(SUM(n_tok) AS BIGINT) AS token_sum,
+       CAST(COUNT(*) * bucket AS BIGINT) AS padded_sum,
+       CAST(COUNT(*) * bucket - SUM(n_tok) AS DOUBLE)
+           / (COUNT(*) * bucket) AS waste_frac
+FROM b GROUP BY bucket
+""",
+    doc="Length-bucketed batching audit: power-of-two sequence buckets, "
+    "batch counts, and the padding-waste fraction per bucket.",
+)
+def corpus_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batching-efficiency audit sequence-bucketed training runs
+    before fixing its bucket boundaries: pad-to-longest batching wastes
+    compute on padding tokens, and bucketing sequences by length bounds
+    that waste. Each document lands in the next power-of-two token
+    bucket (computed with integer bit arithmetic — ``1 <<
+    length(bin(n-1))``, no float log, identical in both engines); per
+    bucket the audit reports document and batch counts (batch size
+    {PAD_BATCH}) and the padding-waste fraction ``(padded - real) /
+    padded`` a pad-to-bucket batcher would spend.
+
+    Plan: one shuffle-free projection computes token counts and bucket
+    ids; the only exchange is the ~log(max_len)-row bucket rollup with
+    map-side partial aggregation. At 100 TB this is a single linear
+    scan — the audit output (a dozen rows) then sets the real batcher's
+    bucket boundaries.""".format(PAD_BATCH=PAD_BATCH)
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    # F.shiftleft takes a literal int shift — the column-valued shift
+    # needs the SQL form, where both operands are expressions.
+    bucket = F.when(n_tok <= 1, F.lit(1)).otherwise(
+        F.expr(
+            "shiftleft(1, length(bin(CAST(size(split(text, ' ')) - 1 AS BIGINT))))"
+        )
+    )
+    b = docs.select(n_tok.alias("n_tok"), bucket.cast("long").alias("bucket"))
+    padded = F.count(F.lit(1)) * F.col("bucket")
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr(f"CAST((COUNT(1) + {PAD_BATCH - 1}) DIV {PAD_BATCH} AS BIGINT)").alias(
+                "n_batches"
+            ),
+            F.sum("n_tok").cast("long").alias("token_sum"),
+            padded.cast("long").alias("padded_sum"),
+            (
+                (padded - F.sum("n_tok")).cast("double") / padded
+            ).alias("waste_frac"),
+        )
+    )

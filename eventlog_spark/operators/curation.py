@@ -1886,3 +1886,82 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("keep"),
     )
+
+
+# -- train/test split leakage audit -------------------------------------------
+
+
+@register(
+    "split_leakage_audit",
+    oracle=f"""
+WITH pairs AS ({_LSH_PAIRS_SQL}),
+s AS (
+    SELECT doc_id,
+           CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id,
+               {md5_int_sql("CAST(doc_id AS VARCHAR)")} % 100 AS b
+        FROM documents
+    )
+),
+j AS (
+    SELECT LEAST(sa.split, sb.split) AS split_a,
+           GREATEST(sa.split, sb.split) AS split_b
+    FROM pairs p
+    JOIN s sa ON p.doc_a = sa.doc_id
+    JOIN s sb ON p.doc_b = sb.doc_id
+)
+SELECT split_a, split_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN split_a != split_b THEN 1 ELSE 0 END AS BIGINT) AS leak
+FROM j GROUP BY split_a, split_b
+""",
+    doc="Split-leakage audit: near-dup candidate pairs bucketed by the "
+    "(train/val/test) splits they connect — cross-split rows are "
+    "evaluation leakage.",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit ``corpus_train_val_split``'s docstring promises: a
+    hash split prevents NONDETERMINISM leakage (a re-crawled doc
+    changing splits), but near-DUPLICATES of a training doc can still
+    land in test — the leakage that inflates benchmark numbers [the
+    reason Lee+ '22 / Gao+ '21 deduplicate before splitting]. This
+    audit joins the LSH near-dup candidate pairs against both sides'
+    split assignments and buckets pairs by the (unordered) split pair
+    they connect: any row with ``leak = 1`` (train↔val, train↔test,
+    val↔test) is evaluation contamination, with counts to size it.
+
+    Plan shape: the pair set is the SHARED LSH artifact (one
+    materialization serves four dedup queries and this audit — nothing
+    re-shingles); split assignment is a map-side md5 expression on the
+    pruned (doc_id) scan; two equi-joins land pairs on their splits,
+    and the rollup is ≤6 rows with map-side partial agg. At 100 TB the
+    joins are doc_id hash joins against the pairs table — cost ∝
+    candidate pairs, not corpus²."""
+    pairs = lsh_candidate_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    b = md5_int_col(F.col("doc_id").cast("string")) % 100
+    s = docs.select(
+        "doc_id",
+        F.when(b < 90, "train").when(b < 95, "val").otherwise("test").alias("split"),
+    )
+    j = (
+        pairs.join(s.withColumnRenamed("split", "sa"), pairs.doc_a == s.doc_id)
+        .drop("doc_id")
+        .join(
+            s.withColumnRenamed("split", "sb"),
+            F.col("doc_b") == F.col("doc_id"),
+        )
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+    )
+    return j.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.when(F.col("split_a") != F.col("split_b"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("leak"),
+    )

@@ -105,11 +105,13 @@ _loaded = False
 #     so the driver re-confirms them against the new code;
 # (b) the 26 rows whose latest driver check is still round 1 (green
 #     then, local oracle-green every round since);
-# (c) 11 of the oldest round-3 rows (agg_* family, stream_* twins,
-#     json_extract, sample_hash_stats, timeseries_rollup, q22).
+# (c) the oldest round-3 rows that still fit (agg_* family) — the 8
+#     NEW round-6 queries displaced the rest of the original (c) set
+#     into the round-7 note below (new queries have NO driver row yet,
+#     which outranks refreshing an old green one).
 # ROUND-7 NOTE: rotate in the remaining r3 rows (stream_threshold_alert,
 # stream_interval_join, stream_session_window, stream_dedup, json_extract,
-# sample_hash_stats, text_* basics,
+# sample_hash_stats, timeseries_rollup, q22_idle_customers, text_* basics,
 # window_running_total, approx_*, join_broadcast_dim/range/skew,
 # chunk_overlap_windows, multimodal_manifest, dedup_embedding_cosine)
 # plus anything round 7 touches, oldest first.
@@ -129,14 +131,17 @@ _FIRST_50 = [
     "dedup_lsh_verified",
     # (a) touched this round — equi-depth single-partition guard
     "integrity_adjacent_skewed",
-    # (a) NEW this round — BPE merge-training loop, exact-substring dedup,
-    # PII redaction
+    # (a) NEW this round — BPE train+encode, exact-substring dedup, PII
+    # redaction, hard-negative mining, DSIR resampling, split-leakage
+    # audit, padding-waste audit
     "text_bpe_train",
     "text_bpe_encode",
     "dedup_substring_exact",
     "text_pii_redact",
     "ann_hard_negatives",
     "sample_importance_dsir",
+    "split_leakage_audit",
+    "corpus_padding_waste",
     # (b) latest driver check is round 1 — all 26
     "agg_distinct",
     "agg_percentiles",
@@ -168,8 +173,6 @@ _FIRST_50 = [
     "agg_cube",
     "agg_grouping_sets",
     "agg_rollup",
-    "timeseries_rollup",
-    "q22_idle_customers",
     # catalog side effects — dead last within the window
     "join_bucketed_colocated",
 ]
