@@ -465,3 +465,33 @@ def test_dsir_weights_broadcast_onto_counts(spark, sf_dir):
     assert "BroadcastExchange" in plan
     assert not has_node(df, "SortMergeJoin")
     assert "MapInPandas" not in plan
+
+
+def test_padding_waste_is_one_rollup(spark, sf_dir):
+    """corpus_padding_waste: token count + power-of-two bucket are one
+    codegen projection; the only exchange is the ~log(max_len)-row
+    bucket rollup. No joins, no windows, no Python."""
+    df = q(spark, sf_dir, "corpus_padding_waste")
+    assert count_nodes(df, "Exchange") == 1
+    plan = formatted_plan(df)
+    assert "Join" not in plan and "Window" not in plan
+    assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_bpe_encode_broadcasts_vocab(spark, sf_dir):
+    """text_bpe_encode: the merged vocabulary lands on the token stream
+    via a broadcast join — the corpus-sized side never shuffle-joins."""
+    df = q(spark, sf_dir, "text_bpe_encode")
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_split_leakage_joins_on_pair_ids(spark, sf_dir):
+    """split_leakage_audit: pairs land on their split assignments via
+    doc_id equi-joins (hash joins, cost ∝ candidate pairs); the final
+    rollup is ≤6 rows. No Python, no cartesian products."""
+    df = q(spark, sf_dir, "split_leakage_audit")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan and "MapInPandas" not in plan
