@@ -1192,3 +1192,68 @@ def corpus_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("waste_frac"),
         )
     )
+
+
+# -- per-source lexical diversity (Simpson index + TTR) -----------------------
+
+
+@register(
+    "corpus_diversity_simpson",
+    oracle="""
+WITH wc AS (
+    SELECT source, word, COUNT(*) AS c FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+    ) GROUP BY source, word
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(COUNT(*) AS DOUBLE) / SUM(c) AS ttr,
+       CAST(SUM(c * (c - 1)) AS DOUBLE)
+           / (SUM(c) * (SUM(c) - 1)) AS simpson,
+       1.0 - CAST(SUM(c * (c - 1)) AS DOUBLE)
+           / (SUM(c) * (SUM(c) - 1)) AS diversity
+FROM wc GROUP BY source
+""",
+    doc="Per-source lexical diversity: token/type counts, type-token "
+    "ratio, and the unbiased Simpson concentration index (1 - Simpson "
+    "= diversity).",
+)
+def corpus_diversity_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-diversity measurement — the number a mixing decision
+    reads before up- or down-weighting a source: a crawl slice that is
+    mostly the same boilerplate has low lexical diversity even after
+    near-dup removal. Entropy is the textbook metric but needs logs
+    (transcendental — not bit-reproducible across engines); the
+    unbiased SIMPSON index ``Σ c·(c−1) / (N·(N−1))`` — the probability
+    two tokens drawn without replacement are the same type — is a pure
+    RATIONAL with the same ordering, so every value here is an exact
+    integer ratio evaluated identically in both engines (repo-wide
+    determinism pattern: tfidf's rational idf, DSIR's ppm weights).
+
+    Plan: one (source, word) groupBy with map-side partial aggregation
+    collapses the token stream to per-source vocabularies; the
+    per-source reduction is a |sources|-key aggregate over vocab-sized
+    input. At 100 TB: the first shuffle moves (source, word, partial
+    count) — vocabulary-sized, not token-sized — and nothing downstream
+    touches the corpus again. Integer bounds: Σc(c−1) ≤ N² (~5e12 at
+    sf1's 2.2M tokens/source) — BIGINT-safe until ~3e9 tokens per
+    source, then DECIMAL(38) with the shape unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_tokens = F.sum("c")
+    n_types = F.count(F.lit(1))
+    rep = F.sum(F.col("c") * (F.col("c") - 1))
+    return wc.groupBy("source").agg(
+        n_tokens.cast("long").alias("n_tokens"),
+        n_types.cast("long").alias("n_types"),
+        (n_types.cast("double") / n_tokens).alias("ttr"),
+        (rep.cast("double") / (n_tokens * (n_tokens - 1))).alias("simpson"),
+        (
+            F.lit(1.0) - rep.cast("double") / (n_tokens * (n_tokens - 1))
+        ).alias("diversity"),
+    )

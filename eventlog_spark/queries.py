@@ -111,7 +111,8 @@ _loaded = False
 #     which outranks refreshing an old green one).
 # ROUND-7 NOTE: rotate in the remaining r3 rows (stream_threshold_alert,
 # stream_interval_join, stream_session_window, stream_dedup, json_extract,
-# sample_hash_stats, timeseries_rollup, q22_idle_customers, text_* basics,
+# sample_hash_stats, timeseries_rollup, q22_idle_customers, agg_cube,
+# text_* basics,
 # window_running_total, approx_*, join_broadcast_dim/range/skew,
 # chunk_overlap_windows, multimodal_manifest, dedup_embedding_cosine)
 # plus anything round 7 touches, oldest first.
@@ -142,6 +143,7 @@ _FIRST_50 = [
     "sample_importance_dsir",
     "split_leakage_audit",
     "corpus_padding_waste",
+    "corpus_diversity_simpson",
     # (b) latest driver check is round 1 — all 26
     "agg_distinct",
     "agg_percentiles",
@@ -170,7 +172,6 @@ _FIRST_50 = [
     "topk_orders",
     "window_topk_per_group",
     # (c) oldest round-3 rows
-    "agg_cube",
     "agg_grouping_sets",
     "agg_rollup",
     # catalog side effects — dead last within the window
