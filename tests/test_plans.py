@@ -495,3 +495,14 @@ def test_split_leakage_joins_on_pair_ids(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_diversity_shuffles_vocab_not_tokens(spark, sf_dir):
+    """corpus_diversity_simpson: two partial-aggregated exchanges —
+    the (source, word) vocab collapse and the |sources|-key reduction.
+    No joins, no windows, no Python."""
+    df = q(spark, sf_dir, "corpus_diversity_simpson")
+    assert count_nodes(df, "Exchange") == 2
+    plan = formatted_plan(df)
+    assert "Join" not in plan and "Window" not in plan
+    assert "Python" not in plan and "MapInPandas" not in plan
