@@ -793,3 +793,139 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+# -- Matryoshka dimension-truncation probe ------------------------------------
+
+MRL_DIMS = (8, 16, 32)
+
+
+def _cos_sql_m(x: str, y: str, m: int) -> str:
+    """Cosine over the first ``m`` dims only (prefix truncation)."""
+    dot = (
+        f"list_sum(list_transform(range(1, {m + 1}),"
+        f" i -> CAST({x}.embedding[i] AS DOUBLE) * CAST({y}.embedding[i] AS DOUBLE)))"
+    )
+    nx = (
+        f"sqrt(list_sum(list_transform(range(1, {m + 1}),"
+        f" i -> CAST({x}.embedding[i] AS DOUBLE) * CAST({x}.embedding[i] AS DOUBLE))))"
+    )
+    ny = (
+        f"sqrt(list_sum(list_transform(range(1, {m + 1}),"
+        f" i -> CAST({y}.embedding[i] AS DOUBLE) * CAST({y}.embedding[i] AS DOUBLE))))"
+    )
+    return f"{dot} / ({nx} * {ny})"
+
+
+def _mrl_trunc_sql(m: int) -> str:
+    return f"""
+    SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_cos_sql_m("a", "b", m)} DESC, b.vec_id
+               ) AS rk
+        FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+        WHERE a.vec_id IN {QUERY_IDS}
+    ) WHERE rk <= {TOP_K}"""
+
+
+def _mrl_overlap_sql(m: int) -> str:
+    return f"""
+SELECT CAST({m} AS INT) AS m, f.query_id,
+       CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_overlap,
+       CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / {TOP_K} AS overlap_frac
+FROM fulltk f
+LEFT JOIN (
+{_mrl_trunc_sql(m)}
+) t ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+GROUP BY f.query_id"""
+
+
+@register(
+    "ann_matryoshka_probe",
+    oracle=f"""
+WITH fulltk AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_cos_sql("a", "b")} DESC, b.vec_id
+               ) AS rk
+        FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+        WHERE a.vec_id IN {QUERY_IDS}
+    ) WHERE rk <= {TOP_K}
+)
+{" UNION ALL ".join(f"({_mrl_overlap_sql(m)})" for m in MRL_DIMS)}
+""",
+    doc=f"Matryoshka truncation probe: per anchor and dim prefix "
+    f"{MRL_DIMS}, how much of the full-{DIM}-dim cosine top-{TOP_K} the "
+    "truncated search preserves.",
+)
+def ann_matryoshka_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation quality probe — the measurement behind
+    Matryoshka-style retrieval [Kusupati+ '22]: serve ANN from a PREFIX
+    of each embedding (8/16/32 of the 64 dims) and pay proportionally
+    less memory bandwidth and shuffle, IF the truncated neighborhood
+    still agrees with the full-dimension one. Per (prefix length,
+    anchor) this reports the overlap between the truncated cosine
+    top-k and the full top-k — the number a deployment reads before
+    deciding which prefix its first-stage retriever can afford.
+
+    Plan shape: the full-dim ground truth is the SHARED brute-force
+    answer-set artifact (computed once per session, reused by the
+    recall report and the multi-probe evaluation); each truncated
+    search is the same broadcast-anchors + WindowGroupLimit scan over
+    ``slice(embedding, 1, m)`` — the slice narrows the projection
+    BEFORE the cosine, so the scan for m = 8 touches 1/8 of the vector
+    bytes, exactly the saving the technique banks on at 100 TB. The
+    per-m overlap join is k·|anchors| rows against k·|anchors| rows —
+    broadcast-sized.
+    """
+    full = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    from pyspark.sql import Window
+
+    outs = []
+    for m in MRL_DIMS:
+        cos = cosine_expr(
+            F.slice(F.col("q_emb"), 1, m), F.slice(F.col("embedding"), 1, m)
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("vec_id")
+        )
+        trunc = (
+            emb.join(F.broadcast(anchors), F.col("vec_id") != F.col("query_id"))
+            .withColumn("cos", cos)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= TOP_K)
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.lit(1).alias("hit"),
+            )
+        )
+        joined = full.join(F.broadcast(trunc), ["query_id", "neighbor_id"], "left")
+        outs.append(
+            joined.groupBy("query_id").agg(
+                F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_overlap"),
+                (
+                    F.sum(F.coalesce("hit", F.lit(0))).cast("double") / TOP_K
+                ).alias("overlap_frac"),
+            )
+            .select(
+                F.lit(m).cast("int").alias("m"),
+                "query_id",
+                "n_overlap",
+                "overlap_frac",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

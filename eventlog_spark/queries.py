@@ -112,7 +112,7 @@ _loaded = False
 # ROUND-7 NOTE: rotate in the remaining r3 rows (stream_threshold_alert,
 # stream_interval_join, stream_session_window, stream_dedup, json_extract,
 # sample_hash_stats, timeseries_rollup, q22_idle_customers, agg_cube,
-# text_* basics,
+# agg_grouping_sets, text_* basics,
 # window_running_total, approx_*, join_broadcast_dim/range/skew,
 # chunk_overlap_windows, multimodal_manifest, dedup_embedding_cosine)
 # plus anything round 7 touches, oldest first.
@@ -144,6 +144,7 @@ _FIRST_50 = [
     "split_leakage_audit",
     "corpus_padding_waste",
     "corpus_diversity_simpson",
+    "ann_matryoshka_probe",
     # (b) latest driver check is round 1 — all 26
     "agg_distinct",
     "agg_percentiles",
@@ -172,7 +173,6 @@ _FIRST_50 = [
     "topk_orders",
     "window_topk_per_group",
     # (c) oldest round-3 rows
-    "agg_grouping_sets",
     "agg_rollup",
     # catalog side effects — dead last within the window
     "join_bucketed_colocated",

@@ -506,3 +506,14 @@ def test_diversity_shuffles_vocab_not_tokens(spark, sf_dir):
     plan = formatted_plan(df)
     assert "Join" not in plan and "Window" not in plan
     assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_matryoshka_reuses_broadcast_topk_shape(spark, sf_dir):
+    """ann_matryoshka_probe: every truncated search keeps the
+    brute-force shape — broadcast anchors, WindowGroupLimit top-k —
+    and the overlap joins stay broadcast-sized (no SortMergeJoin)."""
+    df = q(spark, sf_dir, "ann_matryoshka_probe")
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert not has_node(df, "SortMergeJoin")
