@@ -1522,11 +1522,34 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each round's vocab is lazily checkpointed: round k+1's plan reads
     round k's materialization instead of replaying the whole merge
     chain (same pattern as the Lloyd loop's centroid checkpoints)."""
-    merges, _vocab = _bpe_vocab_rounds(spark, sf_dir)
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionAll(m)
-    return out.orderBy("rank")
+    return _bpe_persisted(spark, sf_dir)["bpe_merges"].orderBy("rank")
+
+
+def _bpe_persisted(spark: SparkSession, sf_dir: str):
+    """The tokenizer's offline-train/online-serve split (same shape as
+    the ANN artifact tables): the merge table and the fully merged
+    vocabulary are trained ONCE per (dataset fingerprint, BPE params)
+    and persisted; every later session — including a cold new process —
+    serves ``text_bpe_train`` and ``text_bpe_encode`` from the tables
+    instead of re-running the merge loop. This is exactly what shipping
+    a tokenizer means: the merge table IS the artifact."""
+    from .artifacts import persisted_bundle
+
+    def build_all():
+        merges, vocab = _bpe_vocab_rounds(spark, sf_dir)
+        out = merges[0]
+        for m in merges[1:]:
+            out = out.unionAll(m)
+        return {"bpe_merges": out, "bpe_vocab": vocab}
+
+    return persisted_bundle(
+        spark,
+        sf_dir,
+        [("bpe_merges", None), ("bpe_vocab", None)],
+        build_all,
+        inputs=["documents"],
+        params=f"bpe_v1_m{BPE_MERGES}",
+    )
 
 
 def _bpe_vocab_rounds(spark: SparkSession, sf_dir: str):
@@ -1679,7 +1702,7 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     The compression column is an exact integer-ratio double, identical
     across engines. The DuckDB oracle replays training stage-by-stage
     (generated CTE chain) and re-encodes every document."""
-    _merges, vocab = _bpe_vocab_rounds(spark, sf_dir)
+    vocab = _bpe_persisted(spark, sf_dir)["bpe_vocab"]
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
