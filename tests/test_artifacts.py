@@ -106,3 +106,25 @@ def test_ivf_pq_served_cold_without_retraining(spark, sf_dir, tmp_path, monkeypa
     monkeypatch.setattr(curation, "_pq_offline_frames", boom)
     second = {tuple(r) for r in curation._ivf_pq_build(spark, sf_dir).collect()}
     assert first == second and first
+
+
+def test_bpe_served_cold_without_retraining(spark, sf_dir, tmp_path, monkeypatch):
+    """The tokenizer's offline/online split: once the merge-table and
+    vocabulary tables exist, a NEW session serves text_bpe_train and
+    text_bpe_encode from them — the merge loop must not run."""
+    from eventlog_spark.operators import curation
+
+    monkeypatch.setattr(artifacts, "ARTIFACT_ROOT", str(tmp_path))
+    monkeypatch.setattr(artifacts, "_CACHE", {})
+    first = {tuple(r) for r in curation.text_bpe_train(spark, sf_dir).collect()}
+
+    monkeypatch.setattr(artifacts, "_CACHE", {})  # simulate a fresh session
+
+    def boom(*a, **k):
+        raise AssertionError("BPE merge loop ran although tables exist")
+
+    monkeypatch.setattr(curation, "_bpe_vocab_rounds", boom)
+    second = {tuple(r) for r in curation.text_bpe_train(spark, sf_dir).collect()}
+    assert first == second and first
+    enc = curation.text_bpe_encode(spark, sf_dir)
+    assert enc.count() > 0  # encode also serves from the vocab table
