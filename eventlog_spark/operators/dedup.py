@@ -860,3 +860,109 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_frac"
         ),
     )
+
+
+# -- incremental dedup: new batch vs accumulated corpus -----------------------
+
+INCR_NEW_SOURCE = "src0"  # the "freshly crawled" batch in the synthetic corpus
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=f"""
+WITH pairs AS ({_LSH_PAIRS_SQL}),
+nb AS (SELECT doc_id FROM documents WHERE source = '{INCR_NEW_SOURCE}'),
+ex AS (
+    SELECT doc_a AS d, doc_b AS p FROM pairs
+    UNION ALL
+    SELECT doc_b AS d, doc_a AS p FROM pairs
+)
+SELECT n.doc_id,
+       CAST(COALESCE(SUM(CASE WHEN pn.doc_id IS NOT NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_cand_new,
+       CAST(COALESCE(SUM(CASE WHEN e.p IS NOT NULL AND pn.doc_id IS NULL
+                             THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cand_corpus,
+       CAST(CASE WHEN COUNT(e.p) > 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS is_dup_candidate
+FROM nb n
+LEFT JOIN ex e ON n.doc_id = e.d
+LEFT JOIN nb pn ON e.p = pn.doc_id
+GROUP BY n.doc_id
+""",
+    doc=f"Incremental dedup: the '{INCR_NEW_SOURCE}' batch probed against "
+    "the accumulated corpus — per new doc, LSH candidate partners split "
+    "into batch-internal vs corpus matches.",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the shape production actually runs: a 100 TB
+    corpus is deduplicated ONCE, and every new crawl batch is then
+    probed against the accumulated index; re-running full-corpus dedup
+    per ingest is exactly what you avoid. Here the 'src0' source
+    plays the new batch: its documents' LSH band keys probe the
+    corpus-wide band index, and each new document reports its candidate
+    partners split into batch-internal matches vs matches already in
+    the corpus (the latter mean "drop or link before ingest").
+
+    Plan shape: the signature table and its melted band keys are the
+    SAME pipeline the full-corpus queries share (one shingle
+    materialization per session); the probe is an equi-join of the
+    NEW-side keys (|batch| · bands rows) against the full key index —
+    cost ∝ new-batch collisions, never corpus². At 100 TB the corpus
+    band index is the persisted artifact (the `persisted_bundle`
+    pattern the ANN and BPE families already use) and each ingest joins
+    only its own batch against it. The oracle derives the same answer
+    from the full symmetric pair set restricted to new-batch endpoints
+    — equivalent because band collision is symmetric.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig = _minhash_signature(spark, sf_dir)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.col(f"mh{2 * band}").alias("k1"),
+                F.col(f"mh{2 * band + 1}").alias("k2"),
+            )
+            for band in range(N_BANDS)
+        ]
+    )
+    keys = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", "bk.band", "bk.k1", "bk.k2"
+    )
+    new_ids = docs.where(F.col("source") == INCR_NEW_SOURCE).select("doc_id")
+    new_keys = keys.join(F.broadcast(new_ids), "doc_id")
+    cand = (
+        new_keys.alias("a")
+        .join(keys.alias("b"), ["band", "k1", "k2"])
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("partner"))
+        .distinct()
+    )
+    par = cand.join(
+        F.broadcast(
+            new_ids.select(F.col("doc_id").alias("partner")).withColumn(
+                "p_new", F.lit(1)
+            )
+        ),
+        "partner",
+        "left",
+    )
+    agg = par.groupBy("doc_id").agg(
+        F.sum(F.coalesce("p_new", F.lit(0))).alias("n_cand_new"),
+        F.sum(F.when(F.col("p_new").isNull(), 1).otherwise(0)).alias(
+            "n_cand_corpus"
+        ),
+    )
+    return new_ids.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_cand_new", F.lit(0)).cast("long").alias("n_cand_new"),
+        F.coalesce("n_cand_corpus", F.lit(0)).cast("long").alias("n_cand_corpus"),
+        F.when(
+            F.coalesce("n_cand_new", F.lit(0)) + F.coalesce("n_cand_corpus", F.lit(0))
+            > 0,
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("is_dup_candidate"),
+    )

@@ -105,14 +105,13 @@ _loaded = False
 #     so the driver re-confirms them against the new code;
 # (b) the 26 rows whose latest driver check is still round 1 (green
 #     then, local oracle-green every round since);
-# (c) the oldest round-3 rows that still fit (agg_* family) — the 8
-#     NEW round-6 queries displaced the rest of the original (c) set
-#     into the round-7 note below (new queries have NO driver row yet,
-#     which outranks refreshing an old green one).
+# (c) the 11 NEW round-6 queries displaced the original (c) oldest-r3
+#     set entirely into the round-7 note below (new queries have NO
+#     driver row yet, which outranks refreshing an old green one).
 # ROUND-7 NOTE: rotate in the remaining r3 rows (stream_threshold_alert,
 # stream_interval_join, stream_session_window, stream_dedup, json_extract,
 # sample_hash_stats, timeseries_rollup, q22_idle_customers, agg_cube,
-# agg_grouping_sets, text_* basics,
+# agg_grouping_sets, agg_rollup, text_* basics,
 # window_running_total, approx_*, join_broadcast_dim/range/skew,
 # chunk_overlap_windows, multimodal_manifest, dedup_embedding_cosine)
 # plus anything round 7 touches, oldest first.
@@ -145,6 +144,7 @@ _FIRST_50 = [
     "corpus_padding_waste",
     "corpus_diversity_simpson",
     "ann_matryoshka_probe",
+    "dedup_incremental_minhash",
     # (b) latest driver check is round 1 — all 26
     "agg_distinct",
     "agg_percentiles",
@@ -172,8 +172,6 @@ _FIRST_50 = [
     "setop_union",
     "topk_orders",
     "window_topk_per_group",
-    # (c) oldest round-3 rows
-    "agg_rollup",
     # catalog side effects — dead last within the window
     "join_bucketed_colocated",
 ]

@@ -517,3 +517,13 @@ def test_matryoshka_reuses_broadcast_topk_shape(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert not has_node(df, "SortMergeJoin")
+
+
+def test_incremental_dedup_probes_not_crosses(spark, sf_dir):
+    """dedup_incremental_minhash: the new batch probes the band index
+    via equi-joins (hash joins on (band, k1, k2) / doc_id) — no
+    cartesian product, no global window; batch membership broadcasts."""
+    df = q(spark, sf_dir, "dedup_incremental_minhash")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastExchange" in plan
