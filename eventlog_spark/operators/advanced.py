@@ -693,3 +693,48 @@ def zorder_layout_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("z").cast("long").alias("z_checksum"),
         )
     )
+
+
+@register(
+    "unpivot_lineitem_metrics",
+    oracle="""
+WITH w AS (
+    SELECT l_returnflag,
+           SUM(CAST(l_quantity AS DECIMAL(12,2))) AS quantity,
+           SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS extendedprice,
+           SUM(CAST(l_discount AS DECIMAL(12,2))) AS discount,
+           SUM(CAST(l_tax AS DECIMAL(12,2))) AS tax
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'quantity' AS metric, quantity AS total FROM w
+UNION ALL
+SELECT l_returnflag, 'extendedprice', extendedprice FROM w
+UNION ALL
+SELECT l_returnflag, 'discount', discount FROM w
+UNION ALL
+SELECT l_returnflag, 'tax', tax FROM w
+""",
+    doc="Unpivot (wide→long): per-returnflag metric sums melted into "
+    "(metric, total) rows — the inverse of pivot_returnflag.",
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wide→long half of the pivot pair (SQL UNPIVOT / melt): four
+    per-flag metric sums become (metric, total) rows, the shape a
+    metrics store or a generic charting layer consumes. The aggregate
+    runs FIRST, so the unpivot's 4× row expansion touches a 3-row
+    aggregate, never the corpus — the cheap order at any scale. Spark's
+    ``DataFrame.unpivot`` compiles to an Expand node (same machinery as
+    rollup), one pass, no join, no shuffle beyond the aggregate's own."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = li.groupBy("l_returnflag").agg(
+        F.sum(_dec("l_quantity")).alias("quantity"),
+        F.sum(_dec("l_extendedprice")).alias("extendedprice"),
+        F.sum(_dec("l_discount")).alias("discount"),
+        F.sum(_dec("l_tax")).alias("tax"),
+    )
+    return w.unpivot(
+        ["l_returnflag"],
+        ["quantity", "extendedprice", "discount", "tax"],
+        "metric",
+        "total",
+    )

@@ -111,7 +111,8 @@ _loaded = False
 # ROUND-7 NOTE: rotate in the remaining r3 rows (stream_threshold_alert,
 # stream_interval_join, stream_session_window, stream_dedup, json_extract,
 # sample_hash_stats, timeseries_rollup, q22_idle_customers, agg_cube,
-# agg_grouping_sets, agg_rollup, text_* basics,
+# agg_grouping_sets, agg_rollup, scalar_functions (displaced from the
+# r1 set by the 12th new query), text_* basics,
 # window_running_total, approx_*, join_broadcast_dim/range/skew,
 # chunk_overlap_windows, multimodal_manifest, dedup_embedding_cosine)
 # plus anything round 7 touches, oldest first.
@@ -145,6 +146,7 @@ _FIRST_50 = [
     "corpus_diversity_simpson",
     "ann_matryoshka_probe",
     "dedup_incremental_minhash",
+    "unpivot_lineitem_metrics",
     # (b) latest driver check is round 1 — all 26
     "agg_distinct",
     "agg_percentiles",
@@ -166,7 +168,6 @@ _FIRST_50 = [
     "q19_disjunctive_revenue",
     "q20_part_promotion",
     "q21_waiting_suppliers",
-    "scalar_functions",
     "setop_except",
     "setop_intersect",
     "setop_union",

@@ -527,3 +527,14 @@ def test_incremental_dedup_probes_not_crosses(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_unpivot_expands_aggregate_not_corpus(spark, sf_dir):
+    """unpivot_lineitem_metrics: the 4x melt runs over the 3-row
+    aggregate (Expand above the agg), never the lineitem scan — one
+    aggregate exchange, no joins."""
+    df = q(spark, sf_dir, "unpivot_lineitem_metrics")
+    plan = formatted_plan(df)
+    assert "Expand" in plan
+    assert "Join" not in plan
+    assert count_nodes(df, "Exchange") == 1
