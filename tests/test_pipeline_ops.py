@@ -249,3 +249,48 @@ def test_parse_media_header_never_crashes_on_fuzz():
         )
 
     check()
+
+
+def test_substring_dedup_matches_naive_interval_model(spark, tmp_path):
+    """Independent check of the lead()-window interval-union math: a
+    naive Python model (explicit gram multiset + position-set coverage)
+    must agree exactly — including within-doc repeats, full-doc
+    duplicates, partial overlap, and a doc shorter than K (the DuckDB
+    oracle can't independently confirm this; it computes the same
+    window formula)."""
+    K = dedup.SUBSTR_K
+    base = "abcdefghijklmnopqrstuvwxyz0123"       # 30 unique chars
+    block = "ABCDEFGHIJKLMNOPQRST"                # exactly K chars
+    docs = [
+        (1, base),                                # dup of doc 2, full coverage
+        (2, base),
+        (3, "tooshort"),                          # < K: zero grams
+        (4, block + "-----" + block),             # within-doc repeat
+        (5, "zzzzz" + base[:25] + "qqqqq"),       # partial overlap with 1/2
+    ]
+    rows = [(i, t, "en", "src0", len(t)) for i, t in docs]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    # naive model: global gram multiset, per-doc duplicated-position set
+    from collections import Counter
+
+    grams = Counter()
+    positions = {}  # doc_id -> [(pos, gram)]
+    for i, t in docs:
+        positions[i] = [(p, t[p : p + K]) for p in range(len(t) - K + 1)]
+        grams.update(g for _, g in positions[i])
+    expect = {}
+    for i, t in docs:
+        dup = sorted(p for p, g in positions[i] if grams[g] > 1)
+        covered = set()
+        for p in dup:
+            covered.update(range(p, p + K))
+        expect[i] = (len(dup), len(covered), len(covered) / len(t))
+
+    got = {
+        r.doc_id: (r.n_dup_grams, r.dup_chars, r.dup_frac)
+        for r in dedup.dedup_substring_exact(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
