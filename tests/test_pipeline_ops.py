@@ -294,3 +294,58 @@ def test_substring_dedup_matches_naive_interval_model(spark, tmp_path):
         for r in dedup.dedup_substring_exact(spark, str(tmp_path)).collect()
     }
     assert got == expect
+
+
+def _np_topk(E, ids, anchor_idx, k, mask=None, dims=None):
+    """Cosine top-k against row `anchor_idx`, ties by vec_id ascending;
+    optional row mask and dim-prefix truncation."""
+    import numpy as np
+
+    X = E[:, :dims] if dims else E
+    q = X[anchor_idx]
+    cos = (X @ q) / (np.linalg.norm(X, axis=1) * np.linalg.norm(q))
+    ok = np.ones(len(ids), bool) if mask is None else mask.copy()
+    ok[anchor_idx] = False
+    order = sorted(np.nonzero(ok)[0], key=lambda j: (-cos[j], ids[j]))
+    return [ids[j] for j in order[:k]]
+
+
+def test_hard_negatives_match_numpy_model(spark, sf_dir):
+    """ann_hard_negatives vs a float64 numpy model: per anchor, the
+    top-k most-similar DIFFERENT-label ids must agree exactly
+    (deterministic tie-break on vec_id)."""
+    import numpy as np
+
+    pdf = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    labels = pdf["label"].to_numpy()
+    got = {}
+    for r in similarity.ann_hard_negatives(spark, sf_dir).collect():
+        got.setdefault(r.query_id, {})[r.rk] = r.negative_id
+    for qid in similarity.QUERY_IDS:
+        ai = int(np.nonzero(ids == qid)[0][0])
+        want = _np_topk(E, ids, ai, similarity.TOP_K, mask=labels != labels[ai])
+        assert [got[qid][rk] for rk in sorted(got[qid])] == want
+
+
+def test_matryoshka_overlap_matches_numpy_model(spark, sf_dir):
+    """ann_matryoshka_probe vs numpy: the truncated-prefix top-k overlap
+    with the full top-k must agree for every (m, anchor)."""
+    import numpy as np
+
+    pdf = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    got = {
+        (r.m, r.query_id): r.n_overlap
+        for r in similarity.ann_matryoshka_probe(spark, sf_dir).collect()
+    }
+    for qid in similarity.QUERY_IDS:
+        ai = int(np.nonzero(ids == qid)[0][0])
+        full = set(_np_topk(E, ids, ai, similarity.TOP_K))
+        for m in similarity.MRL_DIMS:
+            trunc = set(_np_topk(E, ids, ai, similarity.TOP_K, dims=m))
+            assert got[(m, qid)] == len(full & trunc), (m, qid)
