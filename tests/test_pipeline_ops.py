@@ -349,3 +349,63 @@ def test_matryoshka_overlap_matches_numpy_model(spark, sf_dir):
         for m in similarity.MRL_DIMS:
             trunc = set(_np_topk(E, ids, ai, similarity.TOP_K, dims=m))
             assert got[(m, qid)] == len(full & trunc), (m, qid)
+
+
+def test_bpe_train_encode_match_python_model(spark, tmp_path, monkeypatch):
+    """Full tokenizer-loop check against a pure-Python BPE model (same
+    greedy (count DESC, pair ASC) argmax and left-to-right
+    non-overlapping replace semantics) on a small controlled corpus —
+    merges, per-merge counts, and every document's encoded token count
+    must agree."""
+    from collections import Counter
+
+    from eventlog_spark.operators import artifacts, curation
+
+    monkeypatch.setattr(artifacts, "ARTIFACT_ROOT", str(tmp_path / "arts"))
+    monkeypatch.setattr(artifacts, "_CACHE", {})
+
+    texts = [
+        "banana bandana ban a banana",
+        "canal banal banana nab",
+        "b bandana canal canal",
+    ]
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    vocab = Counter(
+        w for t in texts for w in t.split(" ") if len(w) >= 2
+    )
+    sym = {w: " " + " ".join(w) + " " for w in vocab}
+    model_merges = []
+    for k in range(1, curation.BPE_MERGES + 1):
+        pc = Counter()
+        for w, c in vocab.items():
+            arr = sym[w].strip().split(" ")
+            for i in range(len(arr) - 1):
+                pc[arr[i] + " " + arr[i + 1]] += c
+        pair, total = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merged = pair.replace(" ", "")
+        model_merges.append((k, pair, merged, total))
+        for w in sym:
+            sym[w] = sym[w].replace(" " + pair + " ", " " + merged + " ")
+
+    got_merges = [
+        (r.rank, r.pair, r.merged, r.total)
+        for r in curation.text_bpe_train(spark, str(tmp_path)).collect()
+    ]
+    assert got_merges == model_merges
+
+    expect = {}
+    for i, t in enumerate(texts):
+        words = t.split(" ")
+        n_bpe = sum(
+            len(sym[w].strip().split(" ")) if w in sym else len(w) for w in words
+        )
+        expect[i] = (len(words), sum(len(w) for w in words), n_bpe)
+    got = {
+        r.doc_id: (r.n_words, r.n_char_tokens, r.n_bpe_tokens)
+        for r in curation.text_bpe_encode(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
