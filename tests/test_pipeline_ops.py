@@ -409,3 +409,94 @@ def test_bpe_train_encode_match_python_model(spark, tmp_path, monkeypatch):
         for r in curation.text_bpe_encode(spark, str(tmp_path)).collect()
     }
     assert got == expect
+
+
+def test_dsir_weights_match_python_model(spark, tmp_path):
+    """sample_importance_dsir vs a direct Python model of the hashed
+    buckets, the ppm weight ratio, and the md5-uniform accept draw."""
+    import hashlib
+    from collections import Counter
+
+    from eventlog_spark.operators import curation
+
+    texts = [
+        (0, "the cat sat on the mat", "en"),
+        (1, "der hund lief durch den wald", "de"),
+        (2, "the dog ran through the park", "en"),
+        (3, "cat dog mat park", "fr"),
+    ]
+    rows = [(i, t, lang, "s", len(t)) for i, t, lang in texts]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    def md5int(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    B, S = curation.DSIR_BUCKETS, curation.DSIR_SCALE
+    raw, tgt = Counter(), Counter()
+    toks = {}
+    for i, t, lang in texts:
+        toks[i] = [md5int(w) % B for w in t.split(" ")]
+        raw.update(toks[i])
+        if lang == curation.DSIR_TARGET_LANG:
+            tgt.update(toks[i])
+    t_raw, t_tgt = sum(raw.values()), sum(tgt.values())
+    w_fp = {b: (S * tgt.get(b, 0) * t_raw) // (raw[b] * t_tgt) for b in raw}
+    expect = {}
+    for i, t, lang in texts:
+        score = sum(w_fp[b] for b in toks[i])
+        n = len(toks[i])
+        u = md5int(str(i)) % S
+        expect[i] = (n, score, score // n, u, 1 if u < min(S, score // n) else 0)
+    got = {
+        r.doc_id: (r.n_tokens, r.score_fp, r.mean_w_fp, r.u_fp, r.keep)
+        for r in curation.sample_importance_dsir(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
+
+
+def test_padding_waste_buckets_are_next_pow2(spark, tmp_path):
+    """corpus_padding_waste vs a direct model: every doc lands in the
+    smallest power-of-two bucket >= its token count, and per-bucket
+    batch counts / waste fractions follow."""
+    from collections import Counter
+
+    from eventlog_spark.operators import corpus
+
+    sizes = [1, 2, 3, 4, 5, 7, 8, 9, 15, 16, 17, 33]
+    rows = [
+        (i, " ".join(["w"] * n), "en", "s", 2 * n - 1)
+        for i, n in enumerate(sizes)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    def pow2(n):
+        b = 1
+        while b < n:
+            b <<= 1
+        return b
+
+    buckets = Counter((pow2(n), n) for n in sizes)
+    agg = {}
+    for (b, n), c in buckets.items():
+        d = agg.setdefault(b, [0, 0])
+        d[0] += c
+        d[1] += c * n
+    expect = {
+        b: (
+            nd,
+            (nd + corpus.PAD_BATCH - 1) // corpus.PAD_BATCH,
+            tok,
+            nd * b,
+            (nd * b - tok) / (nd * b),
+        )
+        for b, (nd, tok) in agg.items()
+    }
+    got = {
+        r.bucket: (r.n_docs, r.n_batches, r.token_sum, r.padded_sum, r.waste_frac)
+        for r in corpus.corpus_padding_waste(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
