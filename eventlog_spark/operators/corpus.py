@@ -357,10 +357,10 @@ DIM = 64
 FXP = 1 << 20  # fixed-point scale for order-free centroid accumulation
 
 
-@register(
-    "embedding_centroid_assign",
-    oracle=f"""
-WITH ex AS (
+# The ex→cen→sims→best CTE chain: one label-seeded Lloyd step (fixed-
+# point centroid means) + per-vector cosine argmax. Shared verbatim by
+# the embedding_centroid_assign and embedding_cluster_resample oracles.
+_CENTROID_BEST_SQL = f"""ex AS (
     SELECT label, i AS pos,
            CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {FXP}) AS BIGINT) AS iv
     FROM embeddings, range(1, {DIM + 1}) t(i)
@@ -385,7 +385,13 @@ best AS (
     SELECT vec_id, label, c_label, sim,
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_label) AS rk
     FROM sims
-)
+)"""
+
+
+@register(
+    "embedding_centroid_assign",
+    oracle=f"""
+WITH {_CENTROID_BEST_SQL}
 SELECT label, c_label AS assigned_label,
        CAST(COUNT(*) AS BIGINT) AS n, MIN(sim) AS min_sim, MAX(sim) AS max_sim
 FROM best WHERE rk = 1
@@ -405,6 +411,20 @@ def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine is a sequential fold identical to the oracle's list_sum. The
     only shuffles are the (label,pos) centroid aggregate and the final
     confusion-matrix aggregate."""
+    best = _centroid_best(spark, sf_dir)
+    return best.groupBy("label", F.col("c_label").alias("assigned_label")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("sim").alias("min_sim"),
+        F.max("sim").alias("max_sim"),
+    )
+
+
+def _centroid_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assignment stage shared by ``embedding_centroid_assign`` and
+    ``embedding_cluster_resample``: one label-seeded Lloyd step, cosine
+    argmax per vector. Returns (vec_id, label, c_label, sim) — the
+    winning centroid per vector — mirroring ``_CENTROID_BEST_SQL``'s
+    ``best WHERE rk = 1``."""
     emb = load_table(spark, sf_dir, "embeddings")
     ex = emb.select(
         "label",
@@ -439,11 +459,10 @@ def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "c_label", (dot / (F.col("sne") * F.col("snc"))).alias("sim")
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "c_label")
-    best = sims.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
-    return best.groupBy("label", F.col("c_label").alias("assigned_label")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("sim").alias("min_sim"),
-        F.max("sim").alias("max_sim"),
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk")
     )
 
 
@@ -1256,4 +1275,77 @@ def corpus_diversity_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.lit(1.0) - rep.cast("double") / (n_tokens * (n_tokens - 1))
         ).alias("diversity"),
+    )
+
+
+# -- cluster-balanced resampling ----------------------------------------------
+
+
+@register(
+    "embedding_cluster_resample",
+    oracle=f"""
+WITH {_CENTROID_BEST_SQL},
+assign AS (SELECT vec_id, c_label FROM best WHERE rk = 1),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(DISTINCT c_label) AS BIGINT) AS k
+    FROM assign
+),
+capd AS (SELECT (n_total // 2) // k AS cap FROM tot),
+ranked AS (
+    SELECT c_label, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY c_label
+               ORDER BY {md5_int_sql("CAST(vec_id AS VARCHAR)")}, vec_id) AS rnk
+    FROM assign
+)
+SELECT c_label AS assigned_label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN rnk <= cap THEN 1 ELSE 0 END) AS BIGINT) AS kept_n,
+       CAST(MIN(cap) AS BIGINT) AS cap
+FROM ranked CROSS JOIN capd
+GROUP BY c_label
+""",
+    doc="Cluster-balanced resampling: assign vectors to label-seeded "
+    "centroids, cap every cluster at an equal share of a 50% budget "
+    "(hash-ranked keeps) — the DataComp-style diversity-preserving "
+    "downsample.",
+)
+def embedding_cluster_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced cluster sampling — the embedding-space analogue of
+    ``domain_quota_cap``: dominant clusters (near-duplicate content
+    modes) are capped at the same per-cluster budget as rare ones, so
+    the downsampled corpus keeps its coverage diversity instead of its
+    raw frequency mix (the DataComp / cluster-pruning recipe).
+
+    Plan: assignment is the shared broadcast Lloyd step
+    (``_centroid_best``); the budget is ONE 1-row aggregate broadcast
+    back; ranking inside clusters is one hash-partitioned row_number
+    window. Selection by md5(vec_id) rank is deterministic and
+    partition-order-free. At 100 TB the per-cluster window would rank
+    millions of rows per cluster — there you'd swap rank-≤-cap for a
+    per-cluster hash THRESHOLD (quantile of the md5 space, as
+    sample_temperature_mixture does) and keep the same semantics
+    approximately; the exact-rank form here is the oracle-checkable
+    reference semantics."""
+    best = _centroid_best(spark, sf_dir)
+    assign = best.select("vec_id", "c_label")
+    tot = assign.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.countDistinct("c_label").cast("long").alias("k"),
+    )
+    capd = tot.select(F.expr("(n_total div 2) div k").alias("cap"))
+    w = Window.partitionBy("c_label").orderBy(
+        md5_int_col(F.col("vec_id").cast("string")), "vec_id"
+    )
+    ranked = assign.withColumn("rnk", F.row_number().over(w))
+    return (
+        ranked.crossJoin(F.broadcast(capd))
+        .groupBy(F.col("c_label").alias("assigned_label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("rnk") <= F.col("cap"), 1).otherwise(0))
+            .cast("long")
+            .alias("kept_n"),
+            F.min("cap").cast("long").alias("cap"),
+        )
     )

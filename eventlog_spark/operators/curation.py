@@ -1988,3 +1988,250 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("leak"),
     )
+
+
+# -- trained quality probe (closed-form least squares) ------------------------
+#
+# quality_model_scores is the INFERENCE half of the model-based quality
+# stage (fixed weights, Arrow-batched scoring). This is the TRAINING
+# half: distill the Gopher rule cascade into a linear probe by solving
+# the least-squares normal equations with ONE aggregate pass — the
+# classic "train a cheap classifier on rule labels, serve it at crawl
+# scale" recipe (CCNet / DCLM-style quality filters). Training a
+# k-feature linear model needs only the k×k moment matrix, which is a
+# single map-side-combinable aggregation no matter how large the
+# corpus is; the solve itself is O(k³) on one row.
+#
+# Determinism: every moment is an exact BIGINT sum; the 3×3 Cramer
+# solve runs in int128 (DuckDB HUGEINT / Spark DECIMAL(38,0)) so the
+# determinants are exact integers, order-free under any partitioning;
+# weights are fixed-point (det·10⁶ div detA) — truncating integer
+# division, verified bit-identical across engines incl. negatives —
+# and scoring is pure int64 arithmetic. No float op touches a
+# distributed aggregation anywhere.
+
+PROBE_FXP = 1_000_000
+
+
+def _probe_dets(C):
+    """The 3×3 Cramer determinants for ŷ = w0 + w1·x1 + w2·x2 as SQL
+    text over moment columns (n s1 s2 s11 s12 s22 sy s1y s2y), with
+    ``C`` wrapping each column in the engine's exact-int128 cast.
+    Integer math is exact and order-free, so both engines evaluate the
+    SAME values regardless of expression-tree details."""
+    n, s1, s2 = C("n"), C("s1"), C("s2")
+    s11, s12, s22 = C("s11"), C("s12"), C("s22")
+    sy, s1y, s2y = C("sy"), C("s1y"), C("s2y")
+    m0 = f"({s11}*{s22} - {s12}*{s12})"
+    m1 = f"({s1}*{s22} - {s12}*{s2})"
+    m2 = f"({s1}*{s12} - {s11}*{s2})"
+    p1 = f"({s1y}*{s22} - {s12}*{s2y})"
+    p2 = f"({s1y}*{s12} - {s11}*{s2y})"
+    p3 = f"({s1}*{s2y} - {s1y}*{s2})"
+    det_a = f"({n}*{m0} - {s1}*{m1} + {s2}*{m2})"
+    det0 = f"({sy}*{m0} - {s1}*{p1} + {s2}*{p2})"
+    det1 = f"({n}*{p1} - {sy}*{m1} + {s2}*{p3})"
+    det2 = f"({n}*({s11}*{s2y} - {s1y}*{s12}) - {s1}*{p3} + {sy}*{m2})"
+    return det_a, det0, det1, det2
+
+
+def _probe_weight_sql(det_a: str, det_j: str) -> str:
+    """Fixed-point weight: det_j·FXP div det_a, 0 on a singular system.
+    Truncating integer division — bit-identical in both engines."""
+    return (
+        f"CASE WHEN {det_a} = 0 THEN 0 "
+        f"ELSE CAST(({det_j}) * {PROBE_FXP} {{div}} ({det_a}) AS BIGINT) END"
+    )
+
+
+_PROBE_DUCK_DETS = _probe_dets(lambda c: f"CAST({c} AS HUGEINT)")
+_PROBE_SPARK_DETS = _probe_dets(lambda c: f"CAST({c} AS DECIMAL(38,0))")
+
+
+@register(
+    "quality_probe_train",
+    oracle=f"""
+WITH feats AS (
+    SELECT source,
+           CAST(len(w) AS BIGINT) AS x1,
+           CAST(len(list_filter(w, x -> len(x) <= 2)) AS BIGINT) AS x2,
+           CAST({_PASS_SQL} AS BIGINT) AS y
+    FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+),
+g AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+           CAST(SUM(x1*x1) AS BIGINT) AS s11,
+           CAST(SUM(x1*x2) AS BIGINT) AS s12,
+           CAST(SUM(x2*x2) AS BIGINT) AS s22,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x1*y) AS BIGINT) AS s1y,
+           CAST(SUM(x2*y) AS BIGINT) AS s2y
+    FROM feats
+),
+wts AS (
+    SELECT {_probe_weight_sql(_PROBE_DUCK_DETS[0], _PROBE_DUCK_DETS[1]).format(div='//')} AS w0_fp,
+           {_probe_weight_sql(_PROBE_DUCK_DETS[0], _PROBE_DUCK_DETS[2]).format(div='//')} AS w1_fp,
+           {_probe_weight_sql(_PROBE_DUCK_DETS[0], _PROBE_DUCK_DETS[3]).format(div='//')} AS w2_fp
+    FROM g
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(y) AS BIGINT) AS n_pass,
+       CAST(MIN(w0_fp) AS DOUBLE) / {PROBE_FXP} AS w0,
+       CAST(MIN(w1_fp) AS DOUBLE) / {PROBE_FXP} AS w1,
+       CAST(MIN(w2_fp) AS DOUBLE) / {PROBE_FXP} AS w2,
+       CAST(SUM(w0_fp + w1_fp*x1 + w2_fp*x2) AS BIGINT) AS score_fp_sum,
+       CAST(SUM(abs(y*{PROBE_FXP} - (w0_fp + w1_fp*x1 + w2_fp*x2))) AS BIGINT)
+           AS abs_err_fp_sum
+FROM feats CROSS JOIN wts
+GROUP BY source
+""",
+    doc="Train a least-squares linear probe (word count, short-word "
+    "count → Gopher pass_all) via one moment-matrix aggregate + exact "
+    "int128 Cramer solve; per-source fit report with the learned "
+    "weights, fixed-point scores, and L1 training error.",
+)
+def quality_probe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form training of the quality classifier the inference
+    stage (``quality_model_scores``) would serve: fit
+    ŷ = w0 + w1·word_count + w2·short_word_count to the Gopher
+    ``pass_all`` label by normal equations.
+
+    Scale shape: the ONLY corpus-sized work is one projection + one
+    9-column aggregate (map-side partial, 1-row result) and one
+    broadcast-weights scoring pass — the same two jobs at 100 TB,
+    because a k-feature least-squares fit depends on the data only
+    through its k×k moment matrix. The solve is a scalar expression on
+    the 1-row frame; weights rejoin the corpus via a broadcast
+    crossJoin (1 row), and the fit report is a |sources|-row rollup.
+    No collect: training, solve, and serving are one lazy DAG.
+
+    Determinism: moments are exact BIGINT sums; Cramer determinants run
+    in DECIMAL(38,0)/HUGEINT (exact, order-free); weights are
+    truncating fixed-point divisions; scoring and the L1 error are pure
+    int64 — no distributed float accumulation anywhere."""
+    from .artifacts import lazy_checkpoint
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("source", F.split("text", " ").alias("w"))
+    feats = d.select(
+        "source",
+        F.size("w").cast("long").alias("x1"),
+        F.size(F.filter("w", lambda x: F.length(x) <= 2)).cast("long").alias("x2"),
+        _pass_all_col().cast("long").alias("y"),
+    )
+    # consumed twice (moment aggregate + scoring pass) — materialize the
+    # tokenized features once instead of re-splitting the corpus
+    feats = lazy_checkpoint(feats)
+    g = feats.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    det_a, det0, det1, det2 = _PROBE_SPARK_DETS
+    wts = g.select(
+        F.expr(_probe_weight_sql(det_a, det0).format(div="div")).alias("w0_fp"),
+        F.expr(_probe_weight_sql(det_a, det1).format(div="div")).alias("w1_fp"),
+        F.expr(_probe_weight_sql(det_a, det2).format(div="div")).alias("w2_fp"),
+    )
+    yhat = F.col("w0_fp") + F.col("w1_fp") * F.col("x1") + F.col("w2_fp") * F.col("x2")
+    scored = feats.crossJoin(F.broadcast(wts)).select(
+        "source",
+        "y",
+        "w0_fp",
+        "w1_fp",
+        "w2_fp",
+        yhat.alias("yhat_fp"),
+        F.abs(F.col("y") * PROBE_FXP - yhat).alias("ae_fp"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("y").cast("long").alias("n_pass"),
+        (F.min("w0_fp").cast("double") / PROBE_FXP).alias("w0"),
+        (F.min("w1_fp").cast("double") / PROBE_FXP).alias("w1"),
+        (F.min("w2_fp").cast("double") / PROBE_FXP).alias("w2"),
+        F.sum("yhat_fp").cast("long").alias("score_fp_sum"),
+        F.sum("ae_fp").cast("long").alias("abs_err_fp_sum"),
+    )
+
+
+# -- tokenizer fertility by language ------------------------------------------
+
+
+@register(
+    "text_tokenizer_fertility",
+    oracle=f"""
+WITH {_bpe_chain_sql(BPE_MERGES)},
+tok AS (
+    SELECT d.lang, t.doc_id, t.word
+    FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+          FROM documents) t
+    JOIN documents d USING (doc_id)
+),
+enc AS (
+    SELECT t.lang, t.doc_id,
+           len(t.word) AS n_chars,
+           CASE WHEN v.sym IS NULL THEN len(t.word)
+                ELSE len(string_split(trim(v.sym), ' ')) END AS n_sym
+    FROM tok t LEFT JOIN v{BPE_MERGES} v ON t.word = v.word
+)
+SELECT lang,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_chars) AS BIGINT) AS n_char_tokens,
+       CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(n_sym) AS DOUBLE) / COUNT(*) AS fertility,
+       CAST(SUM(n_chars) AS DOUBLE) / SUM(n_sym) AS chars_per_token
+FROM enc GROUP BY lang
+""",
+    doc=f"Tokenizer fertility report: per-language BPE tokens per word "
+    f"and chars per token under the {BPE_MERGES}-merge trained "
+    "vocabulary — the standard tokenizer-bias audit across languages.",
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fertility (tokens/word) by language — the audit every tokenizer
+    release ships, because a vocabulary trained on a skewed language
+    mix over-segments the minority languages (high fertility = more
+    tokens per word = higher serving cost and worse effective context
+    for that language).
+
+    Reuses the PERSISTED trained tokenizer (``_bpe_persisted`` — the
+    same offline-train/online-serve artifact tables that back
+    ``text_bpe_train``/``text_bpe_encode``): this query only pays the
+    ENCODE pass — a broadcast vocabulary join over the token stream —
+    plus a |langs|-row rollup. Same shape at 100 TB: the merge table is
+    KBs broadcast; the token stream never shuffles except into the
+    final tiny aggregate (count-distinct doc_id expands to one extra
+    partial). The DuckDB oracle replays training stage-by-stage and
+    re-encodes per language."""
+    vocab = _bpe_persisted(spark, sf_dir)["bpe_vocab"]
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    vsym = vocab.select(
+        "word", F.size(F.split(F.trim(F.col("sym")), " ")).alias("v_n_sym")
+    )
+    enc = tok.join(F.broadcast(vsym), "word", "left").select(
+        "lang",
+        "doc_id",
+        F.length("word").alias("n_chars"),
+        F.coalesce("v_n_sym", F.length("word")).alias("n_sym"),
+    )
+    return enc.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("n_chars").cast("long").alias("n_char_tokens"),
+        F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+        (F.sum("n_sym").cast("double") / F.count(F.lit(1))).alias("fertility"),
+        (F.sum("n_chars").cast("double") / F.sum("n_sym")).alias(
+            "chars_per_token"
+        ),
+    )

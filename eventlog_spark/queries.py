@@ -111,8 +111,9 @@ _loaded = False
 # ROUND-7 NOTE: rotate in the remaining r3 rows (stream_threshold_alert,
 # stream_interval_join, stream_session_window, stream_dedup, json_extract,
 # sample_hash_stats, timeseries_rollup, q22_idle_customers, agg_cube,
-# agg_grouping_sets, agg_rollup, scalar_functions (displaced from the
-# r1 set by the 12th new query), text_* basics,
+# agg_grouping_sets, agg_rollup, scalar_functions plus agg_distinct,
+# agg_percentiles, array_collect_ops (displaced from the r1 set by the
+# 12th and 14th-16th new queries), text_* basics,
 # window_running_total, approx_*, join_broadcast_dim/range/skew,
 # chunk_overlap_windows, multimodal_manifest, dedup_embedding_cosine)
 # plus anything round 7 touches, oldest first.
@@ -147,10 +148,12 @@ _FIRST_50 = [
     "ann_matryoshka_probe",
     "dedup_incremental_minhash",
     "unpivot_lineitem_metrics",
-    # (b) latest driver check is round 1 — all 26
-    "agg_distinct",
-    "agg_percentiles",
-    "array_collect_ops",
+    "quality_probe_train",
+    "text_tokenizer_fertility",
+    "embedding_cluster_resample",
+    # (b) latest driver check is round 1 — 23 of 26 (agg_distinct,
+    # agg_percentiles, array_collect_ops displaced to the round-7 note
+    # by the 14th-16th new queries)
     "date_functions",
     "explode_unnest",
     "join_anti",

@@ -538,3 +538,38 @@ def test_unpivot_expands_aggregate_not_corpus(spark, sf_dir):
     assert "Expand" in plan
     assert "Join" not in plan
     assert count_nodes(df, "Exchange") == 1
+
+
+def test_probe_train_broadcasts_weights_one_corpus_agg(spark, sf_dir):
+    """quality_probe_train: the corpus feeds ONE 9-column moment
+    aggregate (map-side partial -> 1-row exchange) and one scoring
+    pass; the solved weights rejoin via broadcast (never a shuffle
+    join), and no corpus-sized cartesian exists."""
+    df = q(spark, sf_dir, "quality_probe_train")
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    # two corpus aggregations at most: the moment matrix and the
+    # per-source fit report (plus their partial halves)
+    assert plan.count("HashAggregate") <= 8
+
+
+def test_tokenizer_fertility_broadcasts_vocab(spark, sf_dir):
+    """text_tokenizer_fertility: encoding is a broadcast vocabulary
+    join over the token stream (never a shuffle join); the only
+    corpus shuffle feeds the per-language rollup."""
+    df = q(spark, sf_dir, "text_tokenizer_fertility")
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cluster_resample_broadcasts_budget(spark, sf_dir):
+    """embedding_cluster_resample: centroids and the 1-row budget both
+    broadcast; the per-cluster ranking is one window, no shuffle join
+    anywhere."""
+    df = q(spark, sf_dir, "embedding_cluster_resample")
+    plan = formatted_plan(df)
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert has_node(df, "Window")
