@@ -500,3 +500,106 @@ def test_padding_waste_buckets_are_next_pow2(spark, tmp_path):
         for r in corpus.corpus_padding_waste(spark, str(tmp_path)).collect()
     }
     assert got == expect
+
+
+def _py_gopher_feats(sf_dir):
+    """(x1, x2, y, source) per doc — the probe's features and Gopher
+    pass_all label recomputed in plain Python floats (identical to the
+    engines' double math)."""
+    import pandas as pd
+
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    rows = []
+    for _, r in pdf.iterrows():
+        w = r["text"].split(" ")
+        wc = len(w)
+        mean_wl = sum(len(x) for x in w) / wc
+        short_n = sum(1 for x in w if len(x) <= 2)
+        n_stop = sum(1 for s in ("the", "a", "of", "to", "and") if s in w)
+        y = int(
+            30 <= wc <= 80
+            and 4.0 <= mean_wl <= 5.0
+            and short_n / wc <= 0.05
+            and n_stop >= 2
+        )
+        rows.append((wc, short_n, y, r["source"]))
+    return rows
+
+
+def test_probe_train_matches_numpy_lstsq(spark, sf_dir):
+    """quality_probe_train vs numpy: the fixed-point Cramer weights must
+    agree with np.linalg.lstsq to ~1e-6 (the fixed-point truncation),
+    and the per-source fixed-point score/error sums must replay exactly
+    from the integer weights."""
+    import numpy as np
+
+    from eventlog_spark.operators import curation
+
+    rows = _py_gopher_feats(sf_dir)
+    X = np.array([[1.0, x1, x2] for x1, x2, _, _ in rows])
+    y = np.array([float(v) for _, _, v, _ in rows])
+    want, *_ = np.linalg.lstsq(X, y, rcond=None)
+
+    out = {r["source"]: r for r in curation.quality_probe_train(spark, sf_dir).collect()}
+    got = next(iter(out.values()))
+    for w_got, w_want in zip((got["w0"], got["w1"], got["w2"]), want):
+        assert abs(w_got - w_want) < 5e-6, (w_got, w_want)
+
+    fxp = curation.PROBE_FXP
+    w_fp = [round(got["w0"] * fxp), round(got["w1"] * fxp), round(got["w2"] * fxp)]
+    score, ae, n, npass = {}, {}, {}, {}
+    for x1, x2, yv, src in rows:
+        yhat = w_fp[0] + w_fp[1] * x1 + w_fp[2] * x2
+        score[src] = score.get(src, 0) + yhat
+        ae[src] = ae.get(src, 0) + abs(yv * fxp - yhat)
+        n[src] = n.get(src, 0) + 1
+        npass[src] = npass.get(src, 0) + yv
+    for src, r in out.items():
+        assert r["n_docs"] == n[src] and r["n_pass"] == npass[src]
+        assert r["score_fp_sum"] == score[src], src
+        assert r["abs_err_fp_sum"] == ae[src], src
+
+
+def test_tokenizer_fertility_consistent_with_bpe_encode(spark, sf_dir):
+    """text_tokenizer_fertility's per-language totals must equal the
+    per-document text_bpe_encode totals rolled up by the doc's lang —
+    same trained vocabulary, two serving shapes."""
+    import pandas as pd
+
+    from eventlog_spark.operators import curation
+
+    fert = {r["lang"]: r for r in curation.text_tokenizer_fertility(spark, sf_dir).collect()}
+    enc = curation.text_bpe_encode(spark, sf_dir).toPandas()
+    langs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "lang"]]
+    m = enc.merge(langs, on="doc_id")
+    roll = m.groupby("lang").agg(
+        n_docs=("doc_id", "count"),
+        n_words=("n_words", "sum"),
+        n_char_tokens=("n_char_tokens", "sum"),
+        n_bpe_tokens=("n_bpe_tokens", "sum"),
+    )
+    assert set(fert) == set(roll.index)
+    for lang, r in roll.iterrows():
+        f = fert[lang]
+        assert f["n_docs"] == r["n_docs"] and f["n_words"] == r["n_words"]
+        assert f["n_char_tokens"] == r["n_char_tokens"]
+        assert f["n_bpe_tokens"] == r["n_bpe_tokens"]
+        assert abs(f["fertility"] - r["n_bpe_tokens"] / r["n_words"]) < 1e-12
+
+
+def test_cluster_resample_balanced_caps(spark, sf_dir):
+    """embedding_cluster_resample: every cluster keeps exactly
+    min(n, cap) vectors; the cap is (total//2)//k, identical on every
+    row; the downsample never exceeds half the corpus."""
+    from eventlog_spark.operators import corpus
+
+    rows = corpus.embedding_cluster_resample(spark, sf_dir).collect()
+    assert rows
+    caps = {r["cap"] for r in rows}
+    assert len(caps) == 1
+    cap = caps.pop()
+    n_total = sum(r["n"] for r in rows)
+    assert cap == (n_total // 2) // len(rows)
+    for r in rows:
+        assert r["kept_n"] == min(r["n"], cap)
+    assert sum(r["kept_n"] for r in rows) <= n_total // 2
