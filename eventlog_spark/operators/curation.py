@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries import register
-from ..tables import load_table
+from ..tables import load_table, spread
 from .dedup import (
     _LSH_PAIRS_SQL,
     _SHINGLES_SQL,
@@ -1860,7 +1860,9 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts the product moves to DECIMAL(38,0) unchanged in shape."""
     from .artifacts import lazy_checkpoint
 
-    docs = load_table(spark, sf_dir, "documents")
+    # per-word md5 bucketing is CPU-dense — unpin from the source
+    # file's 1-2 row-group splits
+    docs = spread(load_table(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
     )
@@ -2110,10 +2112,15 @@ def quality_probe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: moments are exact BIGINT sums; Cramer determinants run
     in DECIMAL(38,0)/HUGEINT (exact, order-free); weights are
     truncating fixed-point divisions; scoring and the L1 error are pure
-    int64 — no distributed float accumulation anywhere."""
-    from .artifacts import lazy_checkpoint
+    int64 — no distributed float accumulation anywhere.
 
-    docs = load_table(spark, sf_dir, "documents")
+    The feature frame is consumed twice (moment aggregate + scoring)
+    and deliberately NOT checkpointed: the projection is one codegen
+    pass, and re-running it is cheaper than materializing (measured
+    5.0 s with a lazy localCheckpoint vs 1.4-2.2 s recomputed, sf1).
+    At 100 TB the call flips — you'd persist the 4-column int frame
+    (~0.03% of corpus bytes) to avoid the second raw-text scan."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
     d = docs.select("source", F.split("text", " ").alias("w"))
     feats = d.select(
         "source",
@@ -2121,9 +2128,6 @@ def quality_probe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("w", lambda x: F.length(x) <= 2)).cast("long").alias("x2"),
         _pass_all_col().cast("long").alias("y"),
     )
-    # consumed twice (moment aggregate + scoring pass) — materialize the
-    # tokenized features once instead of re-splitting the corpus
-    feats = lazy_checkpoint(feats)
     g = feats.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x1").alias("s1"),
@@ -2212,7 +2216,7 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial). The DuckDB oracle replays training stage-by-stage and
     re-encodes per language."""
     vocab = _bpe_persisted(spark, sf_dir)["bpe_vocab"]
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     tok = docs.select(
         "lang", "doc_id", F.explode(F.split("text", " ")).alias("word")
     )

@@ -153,8 +153,10 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     no Python. The same fold over a sliding k-char window (subtract the
     outgoing char's B^(k-1) term, multiply, add) gives winnowing-style
     local fingerprints; per-doc full/prefix hashes are the degenerate
-    windows and the join-friendly corpus fingerprint."""
-    docs = load_table(spark, sf_dir, "documents")
+    windows and the join-friendly corpus fingerprint. The char-level
+    fold is the most CPU-dense projection in the suite — spread()
+    unpins it from the source file's 1-2 row-group splits."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
 
     def poly(col):
         codes = F.transform(F.split(col, ""), lambda x: F.ascii(x).cast("long"))
