@@ -603,3 +603,91 @@ def test_cluster_resample_balanced_caps(spark, sf_dir):
     for r in rows:
         assert r["kept_n"] == min(r["n"], cap)
     assert sum(r["kept_n"] for r in rows) <= n_total // 2
+
+
+def _py_probe_weights(rows):
+    """Exact-integer Cramer reference for the probe solver: truncating
+    fixed-point weights from arbitrary-precision Python ints."""
+    from eventlog_spark.operators.curation import PROBE_FXP
+
+    n = len(rows)
+    s1 = sum(x1 for x1, _, _ in rows)
+    s2 = sum(x2 for _, x2, _ in rows)
+    s11 = sum(x1 * x1 for x1, _, _ in rows)
+    s12 = sum(x1 * x2 for x1, x2, _ in rows)
+    s22 = sum(x2 * x2 for _, x2, _ in rows)
+    sy = sum(y for _, _, y in rows)
+    s1y = sum(x1 * y for x1, _, y in rows)
+    s2y = sum(x2 * y for _, x2, y in rows)
+    m0 = s11 * s22 - s12 * s12
+    m1 = s1 * s22 - s12 * s2
+    m2 = s1 * s12 - s11 * s2
+    p1 = s1y * s22 - s12 * s2y
+    p2 = s1y * s12 - s11 * s2y
+    p3 = s1 * s2y - s1y * s2
+    det_a = n * m0 - s1 * m1 + s2 * m2
+    det0 = sy * m0 - s1 * p1 + s2 * p2
+    det1 = n * p1 - sy * m1 + s2 * p3
+    det2 = n * (s11 * s2y - s1y * s12) - s1 * p3 + sy * m2
+
+    def w(det_j):
+        if det_a == 0:
+            return 0
+        q = abs(det_j * PROBE_FXP) // abs(det_a)
+        return -q if (det_j < 0) != (det_a < 0) else q
+
+    return [w(det0), w(det1), w(det2)]
+
+
+def test_probe_solver_matches_exact_rational_model():
+    """The HUGEINT Cramer solve (the oracle's arithmetic) must equal an
+    arbitrary-precision integer reference on random datasets — incl.
+    negative determinants and singular systems."""
+    import duckdb
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from eventlog_spark.operators.curation import (
+        _PROBE_DUCK_DETS,
+        _probe_weight_sql,
+    )
+
+    sql_w = [
+        _probe_weight_sql(_PROBE_DUCK_DETS[0], d).format(div="//")
+        for d in _PROBE_DUCK_DETS[1:]
+    ]
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2000),
+                st.integers(min_value=0, max_value=2000),
+                st.integers(min_value=0, max_value=1),
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def check(rows):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t(x1 BIGINT, x2 BIGINT, y BIGINT)"
+        )
+        con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+        got = con.execute(
+            f"""SELECT {sql_w[0]}, {sql_w[1]}, {sql_w[2]} FROM (
+                SELECT CAST(COUNT(*) AS BIGINT) n,
+                       CAST(SUM(x1) AS BIGINT) s1, CAST(SUM(x2) AS BIGINT) s2,
+                       CAST(SUM(x1*x1) AS BIGINT) s11,
+                       CAST(SUM(x1*x2) AS BIGINT) s12,
+                       CAST(SUM(x2*x2) AS BIGINT) s22,
+                       CAST(SUM(y) AS BIGINT) sy,
+                       CAST(SUM(x1*y) AS BIGINT) s1y,
+                       CAST(SUM(x2*y) AS BIGINT) s2y
+                FROM t)"""
+        ).fetchone()
+        assert list(got) == _py_probe_weights(rows), rows
+
+    check()
