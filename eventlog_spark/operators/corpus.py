@@ -1349,3 +1349,84 @@ def embedding_cluster_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("cap").cast("long").alias("cap"),
         )
     )
+
+
+# -- data-constrained epoch planning ------------------------------------------
+
+EPOCH_BUDGET_X = 3  # total training-token budget, as a multiple of the corpus
+EPOCH_MAX_FXP = 4 * 1_000_000  # repeat ceiling: 4 epochs (fixed-point 1e6)
+
+
+@register(
+    "corpus_epoch_plan",
+    oracle=f"""
+WITH per_src AS (
+    SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+),
+tot AS (
+    SELECT CAST(SUM(n_tokens) AS BIGINT) AS corpus_tokens,
+           CAST(COUNT(*) AS BIGINT) AS k
+    FROM per_src
+)
+SELECT source,
+       n_tokens,
+       (corpus_tokens * {EPOCH_BUDGET_X}) // k AS target_tokens,
+       CASE WHEN ((corpus_tokens * {EPOCH_BUDGET_X}) // k) * 1000000 // n_tokens
+                 > {EPOCH_MAX_FXP}
+            THEN {EPOCH_MAX_FXP}
+            ELSE ((corpus_tokens * {EPOCH_BUDGET_X}) // k) * 1000000 // n_tokens
+       END AS epochs_fp,
+       CASE WHEN ((corpus_tokens * {EPOCH_BUDGET_X}) // k) * 1000000 // n_tokens
+                 > {EPOCH_MAX_FXP}
+            THEN n_tokens * 4
+            ELSE (corpus_tokens * {EPOCH_BUDGET_X}) // k
+       END AS alloc_tokens
+FROM per_src CROSS JOIN tot
+""",
+    doc=f"Data-constrained epoch plan: split a {EPOCH_BUDGET_X}x-corpus "
+    "token budget equally across sources, convert each share to "
+    "fixed-point epochs capped at 4 repeats (the Muennighoff et al. "
+    "repeat ceiling), and report the allocated tokens per source.",
+)
+def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch allocation under a fixed training-token budget — the
+    planning stage of data-constrained pretraining (Muennighoff et al.
+    2023: repeating a source up to ~4 epochs is nearly as good as fresh
+    data, beyond that returns decay). Each source gets an equal share
+    of a corpus-multiple budget; a small source hits the 4-epoch
+    ceiling and surrenders the remainder, a large one repeats
+    fractionally.
+
+    Scale: token counts are one map-side ``size(split(...))`` sum into
+    a |sources|-row aggregate — the corpus is touched once, with no
+    explode (counting words needs the array's length, not its
+    elements). The budget is a 1-row broadcast; all plan arithmetic is
+    integer fixed-point (truncating div, same semantics both engines),
+    so the plan is reproducible anywhere. At 100 TB this query IS the
+    production shape: the mixture planner reads per-source token
+    counts from catalog stats and emits a KB-sized plan table."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens")
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").cast("long").alias("corpus_tokens"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    j = per_src.crossJoin(F.broadcast(tot))
+    target = f"(corpus_tokens * {EPOCH_BUDGET_X}) div k"
+    raw_fp = f"({target}) * 1000000 div n_tokens"
+    return j.select(
+        "source",
+        "n_tokens",
+        F.expr(target).alias("target_tokens"),
+        F.expr(
+            f"CASE WHEN {raw_fp} > {EPOCH_MAX_FXP} THEN {EPOCH_MAX_FXP} "
+            f"ELSE {raw_fp} END"
+        ).alias("epochs_fp"),
+        F.expr(
+            f"CASE WHEN {raw_fp} > {EPOCH_MAX_FXP} THEN n_tokens * 4 "
+            f"ELSE {target} END"
+        ).alias("alloc_tokens"),
+    )

@@ -112,8 +112,8 @@ _loaded = False
 # stream_interval_join, stream_session_window, stream_dedup, json_extract,
 # sample_hash_stats, timeseries_rollup, q22_idle_customers, agg_cube,
 # agg_grouping_sets, agg_rollup, scalar_functions plus agg_distinct,
-# agg_percentiles, array_collect_ops (displaced from the r1 set by the
-# 12th and 14th-16th new queries), text_* basics,
+# agg_percentiles, array_collect_ops, date_functions (displaced from
+# the r1 set by the 12th and 14th-17th new queries), text_* basics,
 # window_running_total, approx_*, join_broadcast_dim/range/skew,
 # chunk_overlap_windows, multimodal_manifest, dedup_embedding_cosine)
 # plus anything round 7 touches, oldest first.
@@ -151,10 +151,10 @@ _FIRST_50 = [
     "quality_probe_train",
     "text_tokenizer_fertility",
     "embedding_cluster_resample",
-    # (b) latest driver check is round 1 — 23 of 26 (agg_distinct,
-    # agg_percentiles, array_collect_ops displaced to the round-7 note
-    # by the 14th-16th new queries)
-    "date_functions",
+    "corpus_epoch_plan",
+    # (b) latest driver check is round 1 — 22 of 26 (agg_distinct,
+    # agg_percentiles, array_collect_ops, date_functions displaced to
+    # the round-7 note by the 14th-17th new queries)
     "explode_unnest",
     "join_anti",
     "join_asof",

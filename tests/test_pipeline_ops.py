@@ -691,3 +691,25 @@ def test_probe_solver_matches_exact_rational_model():
         assert list(got) == _py_probe_weights(rows), rows
 
     check()
+
+
+def test_epoch_plan_cap_and_budget_model(spark, sf_dir):
+    """corpus_epoch_plan invariants: epochs <= 4, capped sources
+    allocate exactly 4 epochs of their own tokens, uncapped sources
+    take the full equal share, and the plan never over-spends the
+    budget."""
+    from eventlog_spark.operators import corpus
+
+    rows = corpus.corpus_epoch_plan(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["n_tokens"] for r in rows)
+    budget = corpus.EPOCH_BUDGET_X * total
+    share = budget // len(rows)
+    for r in rows:
+        assert r["target_tokens"] == share
+        assert r["epochs_fp"] <= corpus.EPOCH_MAX_FXP
+        if r["epochs_fp"] == corpus.EPOCH_MAX_FXP and share * 1_000_000 // r["n_tokens"] > corpus.EPOCH_MAX_FXP:
+            assert r["alloc_tokens"] == 4 * r["n_tokens"]
+        else:
+            assert r["alloc_tokens"] == share
+    assert sum(r["alloc_tokens"] for r in rows) <= budget

@@ -573,3 +573,13 @@ def test_cluster_resample_broadcasts_budget(spark, sf_dir):
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
     assert has_node(df, "Window")
+
+
+def test_epoch_plan_single_scan_no_explode(spark, sf_dir):
+    """corpus_epoch_plan: token counting is size(split()) — no Generate
+    (explode) node anywhere; one corpus aggregate, budget broadcast."""
+    df = q(spark, sf_dir, "corpus_epoch_plan")
+    plan = formatted_plan(df)
+    assert "Generate" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
