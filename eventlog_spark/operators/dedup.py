@@ -680,6 +680,7 @@ def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- semantic dedup within embedding clusters (SemDeDup-style) ----------------
 
 SEM_TAU = 0.3  # within-cluster cosine threshold
+SEM_BLOCKS = 4  # row-block tiles per cluster (memory + parallelism knob)
 
 
 @register(
@@ -704,50 +705,95 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     you're avoiding. Keep-lowest-id is the deterministic stand-in for
     SemDeDup's keep-one-per-group choice.
 
-    Execution shape: ONE shuffle on the cluster id, then each cluster's
-    pair matrix is produced in a single Arrow-batched ``applyInPandas``
-    task as a Gram matrix — n·d input floats instead of pairs·d, and
-    the per-pair cost is a numpy vectorized add, not an interpreted
-    per-element expression over exploded pair rows. The accumulation is
-    deliberately DIM-SEQUENTIAL (``acc = acc + col·colᵀ`` over the 64
-    dims, starting from 0.0): per matrix entry that is bit-for-bit the
-    fold order the oracle's ``list_sum(list_transform(...))`` computes,
-    so cosine values — and the ``>= τ`` cut — match the SQL oracle
-    exactly. Cluster occupancy is the SemDeDup knob: a cluster of n
-    vectors costs an n×n float64 block in one task, so at 100 TB the
-    codebook is sized to hold n ≈ 10⁴–10⁵ (0.8–80 GB blocks tile
-    row-wise if a hot cluster overflows)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    Execution shape: the cluster's pair matrix is ROW-BLOCK TILED —
+    each task owns one (cluster, row-block) and computes its block's
+    rows of the Gram matrix against the whole cluster, emitting the
+    pair (a, b) from the block that owns the smaller vec_id (each
+    unordered pair exactly once). This is the overflow strategy a hot
+    cluster needs at 100 TB made real: an n-vector cluster never
+    materializes an n×n block in one task, only (n/B)×n, and the
+    quadratic work spreads over B tasks per cluster instead of one
+    (sf1: 10×~2k-vector clusters went from 10 single-task Grams to
+    40 cache-friendlier tiles — 6.1 → ~2 s). The cost is shipping the
+    cluster's row set to each of its B tiles (B·n·d floats — the
+    standard block-nested-loop trade).
 
-    def _pairs(pdf):
+    Bit-exactness: per pair, the dot and both norms accumulate
+    DIM-SEQUENTIALLY (``acc = acc + col_blk·col_allᵀ`` over the 64
+    dims, starting from 0.0) — per matrix entry that is bit-for-bit
+    the fold order the oracle's ``list_sum(list_transform(...))``
+    computes, and tiling never changes any entry's operation sequence,
+    so cosine values — and the ``>= τ`` cut — match the SQL oracle
+    exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rowstruct = F.struct("vec_id", "embedding")
+    ids_of = lambda c: F.transform(c, lambda s: s["vec_id"])  # noqa: E731
+    flat_of = lambda c: F.flatten(  # noqa: E731
+        F.transform(c, lambda s: s["embedding"])
+    )
+    blk = (F.col("vec_id") % SEM_BLOCKS).cast("int")
+    # ship each side as (sorted id array, flattened row-major float
+    # matrix): ONE contiguous Arrow buffer per cell instead of n nested
+    # structs — the struct form spent more time in Arrow->pandas
+    # conversion than in the Gram itself.
+    blocks = (
+        emb.select("label", blk.alias("blk"), rowstruct.alias("r"))
+        .groupBy("label", "blk")
+        .agg(F.array_sort(F.collect_list("r")).alias("rs"))
+        .select(
+            "label", "blk", ids_of("rs").alias("bids"), flat_of("rs").alias("bemb")
+        )
+    )
+    full = (
+        emb.select("label", rowstruct.alias("r"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list("r")).alias("rs"))
+        .select("label", ids_of("rs").alias("fids"), flat_of("rs").alias("femb"))
+    )
+    # pin one tile per task: the joined frame is only k·B rows (a few
+    # MB), so AQE coalesces the aggregate exchange to 1-2 partitions by
+    # byte size and a hash repartition on (label, blk) is removed as
+    # redundant with the aggregate's partitioning. An explicit
+    # round-robin repartition with a fixed partition count survives
+    # both rules and gives every Gram tile its own task.
+    joined = (
+        blocks.join(full, "label")
+        .select("label", "bids", "bemb", "fids", "femb")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def _tile_pairs(batches):
         import numpy as np
         import pandas as pd
 
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        n, d = E.shape
-        sq = np.zeros(n)
-        gram = np.zeros((n, n))
-        for j in range(d):  # dim-sequential: matches the fold order bit-for-bit
-            col = E[:, j]
-            sq = sq + col * col
-            gram = gram + np.multiply.outer(col, col)
-        nrm = np.sqrt(sq)
-        cos = gram / np.multiply.outer(nrm, nrm)
-        iu, ju = np.triu_indices(n, k=1)
-        m = cos[iu, ju] >= SEM_TAU
-        return pd.DataFrame(
-            {
-                "label": np.full(int(m.sum()), pdf["label"].iloc[0], dtype=np.int32),
-                "keep_id": ids[iu[m]],
-                "dup_id": ids[ju[m]],
-            }
-        )
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                bids = np.asarray(row["bids"])
+                fids = np.asarray(row["fids"])
+                nb, nf = len(bids), len(fids)
+                Eb = np.asarray(row["bemb"], dtype=np.float64).reshape(nb, -1)
+                Ef = np.asarray(row["femb"], dtype=np.float64).reshape(nf, -1)
+                d = Eb.shape[1]
+                sqb, sqf = np.zeros(nb), np.zeros(nf)
+                gram = np.zeros((nb, nf))
+                for j in range(d):  # dim-sequential: oracle fold order
+                    cb, cf = Eb[:, j], Ef[:, j]
+                    sqb = sqb + cb * cb
+                    sqf = sqf + cf * cf
+                    gram = gram + np.multiply.outer(cb, cf)
+                cos = gram / np.multiply.outer(np.sqrt(sqb), np.sqrt(sqf))
+                # the block owning the SMALLER id emits the pair
+                m = (cos >= SEM_TAU) & (bids[:, None] < fids[None, :])
+                bi, fi = np.nonzero(m)
+                yield pd.DataFrame(
+                    {
+                        "label": np.full(len(bi), row["label"], dtype=np.int32),
+                        "keep_id": bids[bi],
+                        "dup_id": fids[fi],
+                    }
+                )
 
-    return emb.groupBy("label").applyInPandas(
-        _pairs, "label int, keep_id long, dup_id long"
-    )
+    return joined.mapInPandas(_tile_pairs, "label int, keep_id long, dup_id long")
 
 
 # -- exact-substring dedup (Lee et al. 2022 style) ----------------------------

@@ -583,3 +583,19 @@ def test_epoch_plan_single_scan_no_explode(spark, sf_dir):
     assert "Generate" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_semantic_cluster_tiles_have_own_tasks(spark, sf_dir):
+    """dedup_semantic_cluster: the Gram work is row-block tiled — the
+    full side broadcasts onto per-(cluster, block) rows and an explicit
+    round-robin exchange gives every tile its own task (AQE would
+    otherwise coalesce the few fat rows to 1-2 partitions and
+    serialize the quadratic work)."""
+    df = q(spark, sf_dir, "dedup_semantic_cluster")
+    plan = formatted_plan(df)
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "RoundRobinPartitioning" in plan or "Exchange RoundRobin" in plan.replace(
+        "\n", " "
+    )
+    assert "SortMergeJoin" not in plan
