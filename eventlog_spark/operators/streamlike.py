@@ -661,3 +661,67 @@ def stream_real_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cum_cents") / F.lit(100.0)).alias("cum_value"),
         F.col("run_id").cast("int").alias("run_id"),
     )
+
+
+# -- REAL stream-stream interval join -----------------------------------------
+
+
+@register(
+    "stream_real_join",
+    oracle="""
+SELECT c.user_id, c.event_id AS click_id, b.event_id AS buy_id,
+       c.ts AS click_ts, b.ts AS buy_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON c.user_id = b.user_id
+ AND b.ts > c.ts
+ AND b.ts <= c.ts + INTERVAL 1 HOUR
+""",
+    doc="REAL stream-stream interval join: two watermarked readStream "
+    "sources (clicks, purchases) joined with time bounds, availableNow "
+    "through foreachBatch; returns the attribution pairs.",
+)
+def stream_real_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last Structured Streaming capability the driver had not seen
+    EXECUTED: a stream-stream join. ``stream_interval_join`` is the
+    batch twin; test_streaming drives multi-batch execution — this
+    query runs the real thing end-to-end and hands the driver its
+    output. Two independent file-stream sources over the same staged
+    events directory (clicks / purchases), both watermarked, joined
+    with the bounded time condition that lets the state store expire
+    rows (a click leaves the buffer once the watermark passes
+    click_ts + horizon) — the property that makes the join runnable
+    forever on a cluster. availableNow processes the backlog and
+    terminates; the foreachBatch parquet appends are the standard
+    stream→table sink shape. Inner-join matches emit as they join
+    (append mode, no watermark hold-back), so the single-pass result
+    equals the batch twin — verified by the SAME DuckDB oracle."""
+    from ..streaming.streams import conversion_join
+
+    src_dir, schema = _staged_stream_source(spark, sf_dir, "rj_src_")
+
+    def side(event_type: str) -> DataFrame:
+        raw = spark.readStream.schema(schema).parquet(src_dir)
+        assert raw.isStreaming, "source must be a streaming DataFrame"
+        ev = raw
+        if dict(ev.dtypes).get("ts") == "bigint":
+            ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        return ev.where(F.col("event_type") == event_type)
+
+    joined = conversion_join(side("click"), side("purchase"))
+    sink = _stream_tmp("rj_sink_")
+    ckpt = _stream_tmp("rj_ckpt_")
+
+    def write_batch(bdf: DataFrame, _bid: int) -> None:
+        bdf.write.mode("append").parquet(sink)
+
+    q = (
+        joined.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink)
