@@ -599,3 +599,13 @@ def test_semantic_cluster_tiles_have_own_tasks(spark, sf_dir):
         "\n", " "
     )
     assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_broadcasts_vocab_side(spark, sf_dir):
+    """tfidf_top_terms: the vocabulary-sized df table broadcasts, so
+    the corpus-sized (doc, word) tf rows never shuffle on word — their
+    only exchange feeds the per-doc ranking window."""
+    df = q(spark, sf_dir, "tfidf_top_terms")
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
