@@ -2050,10 +2050,9 @@ _PROBE_DUCK_DETS = _probe_dets(lambda c: f"CAST({c} AS HUGEINT)")
 _PROBE_SPARK_DETS = _probe_dets(lambda c: f"CAST({c} AS DECIMAL(38,0))")
 
 
-@register(
-    "quality_probe_train",
-    oracle=f"""
-WITH feats AS (
+# The feats -> moments -> solved-weights CTE chain, shared by the
+# quality_probe_train and quality_probe_eval oracles.
+_PROBE_CTES_SQL = f"""feats AS (
     SELECT source,
            CAST(len(w) AS BIGINT) AS x1,
            CAST(len(list_filter(w, x -> len(x) <= 2)) AS BIGINT) AS x2,
@@ -2076,7 +2075,13 @@ wts AS (
            {_probe_weight_sql(_PROBE_DUCK_DETS[0], _PROBE_DUCK_DETS[2]).format(div='//')} AS w1_fp,
            {_probe_weight_sql(_PROBE_DUCK_DETS[0], _PROBE_DUCK_DETS[3]).format(div='//')} AS w2_fp
     FROM g
-)
+)"""
+
+
+@register(
+    "quality_probe_train",
+    oracle=f"""
+WITH {_PROBE_CTES_SQL}
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(y) AS BIGINT) AS n_pass,
@@ -2120,6 +2125,33 @@ def quality_probe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     5.0 s with a lazy localCheckpoint vs 1.4-2.2 s recomputed, sf1).
     At 100 TB the call flips — you'd persist the 4-column int frame
     (~0.03% of corpus bytes) to avoid the second raw-text scan."""
+    feats, wts = _probe_feats_weights(spark, sf_dir)
+    yhat = F.col("w0_fp") + F.col("w1_fp") * F.col("x1") + F.col("w2_fp") * F.col("x2")
+    scored = feats.crossJoin(F.broadcast(wts)).select(
+        "source",
+        "y",
+        "w0_fp",
+        "w1_fp",
+        "w2_fp",
+        yhat.alias("yhat_fp"),
+        F.abs(F.col("y") * PROBE_FXP - yhat).alias("ae_fp"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("y").cast("long").alias("n_pass"),
+        (F.min("w0_fp").cast("double") / PROBE_FXP).alias("w0"),
+        (F.min("w1_fp").cast("double") / PROBE_FXP).alias("w1"),
+        (F.min("w2_fp").cast("double") / PROBE_FXP).alias("w2"),
+        F.sum("yhat_fp").cast("long").alias("score_fp_sum"),
+        F.sum("ae_fp").cast("long").alias("abs_err_fp_sum"),
+    )
+
+
+def _probe_feats_weights(spark: SparkSession, sf_dir: str):
+    """(feature frame, solved 1-row fixed-point weight frame) — the
+    training pipeline shared by ``quality_probe_train`` (fit report)
+    and ``quality_probe_eval`` (held-out-style confusion counts).
+    Mirrors ``_PROBE_CTES_SQL``'s feats/g/wts chain."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     d = docs.select("source", F.split("text", " ").alias("w"))
     feats = d.select(
@@ -2145,25 +2177,7 @@ def quality_probe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_probe_weight_sql(det_a, det1).format(div="div")).alias("w1_fp"),
         F.expr(_probe_weight_sql(det_a, det2).format(div="div")).alias("w2_fp"),
     )
-    yhat = F.col("w0_fp") + F.col("w1_fp") * F.col("x1") + F.col("w2_fp") * F.col("x2")
-    scored = feats.crossJoin(F.broadcast(wts)).select(
-        "source",
-        "y",
-        "w0_fp",
-        "w1_fp",
-        "w2_fp",
-        yhat.alias("yhat_fp"),
-        F.abs(F.col("y") * PROBE_FXP - yhat).alias("ae_fp"),
-    )
-    return scored.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("y").cast("long").alias("n_pass"),
-        (F.min("w0_fp").cast("double") / PROBE_FXP).alias("w0"),
-        (F.min("w1_fp").cast("double") / PROBE_FXP).alias("w1"),
-        (F.min("w2_fp").cast("double") / PROBE_FXP).alias("w2"),
-        F.sum("yhat_fp").cast("long").alias("score_fp_sum"),
-        F.sum("ae_fp").cast("long").alias("abs_err_fp_sum"),
-    )
+    return feats, wts
 
 
 # -- tokenizer fertility by language ------------------------------------------
@@ -2238,4 +2252,84 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_chars").cast("double") / F.sum("n_sym")).alias(
             "chars_per_token"
         ),
+    )
+
+
+# -- trained probe evaluation (confusion counts) ------------------------------
+
+PROBE_THRESH_FP = PROBE_FXP // 2  # decision threshold: score >= 0.5
+
+
+@register(
+    "quality_probe_eval",
+    oracle=f"""
+WITH {_PROBE_CTES_SQL},
+pred AS (
+    SELECT source, y,
+           CASE WHEN w0_fp + w1_fp*x1 + w2_fp*x2 >= {PROBE_THRESH_FP}
+                THEN 1 ELSE 0 END AS p
+    FROM feats CROSS JOIN wts
+),
+cm AS (
+    SELECT source,
+           CAST(SUM(CASE WHEN p = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN p = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN p = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN p = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+    FROM pred GROUP BY source
+)
+SELECT source, tp, fp, fn, tn,
+       CASE WHEN tp + fp = 0 THEN 0.0
+            ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS precision_,
+       CASE WHEN tp + fn = 0 THEN 0.0
+            ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS recall_
+FROM cm
+""",
+    doc="Evaluate the trained linear probe at the 0.5 threshold: "
+    "per-source confusion counts plus precision/recall against the "
+    "Gopher rule labels.",
+)
+def quality_probe_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evaluation stage that closes the classifier loop
+    (``quality_probe_train`` fits, ``quality_model_scores`` serves,
+    this measures): score every document with the solved fixed-point
+    weights, threshold at 0.5, and report the per-source confusion
+    matrix with precision/recall — the numbers that decide whether the
+    distilled probe can replace the rule cascade on the next crawl.
+
+    Same scale shape as training (one moment aggregate + one broadcast
+    scoring pass); the confusion matrix is pure integer comparison and
+    counting, so every value is exact. Precision/recall are int-ratio
+    doubles with zero-denominator guards identical in both engines.
+    (Trailing-underscore aliases because ``precision`` is reserved in
+    DuckDB.)"""
+    feats, wts = _probe_feats_weights(spark, sf_dir)
+    yhat = F.col("w0_fp") + F.col("w1_fp") * F.col("x1") + F.col("w2_fp") * F.col("x2")
+    pred = feats.crossJoin(F.broadcast(wts)).select(
+        "source", "y", F.when(yhat >= PROBE_THRESH_FP, 1).otherwise(0).alias("p")
+    )
+    cm = pred.groupBy("source").agg(
+        F.sum(F.when((F.col("p") == 1) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when((F.col("p") == 1) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when((F.col("p") == 0) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when((F.col("p") == 0) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    prec = F.when(F.col("tp") + F.col("fp") == 0, F.lit(0.0)).otherwise(
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))
+    )
+    rec = F.when(F.col("tp") + F.col("fn") == 0, F.lit(0.0)).otherwise(
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))
+    )
+    return cm.select(
+        "source", "tp", "fp", "fn", "tn",
+        prec.alias("precision_"),
+        rec.alias("recall_"),
     )

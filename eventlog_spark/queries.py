@@ -112,9 +112,9 @@ _loaded = False
 # stream_interval_join, stream_session_window, stream_dedup, json_extract,
 # sample_hash_stats, timeseries_rollup, q22_idle_customers, agg_cube,
 # agg_grouping_sets, agg_rollup, scalar_functions plus agg_distinct,
-# agg_percentiles, array_collect_ops, date_functions, explode_unnest
-# (displaced from the r1 set by the 12th and 14th-18th new queries),
-# text_* basics,
+# agg_percentiles, array_collect_ops, date_functions, explode_unnest,
+# join_anti (displaced from the r1 set by the 12th and 14th-19th new
+# queries), text_* basics,
 # window_running_total, approx_*, join_broadcast_dim/range/skew,
 # chunk_overlap_windows, multimodal_manifest, dedup_embedding_cosine)
 # plus anything round 7 touches, oldest first.
@@ -154,10 +154,11 @@ _FIRST_50 = [
     "embedding_cluster_resample",
     "corpus_epoch_plan",
     "stream_real_join",
-    # (b) latest driver check is round 1 — 21 of 26 (agg_distinct,
-    # agg_percentiles, array_collect_ops, date_functions, explode_unnest
-    # displaced to the round-7 note by the 14th-18th new queries)
-    "join_anti",
+    "quality_probe_eval",
+    # (b) latest driver check is round 1 — 20 of 26 (agg_distinct,
+    # agg_percentiles, array_collect_ops, date_functions, explode_unnest,
+    # join_anti displaced to the round-7 note by the 14th-19th new
+    # queries)
     "join_asof",
     "join_semi",
     "q4_priority_late_ship",

@@ -713,3 +713,31 @@ def test_epoch_plan_cap_and_budget_model(spark, sf_dir):
         else:
             assert r["alloc_tokens"] == share
     assert sum(r["alloc_tokens"] for r in rows) <= budget
+
+
+def test_probe_eval_confusion_matches_python_model(spark, sf_dir):
+    """quality_probe_eval vs plain Python: confusion counts replayed
+    exactly from the trained weights; counts partition n_docs; the
+    thresholded predictions agree with the train query's fixed-point
+    scores."""
+    from eventlog_spark.operators import curation
+
+    train = {r["source"]: r for r in curation.quality_probe_train(spark, sf_dir).collect()}
+    ev = {r["source"]: r for r in curation.quality_probe_eval(spark, sf_dir).collect()}
+    assert set(train) == set(ev)
+    fxp = curation.PROBE_FXP
+    some = next(iter(train.values()))
+    w_fp = [round(some["w0"] * fxp), round(some["w1"] * fxp), round(some["w2"] * fxp)]
+    rows = _py_gopher_feats(sf_dir)
+    cm = {}
+    for x1, x2, y, src in rows:
+        p = int(w_fp[0] + w_fp[1] * x1 + w_fp[2] * x2 >= curation.PROBE_THRESH_FP)
+        k = ("tp" if y else "fp") if p else ("fn" if y else "tn")
+        cm.setdefault(src, {"tp": 0, "fp": 0, "fn": 0, "tn": 0})[k] += 1
+    for src, r in ev.items():
+        want = cm[src]
+        assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (
+            want["tp"], want["fp"], want["fn"], want["tn"]
+        ), src
+        assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == train[src]["n_docs"]
+        assert r["tp"] + r["fn"] == train[src]["n_pass"]

@@ -609,3 +609,13 @@ def test_tfidf_broadcasts_vocab_side(spark, sf_dir):
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_probe_eval_broadcasts_weights(spark, sf_dir):
+    """quality_probe_eval: same shape as training — one moment
+    aggregate, weights rejoin via broadcast, confusion matrix is a
+    |sources|-row rollup; no shuffle join."""
+    df = q(spark, sf_dir, "quality_probe_eval")
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
