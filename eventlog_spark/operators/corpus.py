@@ -147,10 +147,9 @@ def _bm25_contrib_sql(term: str) -> str:
     )
 
 
-@register(
-    "bm25_search",
-    oracle=f"""
-WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+# The full lexical-ranking CTE chain (raw docs -> BM25 top-K with rank),
+# shared by the bm25_search and hybrid_rrf_fusion oracles.
+_BM25_CTES_SQL = f"""d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 dl AS (SELECT doc_id, len(w) AS dl FROM d),
 stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
 tf AS (
@@ -170,13 +169,22 @@ scored AS (
            {_bm25_contrib_sql("window")} AS c_window
     FROM tf JOIN idf USING (word) JOIN dl USING (doc_id) CROSS JOIN stats
     GROUP BY tf.doc_id
-)
-SELECT doc_id, score, rk FROM (
-    SELECT doc_id, c_spark + c_join + c_window AS score,
-           ROW_NUMBER() OVER (ORDER BY c_spark + c_join + c_window DESC, doc_id) AS rk
-    FROM scored
-)
-WHERE rk <= {BM25_TOP}
+),
+lex AS (
+    SELECT doc_id, score, rk FROM (
+        SELECT doc_id, c_spark + c_join + c_window AS score,
+               ROW_NUMBER() OVER (ORDER BY c_spark + c_join + c_window DESC, doc_id) AS rk
+        FROM scored
+    )
+    WHERE rk <= {BM25_TOP}
+)"""
+
+
+@register(
+    "bm25_search",
+    oracle=f"""
+WITH {_BM25_CTES_SQL}
+SELECT doc_id, score, rk FROM lex
 """,
     doc=f"BM25 relevance: top-{BM25_TOP} documents for the query {BM25_TERMS}.",
 )
@@ -193,6 +201,13 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     op that differs in the last ULP between JVM fdlibm and DuckDB
     glibc); ÷ and + are correctly rounded, so scores are bit-equal.
     Top-K via TakeOrderedAndProject."""
+    return _bm25_ranked(spark, sf_dir)
+
+
+def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score, rk) — the BM25 top-``BM25_TOP`` ranking, shared
+    by ``bm25_search`` and the lexical branch of ``hybrid_rrf_fusion``.
+    Mirrors ``_BM25_CTES_SQL``'s d/dl/stats/tf/idf/scored/lex chain."""
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select("doc_id", F.split("text", " ").alias("w"))
     dl = d.select("doc_id", F.size("w").alias("dl"))
@@ -240,6 +255,118 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(BM25_TOP)
     w = Window.orderBy(F.desc("score"), "doc_id")  # BM25_TOP rows post-limit
     return top.withColumn("rk", F.row_number().over(w))
+
+
+# -- hybrid retrieval: reciprocal-rank fusion of BM25 + dense cosine ----------
+
+from .dedup import _COSINE_SQL  # noqa: E402  (shared exact-cosine SQL)
+
+HYBRID_QUERY_VEC = 0  # the dense query: embeddings.vec_id == 0
+HYBRID_SEM_TOP = 20  # dense-branch candidate depth (matches BM25_TOP)
+HYBRID_TOP = 15  # fused result size
+RRF_K = 60  # the standard Cormack et al. dampening constant
+RRF_FXP = 1_000_000_000  # fixed-point scale for exact 1/(k+rank)
+
+
+@register(
+    "hybrid_rrf_fusion",
+    oracle=f"""
+WITH {_BM25_CTES_SQL},
+sem AS (
+    SELECT doc_id, rk FROM (
+        SELECT b.vec_id AS doc_id,
+               ROW_NUMBER() OVER (ORDER BY {_COSINE_SQL} DESC, b.vec_id) AS rk
+        FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+        WHERE a.vec_id = {HYBRID_QUERY_VEC}
+    )
+    WHERE rk <= {HYBRID_SEM_TOP}
+),
+u AS (
+    SELECT doc_id, rk AS lex_rk, 0 AS sem_rk, {RRF_FXP} // ({RRF_K} + rk) AS c
+    FROM lex
+    UNION ALL
+    SELECT doc_id, 0, rk, {RRF_FXP} // ({RRF_K} + rk)
+    FROM sem
+),
+fused AS (
+    SELECT doc_id,
+           CAST(MAX(lex_rk) AS BIGINT) AS lex_rk,
+           CAST(MAX(sem_rk) AS BIGINT) AS sem_rk,
+           CAST(SUM(c) AS BIGINT) AS rrf_fp
+    FROM u GROUP BY doc_id
+)
+SELECT doc_id, lex_rk, sem_rk, rrf_fp, fused_rk FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_fp DESC, doc_id) AS fused_rk
+    FROM fused
+)
+WHERE fused_rk <= {HYBRID_TOP}
+""",
+    doc=f"Hybrid retrieval: RRF(k={RRF_K}) fusion of the BM25 top-{BM25_TOP} "
+    f"and the exact-cosine top-{HYBRID_SEM_TOP} for query vector "
+    f"{HYBRID_QUERY_VEC}; top-{HYBRID_TOP} fused.",
+)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval, the canonical RAG-serving
+    composition: the BM25 branch ranks documents for the fixed term
+    query, the dense branch ranks embeddings by exact cosine against a
+    fixed query vector (doc_id == vec_id in the corpus), and the two
+    rankings merge by reciprocal-rank fusion — score(d) = Σ 1/(k+rank)
+    over the systems that retrieved d, k=60 (Cormack et al., SIGIR'09).
+
+    The 1/(k+rank) terms are exact integers (``RRF_FXP div (k+rk)`` —
+    truncating integer division matches DuckDB's ``//`` including
+    negatives, though all operands here are positive), so fusion is
+    bit-exact with no float-order caveats; a doc missing from a branch
+    contributes nothing and reports rank 0 for that branch.
+
+    Scale shape: each branch is already top-K-bounded before fusion —
+    BM25's shuffle carries only query-term postings, the dense branch
+    is one corpus scan against a broadcast single-row query with
+    TakeOrderedAndProject (at 100 TB you'd swap in the served ANN index
+    — ``ann_ivf_pq``'s artifact tables — for the same (doc_id, rk)
+    contract). The union is 2·K rows, the fusion groupBy and final
+    rank are driver-trivial, so hybrid costs branch-max, not
+    branch-sum, of shuffle volume."""
+    from .dedup import _COSINE_SQL, cosine_expr  # local: avoids import cycle
+
+    lex = _bm25_ranked(spark, sf_dir).select("doc_id", F.col("rk").alias("rk"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == HYBRID_QUERY_VEC).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cos = cosine_expr(F.col("embedding"), F.col("q_emb"))
+    sem_top = (
+        emb.where(F.col("vec_id") != HYBRID_QUERY_VEC)
+        .crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cos"))
+        .orderBy(F.desc("cos"), "doc_id")
+        .limit(HYBRID_SEM_TOP)
+    )
+    sem_w = Window.orderBy(F.desc("cos"), "doc_id")  # HYBRID_SEM_TOP rows
+    sem = sem_top.withColumn("rk", F.row_number().over(sem_w)).select("doc_id", "rk")
+
+    contrib = F.expr(f"{RRF_FXP} div ({RRF_K} + rk)")
+    u = lex.select(
+        "doc_id",
+        F.col("rk").alias("lex_rk"),
+        F.lit(0).alias("sem_rk"),
+        contrib.alias("c"),
+    ).unionByName(
+        sem.select(
+            "doc_id",
+            F.lit(0).alias("lex_rk"),
+            F.col("rk").alias("sem_rk"),
+            contrib.alias("c"),
+        )
+    )
+    fused = u.groupBy("doc_id").agg(
+        F.max("lex_rk").cast("long").alias("lex_rk"),
+        F.max("sem_rk").cast("long").alias("sem_rk"),
+        F.sum("c").cast("long").alias("rrf_fp"),
+    )
+    top = fused.orderBy(F.desc("rrf_fp"), "doc_id").limit(HYBRID_TOP)
+    fw = Window.orderBy(F.desc("rrf_fp"), "doc_id")  # HYBRID_TOP rows
+    return top.withColumn("fused_rk", F.row_number().over(fw))
 
 
 # -- token-budget packing -----------------------------------------------------

@@ -741,3 +741,51 @@ def test_probe_eval_confusion_matches_python_model(spark, sf_dir):
         ), src
         assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == train[src]["n_docs"]
         assert r["tp"] + r["fn"] == train[src]["n_pass"]
+
+
+def test_hybrid_rrf_matches_python_fusion(spark, sf_dir):
+    """hybrid_rrf_fusion vs plain Python: replay the dense ranking with
+    sequential-sum cosine, take the BM25 ranking from bm25_search, fuse
+    with integer RRF, and require identical (doc_id, ranks, scores)."""
+    import pyarrow.parquet as pq
+
+    from eventlog_spark.operators import corpus
+
+    lex = {r["doc_id"]: r["rk"] for r in corpus.bm25_search(spark, sf_dir).collect()}
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    vecs = dict(zip(tbl["vec_id"], tbl["embedding"]))
+    qv = [float(x) for x in vecs[corpus.HYBRID_QUERY_VEC]]
+
+    def seq_cos(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            x, y = float(x), float(y)
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return dot / (na**0.5 * nb**0.5)
+
+    ranked = sorted(
+        ((vid, seq_cos(v, qv)) for vid, v in vecs.items() if vid != corpus.HYBRID_QUERY_VEC),
+        key=lambda t: (-t[1], t[0]),
+    )
+    sem = {vid: i + 1 for i, (vid, _) in enumerate(ranked[: corpus.HYBRID_SEM_TOP])}
+
+    fused = {}
+    for d in set(lex) | set(sem):
+        c = 0
+        if d in lex:
+            c += corpus.RRF_FXP // (corpus.RRF_K + lex[d])
+        if d in sem:
+            c += corpus.RRF_FXP // (corpus.RRF_K + sem[d])
+        fused[d] = (lex.get(d, 0), sem.get(d, 0), c)
+    want = sorted(fused.items(), key=lambda t: (-t[1][2], t[0]))[: corpus.HYBRID_TOP]
+
+    got = corpus.hybrid_rrf_fusion(spark, sf_dir).orderBy("fused_rk").collect()
+    assert len(got) == corpus.HYBRID_TOP
+    for i, r in enumerate(got):
+        d, (lrk, srk, c) = want[i]
+        assert (r["doc_id"], r["lex_rk"], r["sem_rk"], r["rrf_fp"], r["fused_rk"]) == (
+            d, lrk, srk, c, i + 1
+        )

@@ -619,3 +619,16 @@ def test_probe_eval_broadcasts_weights(spark, sf_dir):
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_hybrid_rrf_branches_stay_topk_bounded(spark, sf_dir):
+    """hybrid_rrf_fusion: dense branch is a broadcast of the single-row
+    query (nested-loop over the corpus scan) with TakeOrderedAndProject
+    top-k; no cartesian product, no shuffle join anywhere in the fused
+    plan (the fusion groupBy runs over 2*K rows)."""
+    df = q(spark, sf_dir, "hybrid_rrf_fusion")
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
