@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..queries import register
 from ..tables import load_table
-from .dedup import cosine_expr
+from .dedup import _COSINE_SQL, cosine_expr
 
 QUERY_IDS = (0, 1, 2, 3, 4)
 TOP_K = 10
@@ -403,10 +403,10 @@ _LSH_MELT_SQL = "\n        UNION ALL\n        ".join(
 LSH_STOP = 8 * LSH_OCC  # stop-bucket cull: occupancy > 8× target
 
 
-@register(
-    "ann_lsh_bucketed",
-    oracle=f"""
-WITH msk AS (
+# The msk -> melted -> culled-kept bucket CTE chain, shared by the
+# ann_lsh_bucketed and decontaminate_semantic oracles (the SQL replay
+# of _melted_kept_buckets).
+_LSH_KEPT_CTES_SQL = f"""msk AS (
     SELECT {_MASK_SQL} AS m
     FROM (SELECT COUNT(*) AS n FROM embeddings)
 ),
@@ -422,7 +422,13 @@ kept AS (
     JOIN (SELECT t, bucket FROM melted GROUP BY t, bucket
           HAVING COUNT(*) <= {LSH_STOP}) k
       ON k.t = m.t AND k.bucket = m.bucket
-)
+)"""
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=f"""
+WITH {_LSH_KEPT_CTES_SQL}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        COUNT(*) AS n_tables
 FROM kept a JOIN kept b
@@ -720,6 +726,105 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("vec_id") != F.col("probe_id")) & (cos >= RANGE_RADIUS))
         .select("probe_id", "vec_id")
     )
+
+
+# -- semantic decontamination (embedding-space eval overlap) ------------------
+
+DECON_EVAL_MOD = 97  # eval set: vec_id % 97 == 0 (≈1% of the corpus)
+DECON_COS = 0.40  # contamination threshold (see docstring)
+
+
+@register(
+    "decontaminate_semantic",
+    oracle=f"""
+WITH {_LSH_KEPT_CTES_SQL},
+cand AS (
+    SELECT DISTINCT a.vec_id AS eval_id, b.vec_id AS vec_id
+    FROM kept a JOIN kept b ON a.t = b.t AND a.bucket = b.bucket
+    WHERE a.vec_id % {DECON_EVAL_MOD} = 0 AND b.vec_id % {DECON_EVAL_MOD} <> 0
+),
+scored AS (
+    SELECT c.eval_id, c.vec_id, {_COSINE_SQL} AS cos
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.eval_id
+    JOIN embeddings b ON b.vec_id = c.vec_id
+),
+best AS (
+    SELECT eval_id, vec_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY cos DESC, vec_id) AS rn
+    FROM scored
+)
+SELECT s.eval_id, s.vec_id AS match_id, s.cos,
+       CASE WHEN s.cos >= {DECON_COS} THEN 1 ELSE 0 END AS contaminated,
+       d.source
+FROM best s JOIN documents d ON d.doc_id = s.vec_id
+WHERE s.rn = 1
+""",
+    doc=f"Semantic decontamination audit: per eval vector (vec_id % "
+    f"{DECON_EVAL_MOD} == 0) the closest LSH-candidate corpus document, "
+    f"its cosine, source, and a contaminated flag at cos >= {DECON_COS}.",
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination — the semantic complement to
+    the 13-gram ``text_decontaminate``: paraphrased or reformatted eval
+    leakage that shares no exact n-grams still lands next to the eval
+    item in embedding space (Yang et al., "Rethinking Benchmark and
+    Contamination", 2023). For each held-out eval vector (a ~1%
+    deterministic id-slice standing in for the benchmark set), find its
+    closest corpus document among the multi-table LSH candidates,
+    report cosine + source, and flag it contaminated above the
+    threshold. The flagged match_ids are the anti-join key a cleaning
+    pass would drop.
+
+    Threshold note: this testdata is near-random (true-neighbor cosine
+    ≈ 0.3-0.47, the LSH family's documented worst case), so the
+    threshold sits at the upper tail (0.40) to keep both flag branches
+    populated; with real text embeddings you would run 0.9+.
+
+    Scale shape: the eval side of the bucket join is benchmark-sized
+    (broadcast); candidates are occupancy-bounded per eval item
+    (∝ T·OCC, not corpus size) via the shared culled-bucket artifact
+    (`_melted_kept_buckets` — same exchange the ANN queries reuse);
+    the exact-cosine verify touches only candidates; the final
+    source join broadcasts the ≤|eval| best-match rows onto documents.
+    No full-corpus shuffle beyond the artifact build itself."""
+    from pyspark.sql import Window
+
+    melted, _ = _melted_kept_buckets(spark, sf_dir)
+    is_eval = F.col("vec_id") % DECON_EVAL_MOD == 0
+    ev = melted.where(is_eval).select(
+        F.col("vec_id").alias("eval_id"), "t", "bucket"
+    )
+    cand = (
+        melted.where(~is_eval)
+        .join(F.broadcast(ev), ["t", "bucket"])
+        .select("eval_id", "vec_id")
+        .distinct()
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ev_emb = emb.where(is_eval).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("eval_emb")
+    )
+    cos = cosine_expr(F.col("eval_emb"), F.col("embedding"))
+    scored = (
+        emb.join(F.broadcast(cand.join(F.broadcast(ev_emb), "eval_id")), "vec_id")
+        .select("eval_id", "vec_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("eval_id").orderBy(F.desc("cos"), "vec_id")
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "eval_id",
+            F.col("vec_id").alias("match_id"),
+            "cos",
+            F.when(F.col("cos") >= DECON_COS, 1).otherwise(0).alias("contaminated"),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return docs.join(
+        F.broadcast(best), docs.doc_id == best.match_id
+    ).select("eval_id", "match_id", "cos", "contaminated", "source")
 
 
 # -- hard-negative mining (contrastive-training prep) -------------------------

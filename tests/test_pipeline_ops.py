@@ -789,3 +789,61 @@ def test_hybrid_rrf_matches_python_fusion(spark, sf_dir):
         assert (r["doc_id"], r["lex_rk"], r["sem_rk"], r["rrf_fp"], r["fused_rk"]) == (
             d, lrk, srk, c, i + 1
         )
+
+
+def test_decontaminate_semantic_matches_python_replay(spark, sf_dir):
+    """decontaminate_semantic vs plain numpy/Python: rebuild the
+    multi-table LSH (adaptive mask, stop-bucket cull), the cross-set
+    candidates, and the sequential-sum cosine best match, and require
+    identical rows."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    ids = list(tbl["vec_id"])
+    A = np.stack([np.asarray(v, dtype=np.float64) for v in tbl["embedding"]])
+    n = len(ids)
+
+    m = 2**similarity.LSH_PMIN - 1
+    for thr, bit in similarity._MASK_TERMS:
+        if n >= thr:
+            m += bit
+    bits = (A @ similarity.multi_table_matrix().T) > 0
+    weights = 1 << np.arange(similarity.LSH_PMAX)
+    buckets = {}  # (t, bucket) -> [vec_id]
+    for t in range(similarity.LSH_TABLES):
+        b = (bits[:, t * similarity.LSH_PMAX : (t + 1) * similarity.LSH_PMAX] @ weights) & m
+        for vid, bk in zip(ids, b):
+            buckets.setdefault((t, int(bk)), []).append(vid)
+
+    cand = {}  # eval_id -> set of corpus vec_ids
+    for members in buckets.values():
+        if len(members) > similarity.LSH_STOP:
+            continue  # culled
+        evs = [v for v in members if v % similarity.DECON_EVAL_MOD == 0]
+        others = [v for v in members if v % similarity.DECON_EVAL_MOD != 0]
+        for e in evs:
+            cand.setdefault(e, set()).update(others)
+
+    vec = dict(zip(ids, A))
+
+    def seq_cos(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+            na += float(x) * float(x)
+            nb += float(y) * float(y)
+        return dot / (na**0.5 * nb**0.5)
+
+    want = {}
+    for e, cs in cand.items():
+        scored = sorted(((seq_cos(vec[e], vec[c]), c) for c in cs), key=lambda t: (-t[0], t[1]))
+        cos, match = scored[0]
+        want[e] = (match, cos, int(cos >= similarity.DECON_COS))
+
+    got = similarity.decontaminate_semantic(spark, sf_dir).collect()
+    assert {r["eval_id"] for r in got} == set(want)
+    for r in got:
+        match, cos, flag = want[r["eval_id"]]
+        assert (r["match_id"], r["contaminated"]) == (match, flag), r
+        assert abs(r["cos"] - cos) < 1e-12, r

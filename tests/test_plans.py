@@ -632,3 +632,15 @@ def test_hybrid_rrf_branches_stay_topk_bounded(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_semantic_broadcasts_eval_side(spark, sf_dir):
+    """decontaminate_semantic: the eval side of the bucket join, the
+    candidate frame, and the best-match rows all broadcast — no
+    shuffle join outside the shared bucket artifact's own build, no
+    cartesian product."""
+    df = q(spark, sf_dir, "decontaminate_semantic")
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
