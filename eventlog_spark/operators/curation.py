@@ -2333,3 +2333,124 @@ def quality_probe_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         prec.alias("precision_"),
         rec.alias("recall_"),
     )
+
+
+# -- excess-loss mixture reweighting (DoReMi-style, one step) -----------------
+
+MIX_ETA = 4  # excess-loss multiplier (integer, exact)
+MIX_FLOOR_FP = PROBE_FXP // 10  # factor clamp: never below 0.1x ...
+MIX_CEIL_FP = 2 * PROBE_FXP  # ... never above 2x
+
+
+@register(
+    "mixture_reweight_excess",
+    oracle=f"""
+WITH {_PROBE_CTES_SQL},
+src AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(x1) AS BIGINT) AS n_tokens,
+           CAST(SUM(ABS(y*{PROBE_FXP} - (w0_fp + w1_fp*x1 + w2_fp*x2))) AS BIGINT)
+               AS err_fp_sum
+    FROM feats CROSS JOIN wts
+    GROUP BY source
+),
+tot AS (
+    SELECT CAST(SUM(n_docs) AS BIGINT) AS t_docs,
+           CAST(SUM(err_fp_sum) AS BIGINT) AS t_err
+    FROM src
+),
+ex AS (
+    SELECT source, n_docs, n_tokens,
+           err_fp_sum // n_docs AS mean_err_fp,
+           err_fp_sum // n_docs - t_err // t_docs AS excess_fp
+    FROM src CROSS JOIN tot
+),
+fac AS (
+    SELECT source, n_docs, n_tokens, mean_err_fp, excess_fp,
+           GREATEST({MIX_FLOOR_FP},
+                    LEAST({MIX_CEIL_FP}, {PROBE_FXP} + {MIX_ETA} * excess_fp))
+               AS factor_fp
+    FROM ex
+),
+den AS (
+    SELECT CAST(SUM(CAST(factor_fp AS HUGEINT) * CAST(n_tokens AS HUGEINT))
+               AS HUGEINT) AS d
+    FROM fac
+)
+SELECT source, n_docs, n_tokens, mean_err_fp, excess_fp, factor_fp,
+       CAST((CAST({PROBE_FXP} AS HUGEINT)
+             * CAST(factor_fp AS HUGEINT) * CAST(n_tokens AS HUGEINT)) // d
+            AS BIGINT) AS weight_fp
+FROM fac CROSS JOIN den
+""",
+    doc="One DoReMi-style mixture-reweighting step: per-source excess "
+    "probe loss vs the corpus mean scales each source's token share by "
+    f"a clamped linear factor (eta={MIX_ETA}, clamp [0.1x, 2x]); "
+    "weight_fp is the normalized fixed-point sampling weight.",
+)
+def mixture_reweight_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step after ``quality_probe_eval`` in the data-mixture loop —
+    a one-step, closed-form cousin of DoReMi (Xie et al. 2023): domains
+    where the proxy model's loss exceeds the corpus mean get upweighted
+    (they carry signal the model hasn't absorbed), easy domains get
+    downweighted, and the new weights renormalize over token counts.
+    The exp(eta*excess) of the paper is replaced by a clamped linear
+    factor 1 + eta*excess in fixed point — order-free integer
+    arithmetic both engines evaluate identically (truncating division
+    matches DuckDB ``//`` — operands here are nonnegative except
+    excess, which only ever feeds multiplication and clamping).
+
+    Scale shape: one corpus pass (the shared probe moment aggregate) +
+    one per-source rollup; everything after the groupBy is |sources|
+    rows with two 1-row broadcast totals. Products route through
+    DECIMAL(38,0)/HUGEINT so token counts at 100 TB can't overflow the
+    normalization."""
+    feats, wts = _probe_feats_weights(spark, sf_dir)
+    yhat = F.col("w0_fp") + F.col("w1_fp") * F.col("x1") + F.col("w2_fp") * F.col("x2")
+    src = (
+        feats.crossJoin(F.broadcast(wts))
+        .select("source", "x1", F.abs(F.col("y") * PROBE_FXP - yhat).alias("ae_fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("x1").cast("long").alias("n_tokens"),
+            F.sum("ae_fp").cast("long").alias("err_fp_sum"),
+        )
+    )
+    tot = src.agg(
+        F.sum("n_docs").cast("long").alias("t_docs"),
+        F.sum("err_fp_sum").cast("long").alias("t_err"),
+    )
+    ex = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("err_fp_sum div n_docs").alias("mean_err_fp"),
+        F.expr("err_fp_sum div n_docs - t_err div t_docs").alias("excess_fp"),
+    )
+    fac = ex.withColumn(
+        "factor_fp",
+        F.greatest(
+            F.lit(MIX_FLOOR_FP),
+            F.least(F.lit(MIX_CEIL_FP), F.lit(PROBE_FXP) + F.lit(MIX_ETA) * F.col("excess_fp")),
+        ),
+    )
+    den = fac.agg(
+        F.sum(
+            F.col("factor_fp").cast("decimal(38,0)") * F.col("n_tokens").cast("decimal(38,0)")
+        ).alias("d")
+    )
+    return fac.crossJoin(F.broadcast(den)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "mean_err_fp",
+        "excess_fp",
+        "factor_fp",
+        F.expr(
+            f"CAST((CAST({PROBE_FXP} AS DECIMAL(38,0))"
+            f" * CAST(factor_fp AS DECIMAL(38,0)) * CAST(n_tokens AS DECIMAL(38,0))) div d"
+            f" AS BIGINT)"
+        ).alias("weight_fp"),
+    )

@@ -113,8 +113,8 @@ _loaded = False
 # sample_hash_stats, timeseries_rollup, q22_idle_customers, agg_cube,
 # agg_grouping_sets, agg_rollup, scalar_functions plus agg_distinct,
 # agg_percentiles, array_collect_ops, date_functions, explode_unnest,
-# join_anti, join_asof, join_semi (displaced from the r1 set by the
-# 12th and 14th-21st new queries), text_* basics,
+# join_anti, join_asof, join_semi, q4_priority_late_ship (displaced
+# from the r1 set by the 12th and 14th-22nd new queries), text_* basics,
 # window_running_total, approx_*, join_broadcast_dim/range/skew,
 # chunk_overlap_windows, multimodal_manifest, dedup_embedding_cosine)
 # plus anything round 7 touches, oldest first.
@@ -157,11 +157,11 @@ _FIRST_50 = [
     "quality_probe_eval",
     "hybrid_rrf_fusion",
     "decontaminate_semantic",
-    # (b) latest driver check is round 1 — 18 of 26 (agg_distinct,
+    "mixture_reweight_excess",
+    # (b) latest driver check is round 1 — 17 of 26 (agg_distinct,
     # agg_percentiles, array_collect_ops, date_functions, explode_unnest,
-    # join_anti, join_asof, join_semi displaced to the round-7 note by
-    # the 14th-21st new queries)
-    "q4_priority_late_ship",
+    # join_anti, join_asof, join_semi, q4_priority_late_ship displaced
+    # to the round-7 note by the 14th-22nd new queries)
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q8_market_share",

@@ -847,3 +847,43 @@ def test_decontaminate_semantic_matches_python_replay(spark, sf_dir):
         match, cos, flag = want[r["eval_id"]]
         assert (r["match_id"], r["contaminated"]) == (match, flag), r
         assert abs(r["cos"] - cos) < 1e-12, r
+
+
+def test_mixture_reweight_matches_python_model(spark, sf_dir):
+    """mixture_reweight_excess vs plain Python: replay excess loss,
+    clamped factor, and normalized fixed-point weights exactly from
+    the trained probe weights; weights must sum to ~FXP."""
+    from eventlog_spark.operators import curation
+
+    train = {r["source"]: r for r in curation.quality_probe_train(spark, sf_dir).collect()}
+    fxp = curation.PROBE_FXP
+    some = next(iter(train.values()))
+    w_fp = [round(some["w0"] * fxp), round(some["w1"] * fxp), round(some["w2"] * fxp)]
+
+    agg = {}
+    for x1, x2, y, src in _py_gopher_feats(sf_dir):
+        e = abs(y * fxp - (w_fp[0] + w_fp[1] * x1 + w_fp[2] * x2))
+        n, t, s = agg.get(src, (0, 0, 0))
+        agg[src] = (n + 1, t + x1, s + e)
+    t_docs = sum(a[0] for a in agg.values())
+    t_err = sum(a[2] for a in agg.values())
+    g_mean = t_err // t_docs
+    fac = {}
+    for src, (n, t, s) in agg.items():
+        excess = s // n - g_mean
+        f = max(curation.MIX_FLOOR_FP, min(curation.MIX_CEIL_FP, fxp + curation.MIX_ETA * excess))
+        fac[src] = (n, t, s // n, excess, f)
+    den = sum(f * t for (_, t, _, _, f) in fac.values())
+
+    got = curation.mixture_reweight_excess(spark, sf_dir).collect()
+    assert {r["source"] for r in got} == set(fac)
+    wsum = 0
+    for r in got:
+        n, t, mean, excess, f = fac[r["source"]]
+        want_w = fxp * f * t // den
+        assert (
+            r["n_docs"], r["n_tokens"], r["mean_err_fp"],
+            r["excess_fp"], r["factor_fp"], r["weight_fp"],
+        ) == (n, t, mean, excess, f, want_w), r["source"]
+        wsum += r["weight_fp"]
+    assert fxp - len(fac) <= wsum <= fxp  # truncation loses < 1 ulp per source

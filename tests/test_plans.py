@@ -644,3 +644,15 @@ def test_decontaminate_semantic_broadcasts_eval_side(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_mixture_reweight_single_corpus_pass(spark, sf_dir):
+    """mixture_reweight_excess: the corpus is touched only by the
+    probe's moment aggregate + the per-source rollup; totals and the
+    normalizer arrive via broadcast 1-row frames (nested-loop), never
+    a shuffle join."""
+    df = q(spark, sf_dir, "mixture_reweight_excess")
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
