@@ -113,8 +113,9 @@ _loaded = False
 # sample_hash_stats, timeseries_rollup, q22_idle_customers, agg_cube,
 # agg_grouping_sets, agg_rollup, scalar_functions plus agg_distinct,
 # agg_percentiles, array_collect_ops, date_functions, explode_unnest,
-# join_anti, join_asof, join_semi, q4_priority_late_ship (displaced
-# from the r1 set by the 12th and 14th-22nd new queries), text_* basics,
+# join_anti, join_asof, join_semi, q4_priority_late_ship,
+# q6_forecast_revenue, q7_volume_shipping (displaced from the r1 set
+# by the 12th and 14th-24th new queries), text_* basics,
 # window_running_total, approx_*, join_broadcast_dim/range/skew,
 # chunk_overlap_windows, multimodal_manifest, dedup_embedding_cosine)
 # plus anything round 7 touches, oldest first.
@@ -158,12 +159,13 @@ _FIRST_50 = [
     "hybrid_rrf_fusion",
     "decontaminate_semantic",
     "mixture_reweight_excess",
-    # (b) latest driver check is round 1 — 17 of 26 (agg_distinct,
+    "multimodal_audio_decode",
+    "multimodal_image_decode",
+    # (b) latest driver check is round 1 — 15 of 26 (agg_distinct,
     # agg_percentiles, array_collect_ops, date_functions, explode_unnest,
-    # join_anti, join_asof, join_semi, q4_priority_late_ship displaced
-    # to the round-7 note by the 14th-22nd new queries)
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
+    # join_anti, join_asof, join_semi, q4_priority_late_ship,
+    # q6_forecast_revenue, q7_volume_shipping displaced to the round-7
+    # note by the 14th-24th new queries)
     "q8_market_share",
     "q13_customer_distribution",
     "q14_promo_revenue",

@@ -656,3 +656,14 @@ def test_mixture_reweight_single_corpus_pass(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_real_media_decodes_are_shuffle_free(spark, sf_dir):
+    """The real WAV-PCM and PNG decode queries are pure Arrow map
+    stages over the scan — no exchange beyond the spread no-op, no
+    join, no aggregate."""
+    for name in ("multimodal_audio_decode", "multimodal_image_decode"):
+        plan = formatted_plan(q(spark, sf_dir, name))
+        assert "MapInPandas" in plan or "ArrowEvalPython" in plan, name
+        assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, name
+        assert "HashAggregate" not in plan, name
