@@ -1012,3 +1012,98 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_dup_candidate"),
     )
+
+
+# -- duplicate-graph triangle census ------------------------------------------
+
+TRI_FXP = 1_000_000  # fixed-point scale for the clustering coefficient
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+WITH pairs AS ({_LSH_PAIRS_SQL}),
+deg AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT doc_a AS node FROM pairs
+        UNION ALL
+        SELECT doc_b AS node FROM pairs
+    ) GROUP BY node
+),
+w AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+           CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+    FROM deg
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM pairs),
+tri AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM pairs e1
+    JOIN pairs e2 ON e2.doc_a = e1.doc_b
+    JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+)
+SELECT n_vertices, n_edges, n_wedges, n_triangles,
+       CAST(CASE WHEN n_wedges = 0 THEN 0
+                 ELSE 3 * n_triangles * {TRI_FXP} // n_wedges END
+            AS BIGINT) AS clustering_fp
+FROM w CROSS JOIN m CROSS JOIN tri
+""",
+    doc="Triangle census of the near-dup candidate graph: vertex/edge/"
+    "wedge/triangle counts and the global clustering coefficient "
+    "(3T/wedges, fixed point) — how clique-like duplicate clusters are.",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure audit of the duplicate graph the components query
+    clusters: a high clustering coefficient means near-dup candidates
+    form tight cliques (template families, mirrored sites — safe to
+    keep one representative); a low one means chains of marginal pairs
+    (transitive merge is collapsing documents that are NOT mutually
+    similar — tighten the LSH threshold before deduplicating). Classic
+    compact-forward triangle counting: edges oriented doc_a < doc_b, a
+    wedge join (e1.b = e2.a gives a < b < c for free), then a closing
+    semi-check against the edge list. All counts exact integers; the
+    coefficient is one truncating fixed-point division.
+
+    Scale shape: rides the shared ``doc_lsh_pairs`` artifact (built
+    once per session, reused by 5 queries); two hash joins over the
+    EDGE list (never the corpus), each shuffling on a single id key —
+    AQE splits skewed hubs. Wedge volume is Σ deg² of the candidate
+    graph, which the LSH band scheme already occupancy-bounds; at
+    extreme skew the standard refinement is degree-orientation
+    (orient edges low-degree → high-degree) on top of the same joins."""
+    edges = lsh_candidate_pairs(spark, sf_dir)
+    deg = (
+        edges.select(F.col("doc_a").alias("node"))
+        .unionByName(edges.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    w = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges"),
+    )
+    m = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.doc_a") == F.col("e1.doc_b"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    cc = F.when(F.col("n_wedges") == 0, F.lit(0).cast("long")).otherwise(
+        F.expr(f"3 * n_triangles * {TRI_FXP} div n_wedges")
+    )
+    return (
+        w.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            cc.cast("long").alias("clustering_fp"),
+        )
+    )

@@ -974,3 +974,37 @@ def test_png_codec_roundtrip_filters_and_crc():
         + chunk(b"IEND", b"")
     )
     assert multimodal.decode_png(b2) == (2, 2, pix[0] + pix[1])
+
+
+def test_triangle_count_matches_python_census(spark, sf_dir):
+    """graph_triangle_count vs plain Python over the same collected
+    candidate pairs: vertex/edge/wedge/triangle counts and the
+    fixed-point clustering coefficient replayed exactly."""
+    from itertools import combinations
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    deg = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tris = 0
+    for v, nbrs in adj.items():
+        for x, y in combinations(sorted(nbrs), 2):
+            if v < x and (x, y) in pairs:
+                tris += 1
+    want_cc = 0 if wedges == 0 else 3 * tris * dedup.TRI_FXP // wedges
+
+    row = dedup.graph_triangle_count(spark, sf_dir).collect()[0]
+    assert (
+        row["n_vertices"], row["n_edges"], row["n_wedges"],
+        row["n_triangles"], row["clustering_fp"],
+    ) == (len(deg), len(pairs), wedges, tris, want_cc)
+    assert tris > 0, "planted near-dup clusters should close triangles"

@@ -667,3 +667,13 @@ def test_real_media_decodes_are_shuffle_free(spark, sf_dir):
         assert "MapInPandas" in plan or "ArrowEvalPython" in plan, name
         assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, name
         assert "HashAggregate" not in plan, name
+
+
+def test_triangle_count_joins_edges_not_corpus(spark, sf_dir):
+    """graph_triangle_count: the wedge and closing joins run over the
+    edge artifact only; the one-row totals combine via broadcast
+    nested-loop, never a cartesian product of data."""
+    df = q(spark, sf_dir, "graph_triangle_count")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total combine
