@@ -448,7 +448,14 @@ def audio_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 2 + 1).cast("long").alias("ch"),
     )
     # two's-complement LE16 of the signed sample: (u + 32768) % 65536
-    # where u is the unsigned mix value
+    # where u is the unsigned mix value. Measured alternatives at sf1
+    # (50k docs): this transform+lpad/hex form 6.2 s; unrolled 64-term
+    # concat (the PQ-kernel trick) 8.8 s COLD — the giant expression's
+    # codegen compile costs more than the interpreted lambda saves on a
+    # string-build-bound stage; a 512-char hex lookup table via
+    # substring(computed pos) 14.4 s. The synth is priced at ~6 s and
+    # exists only because the sandbox ships no media files — real
+    # deployments read payload bytes from storage.
     samp_hex = F.array_join(
         F.transform(
             F.sequence(F.lit(0), F.lit(AUDIO_N - 1)),
