@@ -27,6 +27,7 @@ from ..tables import load_table, spread
 from .dedup import (
     _LSH_PAIRS_SQL,
     _SHINGLES_SQL,
+    _minhash_signature_sql,
     JACCARD_THRESHOLD,
     lsh_candidate_pairs,
     md5_int_col,
@@ -2453,4 +2454,123 @@ def mixture_reweight_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * CAST(factor_fp AS DECIMAL(38,0)) * CAST(n_tokens AS DECIMAL(38,0))) div d"
             f" AS BIGINT)"
         ).alias("weight_fp"),
+    )
+
+
+# -- MinHash calibration (empirical S-curve audit) ----------------------------
+
+CAL_FXP = 1_000_000  # fixed-point scale for exact-Jaccard ratios
+_N_MH = 8  # minhash signature slots (len(dedup.MINHASH_AB))
+
+_AGREE_SQL = " + ".join(
+    f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(_N_MH)
+)
+
+
+@register(
+    "dedup_minhash_calibration",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+sig AS ({_minhash_signature_sql()}),
+cand AS ({_LSH_PAIRS_SQL}),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+    FROM sh a JOIN sh b ON a.shh = b.shh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+pairj AS (
+    SELECT ({_AGREE_SQL}) AS agree,
+           COALESCE(i.i, 0) * {CAL_FXP} // (sa.n + sb.n - COALESCE(i.i, 0)) AS j_fp
+    FROM cand c
+    JOIN sig a ON a.doc_id = c.doc_a
+    JOIN sig b ON b.doc_id = c.doc_b
+    JOIN sizes sa ON c.doc_a = sa.doc_id
+    JOIN sizes sb ON c.doc_b = sb.doc_id
+    LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+)
+SELECT CAST(agree AS BIGINT) AS agree,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(j_fp) // COUNT(*) AS BIGINT) AS mean_j_fp,
+       CAST(MIN(j_fp) AS BIGINT) AS min_j_fp,
+       CAST(MAX(j_fp) AS BIGINT) AS max_j_fp
+FROM pairj GROUP BY agree
+""",
+    doc="MinHash calibration: per signature-agreement level (0-8 of 8 "
+    "slots), candidate-pair count and exact-Jaccard stats in fixed "
+    "point — the empirical S-curve behind the LSH band parameters.",
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measurement that justifies (or indicts) the 4-band × 2-row
+    LSH parameters: E[slots agreeing] = 8·J for MinHash, so bucketing
+    candidate pairs by their observed agreement (0-8) against their
+    EXACT shingle Jaccard draws the empirical S-curve — if mean
+    Jaccard doesn't rise monotonically with agreement, the signature
+    is broken; if the low-agreement buckets dominate pair volume, the
+    bands are wasting verify budget and need more rows per band.
+
+    Composes three session-shared artifacts (signatures' shingle
+    table, candidate pairs) and the candidate-bounded exact-verify
+    pattern of ``dedup_lsh_verified`` — the quadratic intersection runs
+    over candidate documents only. Jaccard ratios become exact
+    fixed-point integers (truncating div, matching DuckDB ``//``), so
+    per-bucket means are order-free BIGINTs and the oracle is
+    hash-exact. Output is ≤9 rows."""
+    from .artifacts import lazy_checkpoint
+    from .dedup import _minhash_signature, shingles_shared
+
+    cands = lsh_candidate_pairs(spark, sf_dir)
+    sig = _minhash_signature(spark, sf_dir)
+    a = sig.select(
+        F.col("doc_id").alias("da"), *[F.col(f"mh{j}").alias(f"amh{j}") for j in range(_N_MH)]
+    )
+    b = sig.select(
+        F.col("doc_id").alias("db"), *[F.col(f"mh{j}").alias(f"bmh{j}") for j in range(_N_MH)]
+    )
+    agree = sum(
+        F.when(F.col(f"amh{j}") == F.col(f"bmh{j}"), 1).otherwise(0) for j in range(_N_MH)
+    )
+
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = lazy_checkpoint(
+        shingles_shared(spark, sf_dir).join(cand_docs, "doc_id", "left_semi")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sha, shb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        sha.join(
+            shb,
+            (F.col("sa.shh") == F.col("sb.shh")) & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .groupBy(F.col("sa.doc_id").alias("ia"), F.col("sb.doc_id").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("za"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("zb"), F.col("n").alias("nb"))
+    pairj = (
+        cands.join(a, F.col("doc_a") == F.col("da"))
+        .join(b, F.col("doc_b") == F.col("db"))
+        .join(na, F.col("doc_a") == F.col("za"))
+        .join(nb, F.col("doc_b") == F.col("zb"))
+        .join(
+            inter,
+            (F.col("doc_a") == F.col("ia")) & (F.col("doc_b") == F.col("ib")),
+            "left",
+        )
+        .select(
+            agree.alias("agree"),
+            F.expr(f"COALESCE(i, 0) * {CAL_FXP} div (na + nb - COALESCE(i, 0))").alias(
+                "j_fp"
+            ),
+        )
+    )
+    return pairj.groupBy(F.col("agree").cast("long").alias("agree")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("sum(j_fp) div count(1)").cast("long").alias("mean_j_fp"),
+        F.min("j_fp").cast("long").alias("min_j_fp"),
+        F.max("j_fp").cast("long").alias("max_j_fp"),
     )

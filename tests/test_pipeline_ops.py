@@ -1008,3 +1008,37 @@ def test_triangle_count_matches_python_census(spark, sf_dir):
         row["n_triangles"], row["clustering_fp"],
     ) == (len(deg), len(pairs), wedges, tris, want_cc)
     assert tris > 0, "planted near-dup clusters should close triangles"
+
+
+def test_minhash_calibration_matches_python_replay(spark, sf_dir):
+    """dedup_minhash_calibration vs plain Python: rebuild agreement
+    buckets and exact fixed-point Jaccard stats from the collected
+    signatures + shingle sets; the curve must match exactly and be
+    monotone in the mean."""
+    from eventlog_spark.operators import curation
+
+    sig = {
+        r["doc_id"]: [r[f"mh{j}"] for j in range(8)]
+        for r in dedup._minhash_signature(spark, sf_dir).collect()
+    }
+    sh = {}
+    for r in dedup.shingles_shared(spark, sf_dir).collect():
+        sh.setdefault(r["doc_id"], set()).add(r["shh"])
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()}
+
+    buckets = {}
+    for a, b in pairs:
+        agree = sum(1 for j in range(8) if sig[a][j] == sig[b][j])
+        i = len(sh.get(a, set()) & sh.get(b, set()))
+        j_fp = i * curation.CAL_FXP // (len(sh.get(a, ())) + len(sh.get(b, ())) - i)
+        buckets.setdefault(agree, []).append(j_fp)
+
+    got = {r["agree"]: r for r in curation.dedup_minhash_calibration(spark, sf_dir).collect()}
+    assert set(got) == set(buckets)
+    for agree, js in buckets.items():
+        r = got[agree]
+        assert (r["n_pairs"], r["mean_j_fp"], r["min_j_fp"], r["max_j_fp"]) == (
+            len(js), sum(js) // len(js), min(js), max(js)
+        ), agree
+    means = [got[a]["mean_j_fp"] for a in sorted(got)]
+    assert means == sorted(means), "mean Jaccard must rise with agreement"

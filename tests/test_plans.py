@@ -677,3 +677,13 @@ def test_triangle_count_joins_edges_not_corpus(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row total combine
+
+
+def test_minhash_calibration_verify_is_candidate_bounded(spark, sf_dir):
+    """dedup_minhash_calibration: the exact-verify intersection join
+    runs over the candidate-restricted shingle table (left-semi prune
+    before the self-join); no cartesian product."""
+    df = q(spark, sf_dir, "dedup_minhash_calibration")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
