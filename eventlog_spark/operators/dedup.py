@@ -1107,3 +1107,83 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             cc.cast("long").alias("clustering_fp"),
         )
     )
+
+
+# -- n-gram novelty curve (corpus redundancy over ingestion order) ------------
+
+NOV_BUCKETS = 10
+NOV_FXP = 1_000_000
+
+
+@register(
+    "corpus_ngram_novelty",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+first_seen AS (SELECT shh, MIN(doc_id) AS fd FROM sh GROUP BY shh),
+per_doc AS (
+    SELECT s.doc_id,
+           COUNT(*) AS n_grams,
+           SUM(CASE WHEN f.fd = s.doc_id THEN 1 ELSE 0 END) AS n_novel
+    FROM sh s JOIN first_seen f ON f.shh = s.shh
+    GROUP BY s.doc_id
+),
+mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents)
+SELECT CAST(doc_id * {NOV_BUCKETS} // m AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+       CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+       CAST(SUM(n_novel) * {NOV_FXP} // SUM(n_grams) AS BIGINT) AS novelty_fp
+FROM per_doc CROSS JOIN mx
+GROUP BY doc_id * {NOV_BUCKETS} // m
+""",
+    doc=f"N-gram novelty curve: per ingestion-order decile "
+    f"({NOV_BUCKETS} id buckets), the fraction of each document's "
+    "distinct 3-gram shingles never seen in any earlier document "
+    "(fixed point).",
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The diminishing-returns curve of continued crawling: a shingle
+    is NOVEL for the document that introduces it (minimum doc_id over
+    the corpus), and each ingestion-order decile reports what fraction
+    of its shingle mass was new — the number that tells you when the
+    crawl stopped adding information and the dedup budget should take
+    over (Villalobos et al., "Will we run out of data?", spiritually).
+    On this corpus the planted duplicate families pull later deciles
+    down, which the tests assert.
+
+    Scale shape: rides the shared shingle artifact; first-seen is one
+    groupBy on the 8-byte shingle hash, and the join back to the
+    shingle stream reuses the same (shh) exchange layout. The per-doc
+    rollup shuffles ids only; the decile rollup is {NOV_BUCKETS} rows
+    with a broadcast 1-row max. All counts integer, ratio via
+    truncating fixed-point division."""
+    sh = shingles_shared(spark, sf_dir)
+    first_seen = sh.groupBy("shh").agg(F.min("doc_id").alias("fd"))
+    per_doc = (
+        sh.join(first_seen, "shh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+    )
+    mx = (
+        load_table(spark, sf_dir, "documents")
+        .agg((F.max("doc_id") + 1).alias("m"))
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(mx))
+        .groupBy(
+            F.expr(f"doc_id * {NOV_BUCKETS} div m").cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_grams").cast("long").alias("n_grams"),
+            F.sum("n_novel").cast("long").alias("n_novel"),
+            F.expr(f"sum(n_novel) * {NOV_FXP} div sum(n_grams)")
+            .cast("long")
+            .alias("novelty_fp"),
+        )
+    )

@@ -1042,3 +1042,38 @@ def test_minhash_calibration_matches_python_replay(spark, sf_dir):
         ), agree
     means = [got[a]["mean_j_fp"] for a in sorted(got)]
     assert means == sorted(means), "mean Jaccard must rise with agreement"
+
+
+def test_ngram_novelty_matches_python_replay(spark, sf_dir):
+    """corpus_ngram_novelty vs plain Python over the collected shingle
+    table: exact bucket counts, and the curve must end lower than it
+    starts (planted duplicate families make later deciles redundant)."""
+    import pyarrow.parquet as pq
+
+    sh_rows = dedup.shingles_shared(spark, sf_dir).collect()
+    first = {}
+    per_doc = {}
+    for r in sh_rows:
+        d, s = r["doc_id"], r["shh"]
+        if s not in first or d < first[s]:
+            first[s] = d
+    for r in sh_rows:
+        d = r["doc_id"]
+        g, n = per_doc.get(d, (0, 0))
+        per_doc[d] = (g + 1, n + (1 if first[r["shh"]] == d else 0))
+    m = max(pq.read_table(f"{sf_dir}/documents.parquet").to_pydict()["doc_id"]) + 1
+    agg = {}
+    for d, (g, n) in per_doc.items():
+        b = d * dedup.NOV_BUCKETS // m
+        c = agg.get(b, [0, 0, 0])
+        agg[b] = [c[0] + 1, c[1] + g, c[2] + n]
+
+    got = {r["bucket"]: r for r in dedup.corpus_ngram_novelty(spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    for b, (nd, g, n) in agg.items():
+        r = got[b]
+        assert (r["n_docs"], r["n_grams"], r["n_novel"], r["novelty_fp"]) == (
+            nd, g, n, n * dedup.NOV_FXP // g
+        ), b
+    lo, hi = min(got), max(got)
+    assert got[hi]["novelty_fp"] < got[lo]["novelty_fp"]

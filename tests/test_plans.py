@@ -687,3 +687,12 @@ def test_minhash_calibration_verify_is_candidate_bounded(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
+
+
+def test_ngram_novelty_reuses_shingle_exchange(spark, sf_dir):
+    """corpus_ngram_novelty: the first-seen groupBy and the join back
+    both key on shh — no cartesian, totals via broadcast."""
+    df = q(spark, sf_dir, "corpus_ngram_novelty")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row max combine
