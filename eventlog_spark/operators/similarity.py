@@ -1034,3 +1034,82 @@ def ann_matryoshka_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+# -- isolation audit (outlier signal: best-candidate cosine histogram) --------
+
+ISO_BAND_SCALE = 8  # band = floor(best_cos * 8), i.e. 0.125-wide bands
+ISO_NONE_BAND = -99  # vectors with no LSH candidate at all
+
+
+@register(
+    "embedding_isolation_audit",
+    oracle=f"""
+WITH {_LSH_KEPT_CTES_SQL},
+pairs AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM kept a JOIN kept b
+      ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+pc AS (
+    SELECT p.vec_a, p.vec_b, {_COSINE_SQL} AS cos
+    FROM pairs p
+    JOIN embeddings a ON a.vec_id = p.vec_a
+    JOIN embeddings b ON b.vec_id = p.vec_b
+),
+sym AS (
+    SELECT vec_a AS vec_id, cos FROM pc
+    UNION ALL
+    SELECT vec_b AS vec_id, cos FROM pc
+),
+best AS (SELECT vec_id, MAX(cos) AS best_cos FROM sym GROUP BY vec_id)
+SELECT CAST(CASE WHEN b.vec_id IS NULL THEN {ISO_NONE_BAND}
+                 ELSE CAST(FLOOR(b.best_cos * {ISO_BAND_SCALE}) AS INT)
+            END AS INT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM embeddings e LEFT JOIN best b ON b.vec_id = e.vec_id
+GROUP BY 1
+""",
+    doc="Isolation audit: histogram of each vector's best-candidate "
+    f"cosine (1/{ISO_BAND_SCALE}-wide bands; band {ISO_NONE_BAND} = no "
+    "LSH candidate) — the distance-based outlier signal for embedding "
+    "cleaning.",
+)
+def embedding_isolation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The outlier half of the near-dup coin: SemDeDup removes the TOO
+    CLOSE, this surfaces the TOO FAR — vectors whose best same-bucket
+    neighbor is weak (or absent) are mislabeled points, encoding
+    failures, or genuine tail content, and a cleaning pass reviews the
+    low bands before training (distance-based outlier detection à la
+    kNN-outlier, restricted to LSH candidates exactly as production
+    would). The full histogram, not a threshold, is the deliverable:
+    where the mass sits decides the cut.
+
+    Scale shape: candidate volume is the shared pair artifact's
+    (∝ n·T·OCC, linear); each pair's cosine is computed ONCE in
+    codegen and symmetrized by a union, the per-vector max is one
+    partial-aggregating groupBy, and the histogram is ≤18 rows. The
+    no-candidate band falls out of the left join against the corpus —
+    no second pass."""
+    pairs = ann_lsh_bucketed(spark, sf_dir).select("vec_a", "vec_b")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
+    pc = (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cosine_expr(F.col("e_a"), F.col("e_b")).alias("cos"))
+    )
+    sym = pc.select(F.col("vec_a").alias("vec_id"), "cos").unionByName(
+        pc.select(F.col("vec_b").alias("vec_id"), "cos")
+    )
+    best = sym.groupBy("vec_id").agg(F.max("cos").alias("best_cos"))
+    band = F.when(F.col("best_cos").isNull(), F.lit(ISO_NONE_BAND)).otherwise(
+        F.floor(F.col("best_cos") * ISO_BAND_SCALE).cast("int")
+    )
+    return (
+        emb.select("vec_id")
+        .join(best, "vec_id", "left")
+        .groupBy(band.cast("int").alias("band"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    )

@@ -1077,3 +1077,45 @@ def test_ngram_novelty_matches_python_replay(spark, sf_dir):
         ), b
     lo, hi = min(got), max(got)
     assert got[hi]["novelty_fp"] < got[lo]["novelty_fp"]
+
+
+def test_isolation_audit_matches_python_replay(spark, sf_dir):
+    """embedding_isolation_audit vs plain Python: best-candidate cosine
+    per vector from the collected pair artifact, banded identically."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    pairs = [
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.ann_lsh_bucketed(spark, sf_dir).collect()
+    ]
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    vec = dict(zip(tbl["vec_id"], tbl["embedding"]))
+
+    def seq_cos(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            x, y = float(x), float(y)
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return dot / (na**0.5 * nb**0.5)
+
+    best = {}
+    for a, b in pairs:
+        c = seq_cos(vec[a], vec[b])
+        for v in (a, b):
+            if v not in best or c > best[v]:
+                best[v] = c
+    hist = {}
+    for v in vec:
+        band = (
+            similarity.ISO_NONE_BAND
+            if v not in best
+            else math.floor(best[v] * similarity.ISO_BAND_SCALE)
+        )
+        hist[band] = hist.get(band, 0) + 1
+
+    got = {r["band"]: r["n_vectors"] for r in similarity.embedding_isolation_audit(spark, sf_dir).collect()}
+    assert got == hist

@@ -696,3 +696,13 @@ def test_ngram_novelty_reuses_shingle_exchange(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row max combine
+
+
+def test_isolation_audit_no_cartesian(spark, sf_dir):
+    """embedding_isolation_audit: pair cosines join on vec ids (hash
+    joins over the candidate artifact), the histogram is a tiny
+    partial-agg rollup — no cartesian product anywhere."""
+    df = q(spark, sf_dir, "embedding_isolation_audit")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
