@@ -725,3 +725,260 @@ def stream_real_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(sink)
+
+
+# -- REAL watermark late-drop proof -------------------------------------------
+
+WMD_DELAY = "2 hours"  # streaming watermark delay
+WMD_LATE_MARGIN_H = 6  # late rows are far below any watermark reading
+WMD_LATE_MOD = 4  # every 4th (by event_id hash) old row arrives late
+
+
+@register(
+    "stream_real_watermark_drop",
+    # replay: classify late rows, aggregate ON-TIME rows only, and emit
+    # only the windows the final watermark passed — exactly what the
+    # append-mode streaming run commits
+    oracle=f"""
+WITH ev AS (
+    SELECT event_id, event_type, date_trunc('microseconds', ts) AS ts, value
+    FROM events
+),
+mx AS (SELECT MAX(ts) AS mt FROM ev),
+cls AS (
+    SELECT e.*,
+           CASE WHEN e.ts < mt - INTERVAL {WMD_LATE_MARGIN_H} HOUR
+                     AND {md5_int_sql("CAST(event_id AS VARCHAR)")} % {WMD_LATE_MOD} = 0
+                THEN 1 ELSE 0 END AS is_late
+    FROM ev e CROSS JOIN mx
+),
+ontime AS (SELECT * FROM cls WHERE is_late = 0),
+wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM ontime)
+SELECT DATE_TRUNC('hour', ts) AS window_start,
+       DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n,
+       SUM(CAST(value AS DECIMAL(12,2))) AS sum_value
+FROM ontime CROSS JOIN wm
+WHERE DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= w
+GROUP BY 1, 2, 3
+""",
+    doc="REAL watermark late-drop: two staged micro-batches (on-time, "
+    "then late arrivals below the established watermark) through an "
+    "append-mode windowed aggregation — the sink provably excludes "
+    "every late row and every unfinalized window.",
+)
+def stream_real_watermark_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one streaming behavior the executed queries had not yet
+    PROVEN: that a watermark actually discards late data. The batch
+    twin (``stream_late_arrival_audit``) simulates it; this runs it.
+    The events table splits into THREE staged source files: the bulk
+    of on-time rows (establishing the watermark), a filler batch (the
+    newest hour of on-time rows), and a deterministic hash-selected
+    slice of old rows arriving last — all of whose windows end far
+    below every watermark reading. File mtimes + ``maxFilesPerTrigger
+    = 1`` force ordered micro-batches under one availableNow run; the
+    aggregation runs in APPEND mode, so a window commits exactly once
+    when the watermark passes it — the production exactly-once
+    windowed-sink shape, unlike the complete-mode catch-up of
+    ``stream_real_availablenow``.
+
+    Why three batches, empirically (probed on this Spark): the LATE-
+    INPUT filter watermark lags the EVICTION watermark by one batch —
+    late rows landing in batch N+1, the same batch that finalizes
+    their window, are still merged; arriving at N+2, after the filter
+    watermark catches up, they are dropped. The filler batch creates
+    exactly that gap — which is also the honest production shape,
+    where late data straggles in long after the watermark advanced.
+
+    What the sink therefore proves: (a) every late row was dropped
+    (counts match the on-time-only oracle — a single surviving late
+    row breaks the hash), and (b) only finalized windows were emitted
+    (windows inside the final watermark horizon are absent). The
+    assert on the batch count keeps the rate limit honest — if both
+    files landed in one batch nothing would be late and the oracle
+    would catch the inflated counts.
+
+    Scale shape: identical to the tumbling-window agg — state bounded
+    by (windows inside horizon × event_type); the late-drop happens
+    BEFORE state, so reprocessing old files cannot grow state. At
+    100 TB this is the property that makes unbounded streams runnable
+    at all."""
+    import os
+
+    from .dedup import md5_int_col
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "ts", "value")
+    )
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    mx = ev.agg(F.max("ts").alias("mt"))
+    cls = ev.crossJoin(F.broadcast(mx)).withColumn(
+        "is_late",
+        (
+            (F.col("ts") < F.col("mt") - F.expr(f"INTERVAL {WMD_LATE_MARGIN_H} HOURS"))
+            & (md5_int_col(F.col("event_id").cast("string")) % WMD_LATE_MOD == 0)
+        ).cast("int"),
+    )
+    src_dir = _stream_tmp("wmd_src_")
+    stage = _stream_tmp("wmd_stage_")
+    cols = ["event_id", "event_type", "ts", "value"]
+    ontime = F.col("is_late") == 0
+    filler = F.col("ts") >= F.col("mt") - F.expr("INTERVAL 1 HOUR")
+    splits = (
+        ("0_ontime", ontime & ~filler),
+        ("1_filler", ontime & filler),
+        ("2_late", F.col("is_late") == 1),
+    )
+    for i, (name, cond) in enumerate(splits):
+        part = cls.where(cond).select(*cols).coalesce(1)
+        pdir = os.path.join(stage, name)
+        part.write.mode("overwrite").parquet(pdir)
+        src = next(
+            f for f in os.listdir(pdir) if f.endswith(".parquet") and not f.startswith(".")
+        )
+        dst = os.path.join(src_dir, f"{name}.parquet")
+        os.rename(os.path.join(pdir, src), dst)
+        os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+
+    schema = spark.read.parquet(src_dir).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    assert raw.isStreaming
+    agg = (
+        raw.withWatermark("ts", WMD_DELAY)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    sink = _stream_tmp("wmd_sink_")
+    ckpt = _stream_tmp("wmd_ckpt_")
+    batches: list[int] = []
+
+    def write_batch(bdf: DataFrame, bid: int) -> None:
+        batches.append(bid)
+        bdf.write.mode("append").parquet(sink)
+
+    q = (
+        agg.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(batches) >= 3, f"rate limit must split the files: {batches}"
+    return spark.read.parquet(sink)
+
+
+# -- gap-filled time series (time_bucket_gapfill + locf) -----------------------
+
+
+@register(
+    "timeseries_gapfill",
+    oracle="""
+WITH hourly AS (
+    SELECT event_type,
+           DATE_TRUNC('hour', ts) AS bucket_ts,
+           COUNT(*) AS n_obs,
+           SUM(CAST(value AS DECIMAL(12,2))) AS sum_obs
+    FROM events
+    GROUP BY 1, 2
+),
+bounds AS (
+    SELECT event_type, MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi
+    FROM hourly GROUP BY 1
+),
+grid AS (
+    SELECT event_type,
+           UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+    FROM bounds
+)
+SELECT g.event_type,
+       g.bucket_ts,
+       COALESCE(h.n_obs, 0) AS n,
+       h.sum_obs AS observed_sum,
+       LAST_VALUE(h.sum_obs IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_sum,
+       CAST(CASE WHEN h.n_obs IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+FROM grid g LEFT JOIN hourly h USING (event_type, bucket_ts)
+""",
+    doc="Gap-filled hourly series per event type: dense bucket grid via "
+    "sequence/explode, missing hours carried forward (LOCF) — the "
+    "time_bucket_gapfill + locf() pair of a hypertable store.",
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dense-grid companion to ``timeseries_rollup``: downsample to
+    hourly buckets, then make the series GAPLESS — every hour between a
+    type's first and last observation appears exactly once, empty hours
+    carry the last observed sum forward (TimescaleDB's
+    ``time_bucket_gapfill`` + ``locf()``; reference scans only return
+    stored events, eventlog/eventlog.go:216 — the gap-filled read is the
+    layer every charting/forecasting consumer bolts on top).
+
+    Plan shape, inside-out: ONE scan of events feeds a (type, hour)
+    partial-agg'd groupBy — the only corpus-sized shuffle. Everything
+    after runs on the ~|types × hours| aggregate: per-type min/max
+    bounds (tiny second agg), ``sequence()`` + ``explode`` expands the
+    dense grid WITHOUT touching events (rows materialize from two
+    timestamps each — at 100 TB the grid is still only |types| ×
+    |hours-of-retention| rows, i.e. metadata-sized), a left join pins
+    observations onto the grid, and the LOCF is ``last(ignorenulls)``
+    over a per-type ordered window — partitioned by event_type, so no
+    single-task global sort. A 1000-executor deployment pays the hourly
+    rollup it was already computing plus epsilon.
+
+    Determinism: counts are exact, sums are DECIMAL, the grid is fully
+    determined by per-type bounds; LOCF over the unique (type, hour)
+    spine has no peer ties. DuckDB replays it with generate_series and
+    LAST_VALUE IGNORE NULLS — bit-identical."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+        ).agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_obs"),
+        )
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket_ts"),
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        grid.join(hourly, ["event_type", "bucket_ts"], "left")
+        .select(
+            "event_type",
+            "bucket_ts",
+            F.coalesce(F.col("n_obs"), F.lit(0)).alias("n"),
+            F.col("sum_obs").alias("observed_sum"),
+            F.last("sum_obs", ignorenulls=True).over(w).alias("locf_sum"),
+            F.col("n_obs").isNull().cast("int").alias("is_gap"),
+        )
+    )

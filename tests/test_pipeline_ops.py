@@ -1119,3 +1119,73 @@ def test_isolation_audit_matches_python_replay(spark, sf_dir):
 
     got = {r["band"]: r["n_vectors"] for r in similarity.embedding_isolation_audit(spark, sf_dir).collect()}
     assert got == hist
+
+
+def test_watermark_drop_excludes_exactly_the_late_rows(spark, sf_dir):
+    """stream_real_watermark_drop: the append-mode sink's total count
+    equals the all-rows batch aggregate over the emitted horizon MINUS
+    exactly the hash-selected late rows — proof the watermark dropped
+    them and nothing else."""
+    from eventlog_spark.operators import streamlike
+    from eventlog_spark.tables import load_table
+
+    out = streamlike.stream_real_watermark_drop(spark, sf_dir)
+    sink_total = out.agg(F.sum("n")).collect()[0][0]
+    max_end = out.agg(F.max("window_end")).collect()[0][0]
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    mx = ev.agg(F.max("ts").alias("mt"))
+    cls = ev.crossJoin(F.broadcast(mx)).withColumn(
+        "is_late",
+        (
+            (F.col("ts") < F.col("mt") - F.expr(f"INTERVAL {streamlike.WMD_LATE_MARGIN_H} HOURS"))
+            & (
+                dedup.md5_int_col(F.col("event_id").cast("string"))
+                % streamlike.WMD_LATE_MOD
+                == 0
+            )
+        ).cast("int"),
+    )
+    horizon = F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR") <= F.lit(max_end)
+    all_rows = cls.where(horizon).count()
+    late_rows = cls.where(horizon & (F.col("is_late") == 1)).count()
+    assert late_rows > 0, "testdata must produce a late slice"
+    assert sink_total == all_rows - late_rows
+
+
+def test_gapfill_matches_pandas_replay(spark, sf_dir):
+    """timeseries_gapfill: dense per-type hourly spine (no holes, no
+    dupes), counts conserved, gap flags exact, and LOCF equals a pandas
+    reindex+ffill replay."""
+    import pandas as pd
+
+    from eventlog_spark.operators import streamlike
+    from eventlog_spark.tables import load_table
+
+    out = streamlike.timeseries_gapfill(spark, sf_dir).toPandas()
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    pdf = ev.withColumn("ts", F.col("ts").cast("timestamp")).toPandas()
+    pdf["bucket_ts"] = pdf.ts.dt.floor("h")
+    pdf["cents"] = (pdf.value.astype(float) * 100).round().astype("int64")
+    hourly = pdf.groupby(["event_type", "bucket_ts"]).agg(
+        n=("cents", "size"), cents=("cents", "sum")
+    )
+
+    assert int(out.n.sum()) == len(pdf)  # counts conserved
+    assert out.is_gap.sum() > 0, "testdata should leave empty hours"
+    for etype, g in out.groupby("event_type"):
+        g = g.sort_values("bucket_ts").reset_index(drop=True)
+        spine = pd.date_range(g.bucket_ts.iloc[0], g.bucket_ts.iloc[-1], freq="h")
+        assert list(g.bucket_ts) == list(spine)  # dense, duplicate-free
+        exp = hourly.loc[etype].reindex(spine)
+        assert list(g.n) == [int(x) for x in exp.n.fillna(0)]
+        assert list(g.is_gap) == [int(x) for x in exp.n.isna()]
+        got_locf = [round(float(x) * 100) if pd.notna(x) else None for x in g.locf_sum]
+        exp_locf = [int(x) if pd.notna(x) else None for x in exp.cents.ffill()]
+        assert got_locf == exp_locf

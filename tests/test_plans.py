@@ -706,3 +706,16 @@ def test_isolation_audit_no_cartesian(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+def test_gapfill_grid_is_metadata_sized(spark, sf_dir):
+    """timeseries_gapfill: the dense grid explodes from the per-type
+    BOUNDS aggregate, never from events; observations pin onto it via a
+    broadcast hash join; the LOCF window is partitioned by event_type
+    (no single-task global window)."""
+    df = q(spark, sf_dir, "timeseries_gapfill")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # sequence/explode grid
+    assert "BroadcastHashJoin" in plan
+    assert "windowspecdefinition(event_type" in plan
