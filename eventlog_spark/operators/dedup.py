@@ -1187,3 +1187,120 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("novelty_fp"),
         )
     )
+
+
+# -- quality-aware canonical selection per duplicate cluster -------------------
+
+_KEEP_BEST_COMP_SQL = f"""
+WITH RECURSIVE
+pairs AS ({_LSH_PAIRS_SQL}),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, lab) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(lab) AS component_id FROM reach GROUP BY node)
+"""
+
+
+@register(
+    "dedup_keep_best",
+    oracle=_KEEP_BEST_COMP_SQL
+    + """,
+feats AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           len(list_filter(string_split(text, ' '),
+                           x -> x IN ('the','a','to','of','in','and'))) AS n_stop
+    FROM documents
+),
+ranked AS (
+    SELECT c.component_id, f.doc_id, f.n_words,
+           CASE WHEN f.n_words BETWEEN 20 AND 95
+                 AND f.n_stop * 50 >= f.n_words
+                THEN 1 ELSE 0 END AS is_q,
+           ROW_NUMBER() OVER (
+               PARTITION BY c.component_id
+               ORDER BY CASE WHEN f.n_words BETWEEN 20 AND 95
+                              AND f.n_stop * 50 >= f.n_words
+                             THEN 1 ELSE 0 END DESC,
+                        f.n_words DESC, f.doc_id) AS rk,
+           COUNT(*) OVER (PARTITION BY c.component_id) AS n_members
+    FROM comp c JOIN feats f USING (doc_id)
+)
+SELECT component_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       doc_id AS kept_doc_id,
+       CAST(is_q AS INT) AS kept_is_quality,
+       CAST(n_words AS BIGINT) AS kept_n_words
+FROM ranked WHERE rk = 1 AND n_members > 1
+""",
+    doc="Quality-aware canonical document per near-dup cluster: connected "
+    "components over the LSH pairs, keep the best member by "
+    "(quality-gate, length, id) instead of blind min-id.",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which duplicate SURVIVES matters as much as finding duplicates:
+    min-id keepers (``pipeline_curate``, reference-style) can discard a
+    clean page in favor of its boilerplate-wrapped twin. This ranks
+    every near-dup cluster's members by (passes the quality gate,
+    word count, doc_id) and keeps the top one — the quality-aware
+    representative selection production curation runs (RefinedWeb /
+    FineWeb keep one representative per MinHash cluster; pairing the
+    choice with a quality signal is the standard refinement).
+
+    Composition, all reused work: the cluster ids come from the same
+    min-label-propagation components (and session-shared LSH pair
+    artifact) as ``dedup_connected_components``; the quality features
+    are ``text_quality``'s exact expressions (integer form: stop_ratio
+    >= 0.02 becomes n_stop * 50 >= n_words — no float compare). The
+    only new work is one projection over documents and a row_number
+    window partitioned by component_id — duplicate clusters are tiny,
+    so no skew. Output: multi-member clusters only (singletons keep
+    themselves by definition).
+
+    Scale: components are the dominant cost and are already bounded to
+    edge-touching vertices; the argmax adds one |V|-row window, grouped
+    by cluster — at 100 TB the ranking shuffle is the corpus's (id,
+    features) projection, a few bytes per row."""
+    from .text import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(
+        docs.select("doc_id"), lsh_candidate_pairs(spark, sf_dir)
+    )
+    w = F.split("text", " ")
+    feats = docs.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).alias("n_stop"),
+    )
+    is_q = (
+        F.col("n_words").between(20, 95)
+        & (F.col("n_stop") * 50 >= F.col("n_words"))
+    ).cast("int")
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("component_id")
+    order = win.orderBy(
+        F.desc("is_q"), F.desc("n_words"), F.asc("doc_id")
+    )
+    return (
+        comp.join(feats, "doc_id")
+        .withColumn("is_q", is_q)
+        .withColumn("rk", F.row_number().over(order))
+        .withColumn("n_members", F.count(F.lit(1)).over(win))
+        .where((F.col("rk") == 1) & (F.col("n_members") > 1))
+        .select(
+            "component_id",
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("is_q").alias("kept_is_quality"),
+            F.col("n_words").cast("long").alias("kept_n_words"),
+        )
+    )

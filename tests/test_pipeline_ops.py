@@ -1189,3 +1189,37 @@ def test_gapfill_matches_pandas_replay(spark, sf_dir):
         got_locf = [round(float(x) * 100) if pd.notna(x) else None for x in g.locf_sum]
         exp_locf = [int(x) if pd.notna(x) else None for x in exp.cents.ffill()]
         assert got_locf == exp_locf
+
+
+def test_keep_best_picks_the_maximal_member(spark, sf_dir):
+    """dedup_keep_best: every kept doc must be a member of its cluster
+    and maximal under the (quality-gate, n_words, lowest-id) order —
+    replayed in Python from the components and raw word counts."""
+    from eventlog_spark.operators import dedup
+    from eventlog_spark.operators.text import STOPWORDS
+    from eventlog_spark.tables import load_table
+
+    kept = {
+        r.component_id: (r.kept_doc_id, r.kept_is_quality, r.kept_n_words, r.n_members)
+        for r in dedup.dedup_keep_best(spark, sf_dir).collect()
+    }
+    assert kept, "testdata should contain multi-member near-dup clusters"
+
+    comp = {
+        r.doc_id: r.component_id
+        for r in dedup.dedup_connected_components(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    members: dict = {}
+    for r in docs:
+        words = r.text.split(" ")
+        n_words = len(words)
+        n_stop = sum(1 for x in words if x in STOPWORDS)
+        is_q = int(20 <= n_words <= 95 and n_stop * 50 >= n_words)
+        members.setdefault(comp[r.doc_id], []).append((is_q, n_words, -r.doc_id, r.doc_id))
+    for cid, rows in members.items():
+        if len(rows) == 1:
+            assert cid not in kept  # singletons keep themselves implicitly
+            continue
+        best = max(rows)
+        assert kept[cid] == (best[3], best[0], best[1], len(rows))

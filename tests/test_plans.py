@@ -719,3 +719,13 @@ def test_gapfill_grid_is_metadata_sized(spark, sf_dir):
     assert "Generate" in plan  # sequence/explode grid
     assert "BroadcastHashJoin" in plan
     assert "windowspecdefinition(event_type" in plan
+
+
+def test_keep_best_window_is_cluster_partitioned(spark, sf_dir):
+    """dedup_keep_best: the argmax runs as a row_number window
+    partitioned by component_id (never a global sort), and the feature
+    join is a hash join — no cartesian anywhere."""
+    df = q(spark, sf_dir, "dedup_keep_best")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(component_id" in plan
