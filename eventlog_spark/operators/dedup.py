@@ -353,9 +353,22 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle reaches the same fixpoint as a recursive CTE (min over
     all reachable labels in the undirected graph)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = lsh_candidate_pairs(spark, sf_dir)
-    return connected_components(docs, pairs)
+    return doc_components_shared(spark, sf_dir)
+
+
+def doc_components_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component_id) over the LSH candidate graph, session-
+    shared: the min-label-propagation iterations run once per dataset
+    and serve every consumer (dedup_connected_components,
+    dedup_keep_best) — the same train-once/serve-many split as the ANN
+    artifacts, one tier up the dedup pipeline."""
+    from .artifacts import shared
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        return connected_components(docs, lsh_candidate_pairs(spark, sf_dir))
+
+    return shared(spark, sf_dir, "doc_components", build)
 
 
 def connected_components(
@@ -1254,9 +1267,10 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     FineWeb keep one representative per MinHash cluster; pairing the
     choice with a quality signal is the standard refinement).
 
-    Composition, all reused work: the cluster ids come from the same
-    min-label-propagation components (and session-shared LSH pair
-    artifact) as ``dedup_connected_components``; the quality features
+    Composition, all reused work: the cluster ids come from the
+    session-shared components artifact (ONE min-label-propagation run
+    serves this and ``dedup_connected_components``, which itself sits
+    on the shared LSH pair artifact); the quality features
     are ``text_quality``'s exact expressions (integer form: stop_ratio
     >= 0.02 becomes n_stop * 50 >= n_words — no float compare). The
     only new work is one projection over documents and a row_number
@@ -1271,9 +1285,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import STOPWORDS
 
     docs = load_table(spark, sf_dir, "documents")
-    comp = connected_components(
-        docs.select("doc_id"), lsh_candidate_pairs(spark, sf_dir)
-    )
+    comp = doc_components_shared(spark, sf_dir)
     w = F.split("text", " ")
     feats = docs.select(
         "doc_id",
