@@ -171,7 +171,7 @@ _FIRST_50 = [
     "stream_real_watermark_drop",
     "timeseries_gapfill",
     "dedup_keep_best",
-    # (b) latest driver check is round 1 — 8 of 26 (agg_distinct,
+    # (b) latest driver check is round 1 — 7 of 26 (agg_distinct,
     # agg_percentiles, array_collect_ops, date_functions, explode_unnest,
     # join_anti, join_asof, join_semi, q4_priority_late_ship,
     # q6_forecast_revenue, q7_volume_shipping, q8_market_share,
