@@ -83,6 +83,8 @@ def main() -> None:
         "ann_recall_report", "ann_lsh_multiprobe", "stream_real_availablenow",
         "stream_real_stateful",
         "multimodal_header_probe",
+        "stream_real_restart", "stream_real_join",
+        "stream_real_watermark_drop", "timeseries_gapfill", "dedup_keep_best",
     ]
     doc["queries"] = {k: timings[k] for k in headline if k in timings}
     doc["queries_full"] = "BENCH_local.json"
