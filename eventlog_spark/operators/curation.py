@@ -1728,6 +1728,67 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- BPE round-trip integrity (decode == original) -----------------------------
+
+
+@register(
+    "text_bpe_roundtrip",
+    oracle=f"""
+WITH {_bpe_chain_sql(BPE_MERGES)},
+base AS (
+    SELECT word, cnt, string_split(trim(sym), ' ') AS p FROM v{BPE_MERGES}
+),
+s1 AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab_words,
+           CAST(SUM(CASE WHEN array_to_string(p, '') = word
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_exact,
+           CAST(SUM(cnt) AS BIGINT) AS total_occurrences,
+           CAST(MAX(len(p)) AS BIGINT) AS max_tokens_per_word
+    FROM base
+),
+s2 AS (
+    SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS n_distinct_tokens
+    FROM (SELECT unnest(p) AS t FROM base)
+)
+SELECT * FROM s1 CROSS JOIN s2
+""",
+    doc="Tokenizer losslessness audit: decoding (concatenating) every "
+    "vocab word's BPE segmentation must reproduce the word exactly; "
+    "plus segmentation fan-out and distinct-subword counts.",
+)
+def text_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property a tokenizer must never lose: encode then decode is
+    the identity. BPE merges only ever CONCATENATE adjacent symbols, so
+    concatenating each word's final symbol sequence must rebuild the
+    word byte-for-byte — if a merge-table replay bug (wrong rank order,
+    boundary-space mishandling) ever corrupted a segmentation, this is
+    the query that catches it (``n_roundtrip_exact`` must equal
+    ``n_vocab_words``; a pytest asserts the invariant). Alongside the
+    identity check it reports the numbers a tokenizer card states:
+    distinct subword inventory and worst-case tokens per word.
+
+    Scale: runs entirely on the trained vocabulary artifact (the same
+    persisted table ``text_bpe_encode`` serves) — vocab-sized, corpus
+    never touched; the final combine is a broadcast of two one-row
+    aggregates. At 100 TB the cost is the artifact read."""
+    vocab = _bpe_persisted(spark, sf_dir)["bpe_vocab"]
+    base = vocab.select(
+        "word", "cnt", F.split(F.trim(F.col("sym")), " ").alias("p")
+    )
+    s1 = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab_words"),
+        F.sum((F.concat_ws("", F.col("p")) == F.col("word")).cast("int"))
+        .cast("long")
+        .alias("n_roundtrip_exact"),
+        F.sum("cnt").cast("long").alias("total_occurrences"),
+        F.max(F.size("p")).cast("long").alias("max_tokens_per_word"),
+    )
+    s2 = base.select(F.explode("p").alias("t")).agg(
+        F.countDistinct("t").cast("long").alias("n_distinct_tokens")
+    )
+    return s1.crossJoin(F.broadcast(s2))
+
+
 # -- BPE pair statistics (tokenizer-training prep) ----------------------------
 
 BPE_TOPK = 50

@@ -116,9 +116,9 @@ _loaded = False
 # join_anti, join_asof, join_semi, q4_priority_late_ship,
 # q6_forecast_revenue, q7_volume_shipping, q8_market_share,
 # q13_customer_distribution, q14_promo_revenue, q15_top_supplier,
-# q16_supplier_part_count, q17_small_quantity, q19_disjunctive_revenue
-# (displaced from the r1 set by the 12th and 14th-31st new queries),
-# text_* basics,
+# q16_supplier_part_count, q17_small_quantity, q19_disjunctive_revenue,
+# q20_part_promotion (displaced from the r1 set by the round-6 new
+# queries), text_* basics,
 # window_running_total, approx_*, join_broadcast_dim/range/skew,
 # chunk_overlap_windows, multimodal_manifest, dedup_embedding_cosine)
 # plus anything round 7 touches, oldest first.
@@ -171,14 +171,14 @@ _FIRST_50 = [
     "stream_real_watermark_drop",
     "timeseries_gapfill",
     "dedup_keep_best",
-    # (b) latest driver check is round 1 — 7 of 26 (agg_distinct,
+    "text_bpe_roundtrip",
+    # (b) latest driver check is round 1 — 6 of 26 (agg_distinct,
     # agg_percentiles, array_collect_ops, date_functions, explode_unnest,
     # join_anti, join_asof, join_semi, q4_priority_late_ship,
     # q6_forecast_revenue, q7_volume_shipping, q8_market_share,
     # q13_customer_distribution, q14_promo_revenue, q15_top_supplier,
-    # q16_supplier_part_count, q17_small_quantity, q19_disjunctive_revenue
-    # displaced to the round-7 note by the 14th-31st new queries)
-    "q20_part_promotion",
+    # q16_supplier_part_count, q17_small_quantity, q19_disjunctive_revenue,
+    # q20_part_promotion displaced to the round-7 note by the new queries)
     "q21_waiting_suppliers",
     "setop_except",
     "setop_intersect",

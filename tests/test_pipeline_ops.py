@@ -1223,3 +1223,15 @@ def test_keep_best_picks_the_maximal_member(spark, sf_dir):
             continue
         best = max(rows)
         assert kept[cid] == (best[3], best[0], best[1], len(rows))
+
+
+def test_bpe_roundtrip_is_lossless(spark, sf_dir):
+    """text_bpe_roundtrip: concatenating every vocab word's BPE
+    segmentation must reproduce the word — encode/decode is the
+    identity on the whole trained vocabulary."""
+    from eventlog_spark.operators import curation
+
+    row = curation.text_bpe_roundtrip(spark, sf_dir).collect()[0]
+    assert row.n_vocab_words > 0
+    assert row.n_roundtrip_exact == row.n_vocab_words
+    assert row.max_tokens_per_word >= 1

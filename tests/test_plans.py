@@ -729,3 +729,13 @@ def test_keep_best_window_is_cluster_partitioned(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "windowspecdefinition(component_id" in plan
+
+
+def test_bpe_roundtrip_is_vocab_sized(spark, sf_dir):
+    """text_bpe_roundtrip: runs on the trained vocabulary only — the
+    one-row aggregates combine via broadcast, never a raw cartesian."""
+    df = q(spark, sf_dir, "text_bpe_roundtrip")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row x 1-row combine
+    assert "HashAggregate" in plan
