@@ -34,6 +34,7 @@ import hashlib
 import json
 import os
 import shutil
+import time
 import uuid
 from collections.abc import Callable, Sequence
 
@@ -56,6 +57,15 @@ _CACHE: dict[tuple[str, str, str], DataFrame] = {}
 # constant and the artifact re-trains.
 
 ARTIFACT_VERSION = "1"
+
+# Superseded artifact dirs are garbage-collected ONLY once they are
+# older than this grace period (round-6 advice): a concurrent session
+# may still hold lazily-evaluated DataFrames over the old path (or be
+# mid-read), and deleting it at publish time would fail those jobs with
+# FileNotFoundException at execution time. Age-based deferral keeps the
+# warehouse bounded (dead dirs survive at most one grace window past
+# supersession) while giving in-flight readers a full window to drain.
+GC_GRACE_SECONDS = int(os.environ.get("SPARK_GRAFT_ARTIFACT_GC_GRACE", 6 * 3600))
 ARTIFACT_ROOT = os.environ.get(
     "SPARK_GRAFT_ARTIFACTS",
     os.path.join(
@@ -128,8 +138,10 @@ def persisted_bundle(
     # (hash of the dataset PATH) scopes garbage collection: different
     # datasets' artifacts coexist, while a NEW fingerprint for the same
     # (name, dataset) supersedes the old one — stale source data or
-    # changed trainer params — which is deleted, so the warehouse never
-    # accumulates dead directories across corpus refreshes.
+    # changed trainer params — which is deleted once it ages past
+    # GC_GRACE_SECONDS, so the warehouse never accumulates dead
+    # directories across corpus refreshes while in-flight readers of
+    # the superseded path get a full grace window to drain.
     dstag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     paths = {
         name: os.path.join(ARTIFACT_ROOT, f"{name}-{dstag}-{fp}")
@@ -155,9 +167,16 @@ def persisted_bundle(
                 shutil.rmtree(tmp, ignore_errors=True)  # concurrent writer won
             prefix = f"{name}-{dstag}-"
             keep = os.path.basename(path)
+            now = time.time()
             for d in os.listdir(ARTIFACT_ROOT):
                 if d.startswith(prefix) and d != keep and ".tmp-" not in d:
-                    shutil.rmtree(os.path.join(ARTIFACT_ROOT, d), ignore_errors=True)
+                    full = os.path.join(ARTIFACT_ROOT, d)
+                    try:
+                        age = now - os.path.getmtime(full)
+                    except OSError:
+                        continue  # already being removed by another process
+                    if age > GC_GRACE_SECONDS:
+                        shutil.rmtree(full, ignore_errors=True)
     return {name: spark.read.parquet(p) for name, p in paths.items()}
 
 

@@ -516,6 +516,31 @@ AUDIO_SCHEMA = (
     "duration_ms long, peak long, abs_sum long, sq_sum long, clip_count long"
 )
 
+
+def audio_features(doc_id: int, payload: bytes) -> tuple:
+    """One AUDIO_SCHEMA row from a WAV payload. Honors the decoder's
+    documented contract (round-6 advice): ``decode_wav_pcm`` returns
+    None for non-PCM16/invalid payloads, which becomes an all-zero
+    sentinel row — a malformed upload is flagged, never a task crash."""
+    import numpy as np
+
+    decoded = decode_wav_pcm(payload)
+    if decoded is None:
+        return (doc_id, 0, 0, 0, 0, 0, 0, 0, 0)
+    rate, ch, s = decoded
+    a = np.abs(s.astype(np.int64))
+    return (
+        doc_id,
+        rate,
+        ch,
+        len(s),
+        (len(s) // ch) * 1000 // rate,
+        int(a.max()) if len(a) else 0,
+        int(a.sum()),
+        int((a * a).sum()),
+        int((a >= AUDIO_CLIP).sum()),
+    )
+
 _V = _wav_sample_sql()
 
 
@@ -561,27 +586,12 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow map stage; payloads never leave their partition — the same
     plumbing real object-store audio would use, with the UDF fetching
     by URI instead of synthesizing."""
-    import numpy as np
-
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                rate, ch, s = decode_wav_pcm(bytes(p))
-                a = np.abs(s.astype(np.int64))
-                rows.append(
-                    (
-                        doc_id,
-                        rate,
-                        ch,
-                        len(s),
-                        (len(s) // ch) * 1000 // rate,
-                        int(a.max()),
-                        int(a.sum()),
-                        int((a * a).sum()),
-                        int((a >= AUDIO_CLIP).sum()),
-                    )
-                )
+            rows = [
+                audio_features(doc_id, bytes(p))
+                for doc_id, p in zip(pdf["doc_id"], pdf["payload"])
+            ]
             yield pd.DataFrame(
                 rows,
                 columns=[

@@ -75,15 +75,26 @@ def test_persisted_bundle_write_once_and_fingerprinting(
         spark, sf_dir, spec, build_all, inputs=("embeddings",), params="a"
     )
     assert calls["n"] == 1 and tabs2["tbl"].count() == 6
-    # changed training params → new fingerprint → retrain, and the
-    # SUPERSEDED fingerprint of the same (name, dataset) is GC'd — the
-    # warehouse holds exactly one live dir per artifact per dataset
+    # changed training params → new fingerprint → retrain. The
+    # SUPERSEDED fingerprint of the same (name, dataset) is NOT deleted
+    # immediately (round-6 advice: a concurrent session may still hold
+    # lazy DataFrames over the old path) — it survives the grace window…
     artifacts.persisted_bundle(
         spark, sf_dir, spec, build_all, inputs=("embeddings",), params="b"
     )
     assert calls["n"] == 2
     dirs = [p for p in os.listdir(tmp_path) if p.startswith("tbl-")]
-    assert len(dirs) == 1, f"stale fingerprint not GC'd: {dirs}"
+    assert len(dirs) == 2, f"superseded dir GC'd inside grace window: {dirs}"
+    # …and is GC'd once older than the grace period: with grace forced
+    # negative, the next publish sweeps every superseded fingerprint,
+    # leaving exactly one live dir per artifact per dataset.
+    monkeypatch.setattr(artifacts, "GC_GRACE_SECONDS", -1)
+    artifacts.persisted_bundle(
+        spark, sf_dir, spec, build_all, inputs=("embeddings",), params="c"
+    )
+    assert calls["n"] == 3
+    dirs = [p for p in os.listdir(tmp_path) if p.startswith("tbl-")]
+    assert len(dirs) == 1, f"stale fingerprints not GC'd past grace: {dirs}"
     # partition layout is real directory partitioning (file pruning)
     assert {"p=0", "p=1"} <= set(os.listdir(os.path.join(tmp_path, dirs[0])))
 
@@ -123,7 +134,7 @@ def test_bpe_served_cold_without_retraining(spark, sf_dir, tmp_path, monkeypatch
     def boom(*a, **k):
         raise AssertionError("BPE merge loop ran although tables exist")
 
-    monkeypatch.setattr(curation, "_bpe_vocab_rounds", boom)
+    monkeypatch.setattr(curation, "bpe_train_iterative", boom)
     second = {tuple(r) for r in curation.text_bpe_train(spark, sf_dir).collect()}
     assert first == second and first
     enc = curation.text_bpe_encode(spark, sf_dir)

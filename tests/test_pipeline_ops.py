@@ -916,6 +916,15 @@ def test_wav_decoder_matches_stdlib_wave(spark, sf_dir):
         assert list(samples) == want
 
 
+def test_wav_malformed_payload_yields_sentinel_row():
+    """decode_wav_pcm's documented None return (non-PCM16 / invalid WAV)
+    must surface as an all-zero sentinel row from audio_features, not a
+    TypeError inside the executor (round-6 advice)."""
+    for bad in (b"", b"RIFFxxxxWAVE", b"\x00" * 64, b"RIFF" + b"\x00" * 40):
+        assert multimodal.decode_wav_pcm(bad) is None
+        assert multimodal.audio_features(7, bad) == (7, 0, 0, 0, 0, 0, 0, 0, 0)
+
+
 def test_png_codec_roundtrip_filters_and_crc():
     """encode_png really emits all three cycling filter types and CRCs
     that a tampered byte breaks; decode_png recovers the exact formula
