@@ -152,6 +152,10 @@ class EventLog:
         self._initial = 0
         self._last_ts = 0
         self._stream_commits: dict[str, int] = {}  # foreachBatch idempotence
+        # Committed data-file manifest: the file names that make up the
+        # current snapshot, published atomically inside _state.json.
+        # None = legacy log (pre-manifest state file) → directory listing.
+        self._files: list[str] | None = None
         self._load_meta()
         self._load_state()
         # Orphan truncation deletes fragment rows above the committed
@@ -162,6 +166,12 @@ class EventLog:
         # uncontended flock.
         with self._commit_section():
             self._truncate_orphans()
+            if self.path is not None and self._files is None:
+                # Legacy log (no manifest in its state file): adopt the
+                # post-truncation directory listing as the manifest. The
+                # next commit publishes it; until then readers fall back
+                # to the same listing.
+                self._files = self._data_files()
 
     # -- lifecycle (O21/O22) ------------------------------------------------
 
@@ -210,6 +220,8 @@ class EventLog:
             self._stream_commits = {
                 str(k): int(v) for k, v in st.get("stream_commits", {}).items()
             }
+            files = st.get("files")
+            self._files = list(files) if files is not None else None
         except (FileNotFoundError, KeyError, ValueError):
             self._recover_state()
 
@@ -277,6 +289,8 @@ class EventLog:
                 continue
             if mn > latest:
                 os.remove(full)
+                if self._files is not None and fname in self._files:
+                    self._files.remove(fname)
             else:
                 import pyarrow.compute as pc
 
@@ -336,6 +350,11 @@ class EventLog:
             latest = int(st["latest_version"])
         except (FileNotFoundError, KeyError, ValueError):
             return
+        files = st.get("files")
+        if files is not None:
+            # adopted unconditionally: another process's COMPACTION swaps
+            # the file set without moving the head
+            self._files = list(files)
         if latest != self._latest:
             self._latest = latest
             self._initial = int(st["version_initial"])
@@ -346,29 +365,64 @@ class EventLog:
 
     def _write_state(self) -> None:
         tmp = self._state_path() + f".tmp.{uuid.uuid4().hex}"
+        st = {
+            "latest_version": self._latest,
+            "version_initial": self._initial,
+            "last_timestamp": self._last_ts,
+            "stream_commits": self._stream_commits,
+        }
+        if self._files is not None:
+            # the manifest rides in the same atomic publish as the head:
+            # a reader's (files, latest) pair is always one snapshot
+            st["files"] = self._files
         with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "latest_version": self._latest,
-                    "version_initial": self._initial,
-                    "last_timestamp": self._last_ts,
-                    "stream_commits": self._stream_commits,
-                },
-                f,
-            )
+            json.dump(st, f)
         os.replace(tmp, self._state_path())  # atomic publish
 
     def _read_raw(self) -> DataFrame | None:
-        if not any(f.endswith(".parquet") for f in self._data_files()):
+        """Snapshot read: the file set comes from the PUBLISHED manifest
+        (one atomic ``_state.json`` read), not a directory listing, so a
+        concurrent compaction — which publishes its rewritten file set
+        before deleting the fragments it replaced — can never show a
+        reader a torn half-swapped log. The reference serializes scans
+        against writes with an RWMutex (eventlog/file/file.go:221-228);
+        here readers stay lock-free and isolation comes from the
+        manifest being immutable-once-published."""
+        files = [f for f in self._manifest_files() if f.endswith(".parquet")]
+        if not files:
             return None
-        return self.spark.read.schema(EVENT_SCHEMA).parquet(self.path)
+        return self.spark.read.schema(EVENT_SCHEMA).parquet(
+            *[os.path.join(self.path, f) for f in files]
+        )
+
+    def _manifest_files(self) -> list[str]:
+        """The committed data-file set: freshest published manifest if
+        one exists, else this process's in-memory view (pre-publish
+        window of a legacy adoption), else the directory listing
+        (legacy log with no state file at all)."""
+        try:
+            with open(self._state_path()) as f:
+                files = json.load(f).get("files")
+            if files is not None:
+                return list(files)
+        except (FileNotFoundError, ValueError):
+            pass
+        if self._files is not None:
+            return list(self._files)
+        return self._data_files()
 
     def _data_files(self) -> list[str]:
+        """Directory listing minus files the deferred-deletion ledger has
+        retired (still on disk for straggler readers, but no longer part
+        of any snapshot — a recovery scan must not double-count them)."""
+        retired = {
+            f for batch in self._read_retired() for f in batch.get("files", [])
+        }
         try:
             return [
                 f
                 for f in os.listdir(self.path)
-                if not f.startswith(("_", "."))
+                if not f.startswith(("_", ".")) and f not in retired
             ]
         except FileNotFoundError:
             return []
@@ -496,13 +550,23 @@ class EventLog:
         tmp = os.path.join(self.path, "." + name + ".tmp")
         pq.write_table(tbl, tmp)
         os.rename(tmp, os.path.join(self.path, name))
+        if self._files is not None:
+            self._files.append(name)  # published by the caller's _write_state
 
     def _write_out(self, out: DataFrame) -> None:
         """Bulk-commit seam: persist an already-versioned, checksummed
         frame. The storage engines differ only here and in ``_read_raw``
         + the state/lifecycle hooks (the reference's engine seam,
         eventlog/eventlog.go EventLogger interface)."""
+        before = set(self._data_files()) if self._files is not None else None
         out.write.mode("append").parquet(self.path)
+        if self._files is not None:
+            # name discovery by directory diff: safe because every writer
+            # (this one included) holds the cross-process commit flock,
+            # so nothing else adds files during the window
+            self._files.extend(
+                sorted(f for f in self._data_files() if f not in before)
+            )
 
     def append_dataframe(
         self,
@@ -819,17 +883,95 @@ class EventLog:
         commit landing in another process mid-rewrite would have its
         fragment silently dropped. Inside the flock it also re-syncs to
         the published head first, so the rewrite includes every
-        committed row."""
+        committed row.
+
+        PUBLISH-BEFORE-DELETE (round-6 advice): the compacted files are
+        moved into the log dir under ``compact-…`` names, the manifest
+        swaps to them in ONE atomic ``_state.json`` publish, and only
+        then are the replaced fragments retired — into the deferred-
+        deletion ledger, not off the disk. A reader that pinned the old
+        manifest (or a straggler executing a pre-compaction DataFrame)
+        keeps reading the old files until ``vacuum`` reaps them after a
+        grace window; a reader that loads the new manifest sees exactly
+        the compacted set. No reader at any interleaving sees a partial
+        or doubled log — same contract the reference buys with its scan
+        RWMutex (eventlog/file/file.go:221-228), without blocking
+        readers. ``compact-`` names also keep the rewritten history out
+        of the tail stream's ``part-*`` glob (streams.py) so an active
+        subscriber is not re-delivered compacted rows as new files."""
         with self._commit_section():
+            self.vacuum()  # reap files retired by PREVIOUS compactions
             df = self.dataframe()
             if df.isEmpty():
                 return
             n = target_partitions or max(1, self.spark.sparkContext.defaultParallelism // 4)
             tmp = self.path + f".compact.{uuid.uuid4().hex}"
             df.repartitionByRange(n, "version").write.mode("overwrite").parquet(tmp)
-            for f in self._data_files():
-                os.remove(os.path.join(self.path, f))
-            for f in os.listdir(tmp):
-                if not f.startswith(("_", ".")):
-                    shutil.move(os.path.join(tmp, f), os.path.join(self.path, f))
+            old = list(self._files) if self._files is not None else self._data_files()
+            tag = uuid.uuid4().hex[:8]
+            new_files = []
+            for f in sorted(os.listdir(tmp)):
+                if f.startswith(("_", ".")):
+                    continue
+                name = f"compact-{tag}-{f}"
+                # dot-prefixed landing + rename: never a torn footer
+                landing = os.path.join(self.path, "." + name + ".tmp")
+                shutil.move(os.path.join(tmp, f), landing)
+                os.rename(landing, os.path.join(self.path, name))
+                new_files.append(name)
             shutil.rmtree(tmp, ignore_errors=True)
+            self._files = new_files
+            self._write_state()  # atomic manifest swap — the publish point
+            self._retire(old)
+
+    # Retired-but-not-deleted files wait out this grace window so
+    # straggler readers (a DataFrame built against the previous manifest,
+    # another process that loaded state just before the swap, a tail
+    # stream that has not yet picked the fragments up) can drain.
+    VACUUM_GRACE_SECONDS = int(os.environ.get("SPARK_GRAFT_LOG_GC_GRACE", 900))
+
+    def _retired_path(self) -> str:
+        return os.path.join(self.path, "_retired.json")
+
+    def _retire(self, files: list[str]) -> None:
+        """Record ``files`` in the deferred-deletion ledger (atomic
+        rewrite; caller holds the commit flock)."""
+        ledger = self._read_retired()
+        ledger.append({"ts": time.time(), "files": files})
+        tmp = self._retired_path() + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(ledger, f)
+        os.replace(tmp, self._retired_path())
+
+    def _read_retired(self) -> list[dict]:
+        try:
+            with open(self._retired_path()) as f:
+                return list(json.load(f))
+        except (FileNotFoundError, ValueError):
+            return []
+
+    def vacuum(self, grace_seconds: float | None = None) -> int:
+        """Delete retired data files older than the grace window; returns
+        the number of files removed. Run by ``compact`` itself (so the
+        ledger never grows past one compaction cycle) or manually with
+        ``grace_seconds=0`` when no readers can be live. The analog at
+        scale is a table format's VACUUM with a retention check."""
+        grace = self.VACUUM_GRACE_SECONDS if grace_seconds is None else grace_seconds
+        ledger, kept, removed = self._read_retired(), [], 0
+        now = time.time()
+        for batch in ledger:
+            if now - float(batch.get("ts", 0)) < grace:
+                kept.append(batch)
+                continue
+            for f in batch.get("files", []):
+                try:
+                    os.remove(os.path.join(self.path, f))
+                    removed += 1
+                except FileNotFoundError:
+                    pass
+        if kept != ledger:
+            tmp = self._retired_path() + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(kept, f)
+            os.replace(tmp, self._retired_path())
+        return removed

@@ -51,7 +51,20 @@ def log_tail_stream(
     orphans never commit and are dropped. The state file lives next to
     the data, so executors can read it wherever the log directory is
     reachable (local FS here, shared storage on a cluster)."""
-    raw = log.spark.readStream.schema(EVENT_SCHEMA).parquet(log.path)
+    # pathGlobFilter pins the stream to append fragments (``part-*``):
+    # a compaction rewrites history into ``compact-*`` files, and without
+    # the glob the file-stream source would discover those as NEW files
+    # and re-deliver every compacted row. With it, compaction is
+    # invisible to a live tail (fragments it retires stay on disk for
+    # the vacuum grace window, log.py:compact, so an in-flight batch
+    # still reads them). A tail started AFTER a compaction begins at the
+    # surviving fragments — it is a tail, not a replay; use scan() for
+    # history.
+    raw = (
+        log.spark.readStream.schema(EVENT_SCHEMA)
+        .option("pathGlobFilter", "part-*")
+        .parquet(log.path)
+    )
     if not committed_only:
         return raw
     state_path = os.path.join(log.path, "_state.json")

@@ -292,11 +292,96 @@ def test_compact_preserves_data(spark, tmp_path):
     files_before = [f for f in os.listdir(path) if f.endswith(".parquet")]
     before = sorted((r.version, r.label, r.payload) for r in log.dataframe().collect())
     log.compact(target_partitions=1)
-    files_after = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    # publish-before-delete: the 8 fragments are RETIRED (still on disk
+    # for straggler readers) but out of the manifest; the snapshot is
+    # served by the compacted file alone
+    manifest = log._manifest_files()
+    assert len([f for f in manifest if f.endswith(".parquet")]) < len(files_before)
+    assert all(f.startswith("compact-") for f in manifest)
+    on_disk = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(on_disk) == len(files_before) + len(manifest)  # retired kept
     after = sorted((r.version, r.label, r.payload) for r in log.dataframe().collect())
     assert before == after
-    assert len(files_after) < len(files_before)
     assert log.check_integrity().collect()[0].checksum_violations == 0
+    # vacuum past the grace window reaps exactly the retired fragments
+    assert log.vacuum(grace_seconds=0) == len(files_before)
+    on_disk = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert sorted(on_disk) == sorted(manifest)
+    assert before == sorted(
+        (r.version, r.label, r.payload) for r in log.dataframe().collect()
+    )
+
+
+def test_compaction_snapshot_isolation_for_pinned_reader(spark, tmp_path):
+    """Round-6 advice (log.py:830): a reader holding a pre-compaction
+    DataFrame keeps a consistent snapshot across compact() — the files
+    it pinned stay on disk until vacuum's grace window passes — and a
+    reader built after the swap sees every row exactly once."""
+    path = str(tmp_path / "iso")
+    log = EventLog.create(spark, path)
+    for i in range(6):
+        log.append(f"e{i}", f'{{"i":{i}}}')
+    pinned = log.dataframe()  # file list resolved against the old manifest
+    assert pinned.count() == 6
+    log.compact(target_partitions=1)
+    log.append("post", '{"i":99}')
+    # the pinned snapshot still executes (old fragments deferred-deleted)
+    # and still sees its own consistent world: versions 1..6 exactly once
+    got = sorted(r.version for r in pinned.where("version <= 6").collect())
+    assert got == [1, 2, 3, 4, 5, 6]
+    # a fresh reader sees the full log exactly once across old+new files
+    fresh = sorted(r.version for r in log.dataframe().collect())
+    assert fresh == [1, 2, 3, 4, 5, 6, 7]
+
+
+def test_concurrent_scans_during_compaction(spark, tmp_path):
+    """The reference serializes scans against writes with an RWMutex
+    (eventlog/file/file.go:221-228); our readers are lock-free manifest
+    readers. Proof: scans racing an append+compact+append sequence only
+    ever observe dense 1..k prefixes — never a missing fragment, a
+    doubled row, or a FileNotFound from the file swap."""
+    import threading
+
+    path = str(tmp_path / "race")
+    log = EventLog.create(spark, path)
+    for i in range(5):
+        log.append(f"e{i}", f'{{"i":{i}}}')
+
+    errors: list[Exception] = []
+    snapshots: list[list[int]] = []
+    stop = threading.Event()
+
+    def reader():
+        reader_log = EventLog.open(spark, path)  # own process-like view
+        while not stop.is_set():
+            try:
+                vs = sorted(r.version for r in reader_log.dataframe().collect())
+                snapshots.append(vs)
+            except Exception as exc:  # noqa: BLE001 — the test's subject
+                errors.append(exc)
+                return
+
+    threads = [threading.Thread(target=reader) for _ in range(2)]
+    for t in threads:
+        t.start()
+    try:
+        for i in range(5, 9):
+            log.append(f"e{i}", f'{{"i":{i}}}')
+        log.compact(target_partitions=1)
+        for i in range(9, 12):
+            log.append(f"e{i}", f'{{"i":{i}}}')
+        log.compact(target_partitions=1)
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()
+    assert not errors, errors
+    assert snapshots
+    for vs in snapshots:
+        assert vs == list(range(1, len(vs) + 1)), vs  # dense prefix, no dupes
+    # retired-fragment bookkeeping: both compactions' fragments reaped
+    assert log.vacuum(grace_seconds=0) > 0
+    assert sorted(r.version for r in log.dataframe().collect()) == list(range(1, 13))
 
 
 def test_hex_version_codec():
