@@ -1498,11 +1498,22 @@ ORDER BY rank
     "the learned merge table in rank order.",
 )
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The LOOP that text_bpe_pair_counts is one step of — actual BPE
-    tokenizer training [Sennrich+ '16]: greedily take the most frequent
-    adjacent symbol pair (weighted by word count), merge it everywhere,
-    repeat. Returns the learned merge table (rank, pair, merged symbol,
-    count at merge time) — the artifact a tokenizer ships.
+    """The LOOP that text_bpe_pair_counts is one step of — BPE tokenizer
+    training [Sennrich+ '16]: greedily take the most frequent adjacent
+    symbol pair (weighted by word count), merge it, repeat. Returns the
+    learned merge table (rank, pair, merged symbol, count at merge
+    time) — the artifact a tokenizer ships.
+
+    KNOWN DEVIATION (round-6 advice, deliberate): a merge applies as a
+    single non-overlapping string ``replace`` pass, so occurrences that
+    share a boundary under-merge — in ``a a a a a`` only ``aa a aa``
+    merges this round (real BPE folds left-to-right to ``aa aa a``),
+    and alternating runs like ``banana``'s ``n a n a`` merge one pair
+    per round instead of both. Both engines replay the identical
+    replace, so results stay deterministic and oracle-matched; this
+    query is the ORACLE-REPLAYABLE DEMO of the loop. The production
+    trainer with exact Sennrich fold semantics (and constant plan depth)
+    is ``operators/bpe_scale.py`` / ``text_bpe_train_scaled``.
 
     Spark-first shape: the corpus collapses to its VOCABULARY first
     (one token shuffle with map-side combine), so every training round

