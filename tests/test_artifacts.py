@@ -134,8 +134,34 @@ def test_bpe_served_cold_without_retraining(spark, sf_dir, tmp_path, monkeypatch
     def boom(*a, **k):
         raise AssertionError("BPE merge loop ran although tables exist")
 
-    monkeypatch.setattr(curation, "bpe_train_iterative", boom)
+    monkeypatch.setattr(curation, "_bpe_vocab_rounds", boom)
     second = {tuple(r) for r in curation.text_bpe_train(spark, sf_dir).collect()}
     assert first == second and first
     enc = curation.text_bpe_encode(spark, sf_dir)
     assert enc.count() > 0  # encode also serves from the vocab table
+
+
+def test_scaled_bpe_served_cold_without_retraining(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Same offline/online split for the ITERATIVE trainer: once its
+    merge/vocab tables are persisted, a new session must serve
+    text_bpe_train_scaled without re-entering the training loop."""
+    from eventlog_spark.operators import bpe_scale
+
+    monkeypatch.setattr(artifacts, "ARTIFACT_ROOT", str(tmp_path))
+    monkeypatch.setattr(artifacts, "_CACHE", {})
+    first = {
+        tuple(r) for r in bpe_scale.text_bpe_train_scaled(spark, sf_dir).collect()
+    }
+
+    monkeypatch.setattr(artifacts, "_CACHE", {})  # fresh session
+
+    def boom(*a, **k):
+        raise AssertionError("iterative trainer ran although tables exist")
+
+    monkeypatch.setattr(bpe_scale, "bpe_train_iterative", boom)
+    second = {
+        tuple(r) for r in bpe_scale.text_bpe_train_scaled(spark, sf_dir).collect()
+    }
+    assert first == second and first

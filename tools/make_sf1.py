@@ -15,7 +15,8 @@ nation/region are scale-invariant.
 
 Output: /root/repo/.bench/sf1/*.parquet (git-ignored). Usage:
 
-    python tools/make_sf1.py
+    python tools/make_sf1.py                      # sf1 (10x), the default
+    python tools/make_sf1.py --replicas 30 --name sf3   # the next decade
     SPARK_GRAFT_SF_DIR=/root/repo/.bench/sf1 python bench.py
 """
 
@@ -27,8 +28,19 @@ import sys
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench", "sf1")
-REPLICAS = 10
+_BENCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench"
+)
+
+
+def _arg(flag: str, default: str) -> str:
+    return (
+        sys.argv[sys.argv.index(flag) + 1] if flag in sys.argv else default
+    )
+
+
+REPLICAS = int(_arg("--replicas", "10"))
+DST = os.path.join(_BENCH, _arg("--name", "sf1"))
 
 # per-table: (key columns to offset, stride source table)  — stride =
 # max(key)+1 of the REFERENCED table so copies never collide
