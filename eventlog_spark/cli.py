@@ -106,6 +106,22 @@ def main(argv: list[str] | None = None) -> int:
     p_scan.add_argument("-n", type=int, default=0)
     p_scan.add_argument("--reverse", action="store_true")
 
+    p_compact = sub.add_parser(
+        "compact", help="rewrite commit fragments into few large files"
+    )
+    p_compact.add_argument("path")
+    p_compact.add_argument("--partitions", type=int, default=None)
+
+    p_vacuum = sub.add_parser(
+        "vacuum", help="delete compaction-retired files past the grace window"
+    )
+    p_vacuum.add_argument("path")
+    p_vacuum.add_argument(
+        "--grace", type=float, default=None,
+        help="seconds retired files must age before deletion "
+        "(default: SPARK_GRAFT_LOG_GC_GRACE or 900; 0 = reap now)",
+    )
+
     args = ap.parse_args(argv)
 
     # remote `version <url>` needs no Spark session at all (cli.go:113-124)
@@ -206,6 +222,17 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+        return 0
+
+    if args.cmd == "compact":
+        log.compact(target_partitions=args.partitions)
+        manifest = [f for f in log._manifest_files() if f.endswith(".parquet")]
+        print(json.dumps({"files": len(manifest)}))
+        return 0
+
+    if args.cmd == "vacuum":
+        removed = log.vacuum(grace_seconds=args.grace)
+        print(json.dumps({"removed": removed}))
         return 0
 
     return 2

@@ -47,3 +47,25 @@ def test_cli_roundtrip(spark, tmp_path, capsys):
 def test_cli_bad_metadata_flag(tmp_path):
     with pytest.raises(SystemExit):
         cli.main(["create", str(tmp_path / "x"), "-m", "no-colon"])
+
+
+def test_cli_compact_and_vacuum(spark, tmp_path, capsys):
+    """`compact` swaps the manifest to few large files and `vacuum
+    --grace 0` reaps the retired fragments; data and integrity survive."""
+    path = str(tmp_path / "clog")
+    run(capsys, "create", path)
+    for i in range(5):
+        run(capsys, "append", path, f"e{i}", f'{{"i":{i}}}')
+
+    code, out = run(capsys, "compact", path, "--partitions", "1")
+    assert code == 0 and json.loads(out) == {"files": 1}
+
+    code, out = run(capsys, "vacuum", path, "--grace", "0")
+    assert code == 0 and json.loads(out)["removed"] == 5
+
+    code, out = run(capsys, "check", path)
+    assert code == 0
+
+    code, out = run(capsys, "scan", path)
+    lines = [json.loads(line) for line in out.strip().splitlines()]
+    assert [e["version"] for e in lines] == ["1", "2", "3", "4", "5"]

@@ -405,3 +405,40 @@ def test_stream_restart_recovers_state_and_reads_only_delta(spark, sf_dir):
         for r in stream_threshold_alert(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_tail_stream_unaffected_by_compaction(spark, tmp_path):
+    """streams.py pins the file source to ``part-*`` so a compaction —
+    which rewrites all history into ``compact-*`` files and retires the
+    fragments into the vacuum ledger — neither re-delivers compacted
+    rows as new files nor breaks an in-flight tail. Sequence: tail
+    drains 1-3, compact, append 4-5, drain again → exactly 4-5, once."""
+    log = EventLog.create(spark, str(tmp_path / "log"))
+    log.append_multi([("a", '{"x":1}'), ("b", '{"x":2}'), ("c", '{"x":3}')])
+
+    got: list[int] = []
+
+    def drain():
+        q = (
+            streams.log_tail_stream(log, commit_wait=0.3)
+            .writeStream.foreachBatch(
+                lambda b, _: got.extend(r.version for r in b.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q, timeout=120)
+
+    drain()
+    assert sorted(got) == [1, 2, 3]
+    log.compact(target_partitions=1)
+    log.append_multi([("d", '{"x":4}'), ("e", '{"x":5}')])
+    drain()
+    # compacted history NOT re-delivered; the two new fragments are
+    assert sorted(got) == [1, 2, 3, 4, 5]
+    # and vacuuming the retired fragments doesn't disturb a later drain
+    log.vacuum(grace_seconds=0)
+    log.append("f", '{"x":6}')
+    drain()
+    assert sorted(got) == [1, 2, 3, 4, 5, 6]
