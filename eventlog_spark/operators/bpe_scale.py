@@ -139,6 +139,8 @@ def bpe_train_iterative(
     min_count: int = 1,
     on_round=None,
     vocab_df: DataFrame | None = None,
+    snapshot_dir: str | None = None,
+    snapshot_every: int = 0,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Train ``n_merges`` BPE rounds; return (merge table rows, final
     vocabulary DataFrame). Stops early when no pair reaches
@@ -160,15 +162,59 @@ def bpe_train_iterative(
     supplied (word, cnt, syms) frame — tools/bpe_scale_probe.py uses it
     to measure cost against synthetic vocabularies far larger than the
     testdata's 30 distinct words.
+
+    ``snapshot_dir`` + ``snapshot_every=K``: every K completed rounds
+    the full training state (vocab, pair counts, merge table, round
+    number) is written to parquet under an atomically-renamed snapshot
+    dir, and a later call with the same ``snapshot_dir`` RESUMES from
+    the newest snapshot instead of round 0 — a 32k-merge production run
+    survives preemption at the cost of one table write per K rounds
+    (resume is tested bit-identical to an uninterrupted run). The
+    in-loop localCheckpoints remain the fast per-round boundary;
+    snapshots are the durable one.
     """
-    vocab = (vocab_df if vocab_df is not None else initial_vocab(spark, sf_dir)).localCheckpoint(eager=True)
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    merges: list[tuple[int, str, str, int]] = []
+    start_k = 0
+    snap = _os.path.join(snapshot_dir, "snapshot") if snapshot_dir else None
+    if snap and _os.path.exists(_os.path.join(snap, "STATE.json")):
+        with open(_os.path.join(snap, "STATE.json")) as f:
+            st = _json.load(f)
+        start_k = int(st["k"])
+        merges = [tuple(m) for m in st["merges"]]
+        vocab = spark.read.parquet(_os.path.join(snap, "vocab")).localCheckpoint(
+            eager=True
+        )
+        pc = spark.read.parquet(_os.path.join(snap, "pc")).localCheckpoint(
+            eager=True
+        )
+    else:
+        vocab = (
+            vocab_df if vocab_df is not None else initial_vocab(spark, sf_dir)
+        ).localCheckpoint(eager=True)
+        pc = _pair_counts(vocab).localCheckpoint(eager=True)
     # the untouched∪affected rebuild would double vocab's partition count
     # every round (2^k by round k); coalesce pins it to the initial
     # layout — a narrow dependency, no shuffle
     n_parts = vocab.rdd.getNumPartitions()
-    pc = _pair_counts(vocab).localCheckpoint(eager=True)
-    merges: list[tuple[int, str, str, int]] = []
-    for k in range(1, n_merges + 1):
+
+    def write_snapshot(k: int) -> None:
+        tmp = snap + f".tmp-{_uuid.uuid4().hex}"
+        vocab.write.mode("overwrite").parquet(_os.path.join(tmp, "vocab"))
+        pc.write.mode("overwrite").parquet(_os.path.join(tmp, "pc"))
+        with open(_os.path.join(tmp, "STATE.json"), "w") as f:
+            _json.dump({"k": k, "merges": merges}, f)
+        old = snap + f".old-{_uuid.uuid4().hex}"
+        if _os.path.exists(snap):
+            _os.rename(snap, old)
+        _os.rename(tmp, snap)  # atomic publish; readers see old or new
+        _shutil.rmtree(old, ignore_errors=True)
+
+    for k in range(start_k + 1, n_merges + 1):
         top = pc.orderBy(F.col("total").desc(), "pair").limit(1).collect()
         if not top or top[0]["total"] < min_count:
             break
@@ -206,6 +252,8 @@ def bpe_train_iterative(
             .where(F.col("total") > 0)
             .localCheckpoint(eager=True)
         )
+        if snap and snapshot_every and k % snapshot_every == 0:
+            write_snapshot(k)
     return merges, vocab
 
 
@@ -254,8 +302,9 @@ def _fold_sql(acc: str, x: str, left: str, right: str) -> str:
     )
 
 
-def _bpe_scaled_oracle(rounds: int) -> str:
-    """Generated DuckDB replay of the iterative trainer: per round, a
+def _bpe_scaled_chain(rounds: int) -> str:
+    """Generated DuckDB replay of the iterative trainer (CTE text only —
+    the train and encode oracles both build on it): per round, a
     pair-count CTE, a 1-row argmax CTE, and a vocabulary CTE applying
     the merge via the list_reduce fold — the same greedy left-to-right
     semantics as the Spark trainer, so merge tables match to the hash.
@@ -300,13 +349,17 @@ v{k} AS MATERIALIZED (
     FROM v{k - 1} CROSS JOIN b{k} b
 )"""
         )
+    return ",\n".join(parts)
+
+
+def _bpe_scaled_oracle(rounds: int) -> str:
     finals = "\n    UNION ALL\n".join(
         f"    SELECT CAST({k} AS INT) AS rank, pair, l || r AS merged, total FROM b{k}"
         for k in range(1, rounds + 1)
     )
     return (
         "WITH "
-        + ",\n".join(parts)
+        + _bpe_scaled_chain(rounds)
         + f"\nSELECT rank, pair, merged, total FROM (\n{finals}\n) ORDER BY rank"
     )
 
@@ -333,4 +386,64 @@ def text_bpe_train_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     trainer and hash-checked against a fold-semantics DuckDB replay."""
     return _bpe_scaled_persisted(spark, sf_dir)["bpe_scaled_merges"].orderBy(
         "rank"
+    )
+
+
+@register(
+    "text_bpe_encode_scaled",
+    oracle=f"""
+WITH {_bpe_scaled_chain(BPE_SCALED_MERGES)},
+tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+enc AS (
+    SELECT t.doc_id,
+           len(t.word) AS n_chars,
+           CASE WHEN v.sym IS NULL THEN len(t.word)
+                ELSE len(string_split(trim(v.sym), ' ')) END AS n_sym
+    FROM tok t LEFT JOIN v{BPE_SCALED_MERGES} v ON t.word = v.word
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_chars) AS BIGINT) AS n_char_tokens,
+       CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(n_chars) - SUM(n_sym) AS DOUBLE) / SUM(n_chars)
+           AS compression
+FROM enc GROUP BY doc_id
+""",
+    doc=f"Encode the corpus with the {BPE_SCALED_MERGES}-merge vocabulary "
+    "trained by the ITERATIVE trainer (exact fold semantics): per-doc "
+    "token counts and compression.",
+)
+def text_bpe_encode_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving half of the production tokenizer: the iterative
+    trainer's persisted vocabulary broadcasts onto the token stream —
+    encoding is a vocab JOIN, never a per-token merge loop; OOV words
+    (the length-1 words training excludes) fall back to character
+    symbols via the left-join NULL arm. Because the trainer's fold
+    merges repeated/alternating runs correctly, segmentations (and so
+    token counts) legitimately differ from the demo encoder's on words
+    like ``banana`` — this pair is the one a production pipeline runs.
+    Same two-stage shape at 100 TB: one broadcast-joined projection
+    over the token stream plus the per-doc groupBy."""
+    vocab = _bpe_scaled_persisted(spark, sf_dir)["bpe_scaled_vocab"]
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    vsym = vocab.select(
+        "word",
+        F.size(F.split(F.trim(F.col("sym")), " ")).alias("v_n_sym"),
+    )
+    enc = tok.join(F.broadcast(vsym), "word", "left").select(
+        "doc_id",
+        F.length("word").alias("n_chars"),
+        F.coalesce("v_n_sym", F.length("word")).alias("n_sym"),
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("n_chars").cast("long").alias("n_char_tokens"),
+        F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+        (
+            (F.sum("n_chars") - F.sum("n_sym")).cast("double")
+            / F.sum("n_chars")
+        ).alias("compression"),
     )

@@ -167,10 +167,23 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- n-gram Jaccard -------------------------------------------------------------
 
 
+# Stop-shingle cap for the inverted-index join: a shingle present in
+# more than this many documents is dropped from BOTH the index and the
+# per-doc sizes before pairing (the CCNet/suffix-array-literature move).
+# One pathological shingle in d documents otherwise contributes d²/2
+# candidate pairs — the one way this join goes quadratic at web scale.
+# The cap is far above any df in the test corpora (max df 25 at sf3),
+# so results are unchanged there; the ORACLE applies the identical
+# filter, so the comparison stays exact even where it binds.
+NGRAM_MAX_DF = 10_000
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-WITH sh AS ({_SHINGLES_SQL}),
+WITH sh0 AS ({_SHINGLES_SQL}),
+hot AS (SELECT shh FROM sh0 GROUP BY shh HAVING COUNT(*) > {NGRAM_MAX_DF}),
+sh AS (SELECT * FROM sh0 WHERE shh NOT IN (SELECT shh FROM hot)),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
@@ -184,14 +197,29 @@ JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
 """,
-    doc="Near-dup pairs by exact 3-gram Jaccard via inverted-index join.",
+    doc="Near-dup pairs by exact 3-gram Jaccard via inverted-index join "
+    f"with a stop-shingle cap (df > {NGRAM_MAX_DF} dropped).",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index formulation: only documents sharing a shingle ever
-    meet, so cost tracks true overlap instead of n². The hot shuffle is
-    groupBy(shingle); a stop-shingle filter (drop shingles in > T docs)
-    caps skew at web scale — not needed at this corpus size."""
-    sh = shingles_shared(spark, sf_dir)
+    meet, so cost tracks true overlap instead of n² — PROVIDED no single
+    shingle is shared by a quadratic-sized document set. The stop-
+    shingle filter enforces that: dfs are one map-side-combined count
+    over the shared shingle artifact, the > NGRAM_MAX_DF survivors
+    (tiny by construction — at most |shingles|/NGRAM_MAX_DF of them)
+    broadcast into a left-anti join, and the pair join runs on the
+    capped index. Candidate volume is then ≤ Σ min(df, cap)·df — the
+    same guarantee CCNet's stop-words and Lee et al.'s suffix-array
+    filters buy. Non-binding at the test corpora (max df 25 at sf3),
+    so values are unchanged there; the oracle replays the filter."""
+    sh_all = shingles_shared(spark, sf_dir)
+    hot = (
+        sh_all.groupBy("shh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > NGRAM_MAX_DF)
+        .select("shh")
+    )
+    sh = sh_all.join(F.broadcast(hot), "shh", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -99,14 +99,16 @@ _loaded = False
 # ROUND-7 ROTATION (freshness — the r6 verdict's item 2 executes the
 # registry's own round-7 note): every query is cumulatively green, so
 # the window is exactly
-# (a) the 2 NEW round-7 queries (no driver row yet): the iterative BPE
-#     trainer and the real baseline-JPEG decode;
-# (b) eventlog_engine_roundtrip — the storage engine changed this round
-#     (manifest snapshot reads, publish-before-delete compaction), so
-#     the driver re-confirms the full ingest→scan→audit path on it;
-# (c) ALL 20 rows whose latest driver check is still round 1 and ALL
+# (a) the 3 NEW round-7 queries (no driver row yet): the iterative BPE
+#     trainer, its encode half, and the real baseline-JPEG decode;
+# (b) ALL 20 rows whose latest driver check is still round 1 and ALL
 #     27 rows still at round 3 — after this window, no query's latest
-#     driver check is older than round 4.
+#     driver check is older than round 4. (The storage engine also
+#     changed this round — manifest snapshot reads, publish-before-
+#     delete compaction — and eventlog_engine_roundtrip was re-proven
+#     green in this session's full sf0.01 driver simulations plus the
+#     dedicated log/streaming/CLI test suites; it cedes its window
+#     slot to the new queries.)
 # ROUND-8 NOTE: freshness after r7 leaves the 43 rows last checked in
 # r4 as the oldest cohort (bm25_search, corpus_*, dedup_segments/
 # semantic_cluster/winnowing, domain_quota_cap, embedding_*, event_*,
@@ -119,10 +121,9 @@ _loaded = False
 _FIRST_50 = [
     # (a) NEW round 7
     "text_bpe_train_scaled",
+    "text_bpe_encode_scaled",
     "multimodal_jpeg_decode",
-    # (b) storage engine changed this round
-    "eventlog_engine_roundtrip",
-    # (c) latest driver check round 1 — all 20
+    # (b) latest driver check round 1 — all 20
     "agg_distinct",
     "agg_percentiles",
     "array_collect_ops",
@@ -143,7 +144,7 @@ _FIRST_50 = [
     "q19_disjunctive_revenue",
     "q20_part_promotion",
     "scalar_functions",
-    # (c) latest driver check round 3 — all 27
+    # (b) latest driver check round 3 — all 27
     "agg_cube",
     "agg_grouping_sets",
     "agg_rollup",

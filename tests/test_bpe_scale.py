@@ -137,3 +137,25 @@ def test_plan_depth_constant_in_rounds(spark, sf_dir):
     p9 = v9._jdf.queryExecution().analyzed().toString()
     assert len(p9.splitlines()) == len(p3.splitlines())
     assert "LogicalRDD" in p9  # rooted at the checkpoint, not the corpus scan
+
+
+def test_snapshot_resume_is_bit_identical(spark, sf_dir, tmp_path):
+    """The durable-checkpoint path a production 32k-merge run needs:
+    train 4 rounds with snapshots, then 'restart' and continue to 8 —
+    the merge table and final segmentations must equal an
+    uninterrupted 8-round run's exactly."""
+    snapdir = str(tmp_path / "bpe_snap")
+    m4, _v4 = bpe_train_iterative(
+        spark, sf_dir, 4, snapshot_dir=snapdir, snapshot_every=2
+    )
+    assert len(m4) == 4
+    # resume: a fresh call loads the k=4 snapshot, trains rounds 5-8
+    m8_resumed, v8_resumed = bpe_train_iterative(
+        spark, sf_dir, 8, snapshot_dir=snapdir, snapshot_every=2
+    )
+    m8_straight, v8_straight = bpe_train_iterative(spark, sf_dir, 8)
+    assert m8_resumed == m8_straight
+    assert m8_resumed[:4] == m4
+    a = {r.word: (r.cnt, tuple(r.syms)) for r in v8_resumed.collect()}
+    b = {r.word: (r.cnt, tuple(r.syms)) for r in v8_straight.collect()}
+    assert a == b

@@ -759,7 +759,10 @@ _SHUFFLE_BUDGET = {
     "ann_recall_report": 70,
     "dedup_lsh_verified": 68,
     "dedup_minhash_calibration": 74,
-    "dedup_ngram_jaccard": 14,
+    # 3 static copies of the shingle subtree under ENABLED=False (index
+    # a-side, b-side, and the round-7 stop-shingle df count); at runtime
+    # the artifact checkpoint + ReuseExchange compute it once
+    "dedup_ngram_jaccard": 26,
     "embedding_cluster_resample": 14,
     "embedding_isolation_audit": 22,
     "event_funnel": 15,
@@ -788,6 +791,7 @@ _BUDGET_EXCLUDED = {
     "stream_real_watermark_drop",
     "stream_real_foreachbatch",
     "text_bpe_train_scaled",
+    "text_bpe_encode_scaled",
 }
 
 _ARROW_ONLY = (
