@@ -99,17 +99,21 @@ _loaded = False
 # ROUND-7 ROTATION (freshness — the r6 verdict's item 2 executes the
 # registry's own round-7 note): every query is cumulatively green, so
 # the window is exactly
-# (a) the 3 NEW round-7 queries (no driver row yet): the iterative BPE
-#     trainer, its encode half, and the real baseline-JPEG decode;
-# (b) ALL 20 rows whose latest driver check is still round 1 and ALL
-#     27 rows still at round 3 — after this window, no query's latest
-#     driver check is older than round 4. (The storage engine also
-#     changed this round — manifest snapshot reads, publish-before-
-#     delete compaction — and eventlog_engine_roundtrip was re-proven
-#     green in this session's full sf0.01 driver simulations plus the
-#     dedicated log/streaming/CLI test suites; it cedes its window
-#     slot to the new queries.)
-# ROUND-8 NOTE: freshness after r7 leaves the 43 rows last checked in
+# (a) the 4 NEW round-7 queries (no driver row yet): the iterative BPE
+#     trainer, its encode half, the real baseline-JPEG decode, and the
+#     MJPEG/AVI video frame-sample decode;
+# (b) ALL 20 rows whose latest driver check is still round 1 and 26 of
+#     the 27 rows still at round 3 — after this window, no query's
+#     latest driver check is older than round 4 except
+#     multimodal_manifest (a trivial projection; it ceded its slot to
+#     the new video query and rotates in round 8). (The storage engine
+#     also changed this round — manifest snapshot reads, publish-
+#     before-delete compaction — and eventlog_engine_roundtrip was
+#     re-proven green in this session's full sf0.01 driver simulations
+#     plus the dedicated log/streaming/CLI test suites; it likewise
+#     cedes its window slot to the new queries.)
+# ROUND-8 NOTE: freshness after r7 leaves multimodal_manifest (r3) and
+# the 43 rows last checked in
 # r4 as the oldest cohort (bm25_search, corpus_*, dedup_segments/
 # semantic_cluster/winnowing, domain_quota_cap, embedding_*, event_*,
 # incremental_agg_merge, merge_upsert_orders, pack_token_budget,
@@ -123,6 +127,7 @@ _FIRST_50 = [
     "text_bpe_train_scaled",
     "text_bpe_encode_scaled",
     "multimodal_jpeg_decode",
+    "multimodal_video_frames",
     # (b) latest driver check round 1 — all 20
     "agg_distinct",
     "agg_percentiles",
@@ -144,7 +149,8 @@ _FIRST_50 = [
     "q19_disjunctive_revenue",
     "q20_part_promotion",
     "scalar_functions",
-    # (b) latest driver check round 3 — all 27
+    # (b) latest driver check round 3 — 26 of 27 (multimodal_manifest
+    # ceded its slot to multimodal_video_frames; rotates round 8)
     "agg_cube",
     "agg_grouping_sets",
     "agg_rollup",
@@ -156,7 +162,6 @@ _FIRST_50 = [
     "join_range",
     "join_skew_salted",
     "json_extract",
-    "multimodal_manifest",
     "q22_idle_customers",
     "sample_hash_stats",
     "stream_dedup",

@@ -1287,3 +1287,61 @@ def test_jpeg_decoder_rejects_corruption():
 
     _, _, ref = multimodal.decode_jpeg(b)
     assert np.array_equal(img, ref)
+
+
+def test_avi_mjpeg_roundtrip_and_frame_sampling():
+    """The MJPEG/AVI container round-trips: the independent RIFF walker
+    recovers the header fields and exactly the frames the writer
+    embedded (each a valid baseline JPEG whose pixels match the seeded
+    formula), and stride sampling picks the expected subset."""
+    for doc_id in (0, 3, 11):
+        b = multimodal.encode_avi_mjpeg(doc_id)
+        meta, frames = multimodal.decode_avi(b)
+        n = multimodal.avi_n_frames(doc_id)
+        assert meta["n_frames"] == n == len(frames)
+        assert (meta["w"], meta["h"]) == (multimodal.JPEG_SIDE,) * 2
+        assert meta["rate"] / meta["scale"] == multimodal.AVI_FPS_RATE
+        assert meta["us_per_frame"] == 1_000_000 // multimodal.AVI_FPS_RATE
+        # frames are byte-identical to the seeded JPEG encoder outputs
+        for f, fr in enumerate(frames):
+            assert fr == multimodal.encode_jpeg(
+                doc_id + multimodal.AVI_SEED_STRIDE * f
+            )
+        # a sampled frame decodes to the closed-form pixel sum
+        f = multimodal.AVI_SAMPLE_STRIDE
+        if f < n:
+            seed = doc_id + multimodal.AVI_SEED_STRIDE * f
+            _, _, img = multimodal.decode_jpeg(frames[f])
+            want = (
+                multimodal.JPEG_SIDE ** 2 * 128
+                + 64 * sum(multimodal._jpeg_dc(seed, blk) for blk in range(4))
+                + 4 * multimodal._JPEG_A_SUM
+            )
+            assert int(img.sum()) == want
+
+
+def test_avi_decoder_rejects_corruption():
+    """Container-level corruption is caught by the RIFF walker (not
+    silently decoded): bad magic, truncated payload, an idx1 size
+    mismatch, and a chunk overrunning its parent all raise."""
+    import struct
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not an AVI"):
+        multimodal.decode_avi(b"RIFFxxxxWAVE")
+    b = bytearray(multimodal.encode_avi_mjpeg(5))
+    with _pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_avi(bytes(b[:40]))
+    # corrupt the LAST idx1 entry's size field (trailing 4 bytes)
+    bad = bytearray(b)
+    bad[-4:] = struct.pack("<I", 1)
+    with _pytest.raises(ValueError, match="idx1 entry disagrees"):
+        multimodal.decode_avi(bytes(bad))
+    # inflate an inner chunk length so it overruns its parent: the avih
+    # chunk header sits right after RIFF(12) + LIST hdr(12) = offset 24
+    bad2 = bytearray(b)
+    assert bad2[24:28] == b"avih"
+    bad2[28:32] = struct.pack("<I", 10_000_000)
+    with _pytest.raises(ValueError, match="overruns"):
+        multimodal.decode_avi(bytes(bad2))
