@@ -84,6 +84,12 @@ class InMemEventLog(EventLog):
             return None
         return self.spark.createDataFrame(self._rows, EVENT_SCHEMA)
 
+    def _rows_in_range(self, lo: int, hi: int) -> list[tuple]:
+        # the inmem engine IS driver-side: a list slice serves the page
+        # (rows are appended in version order, but don't assume it)
+        with self._lock:
+            return [r for r in self._rows if lo <= r[0] <= hi]
+
     # -- lifecycle/state: nothing persists ------------------------------------
 
     def _data_files(self) -> list[str]:

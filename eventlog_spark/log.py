@@ -47,7 +47,7 @@ import threading
 import time
 import uuid
 from dataclasses import dataclass
-from typing import Callable, Iterable
+from typing import Callable, Iterable, NamedTuple
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -94,6 +94,20 @@ class AppendResult:
     version_first: int  # first version written by this commit
     version: int  # new head
     timestamp: int  # shared unix-seconds timestamp of the batch
+
+
+class ScanRow(NamedTuple):
+    """One event as returned by the driver-side ``scan_rows`` fast path —
+    field-compatible with the Rows ``scan(...).collect()`` yields, so
+    the serving layer consumes either interchangeably."""
+
+    version: int
+    version_prev: int
+    version_next: int
+    timestamp: int
+    label: str
+    payload: str
+    checksum: int
 
 
 class _Hub:
@@ -505,6 +519,18 @@ class EventLog:
             # would break version == version_previous + len(events)
             new_head = self._latest
         self._hub.broadcast(new_head)
+        # LSM-style maintenance OUTSIDE the commit section: once enough
+        # single-commit fragments accumulate, fold them into one file
+        # driver-side. Amortized O(1) per append; without it both the
+        # per-commit manifest publish and the page-scan fan-in grow
+        # linearly with total appends since the last OPTIMIZE.
+        if (
+            self.path is not None
+            and self.MINOR_COMPACT_FRAGMENTS
+            and getattr(self, "_interactive_frags", 0)
+            >= self.MINOR_COMPACT_FRAGMENTS
+        ):
+            self.minor_compact()
         return AppendResult(
             version_previous=base,
             version_first=base + 1,
@@ -550,6 +576,9 @@ class EventLog:
         tmp = os.path.join(self.path, "." + name + ".tmp")
         pq.write_table(tbl, tmp)
         os.rename(tmp, os.path.join(self.path, name))
+        # counts interactive fragments since the last fold — the
+        # minor-compaction trigger (amortized-O(1) append maintenance)
+        self._interactive_frags = getattr(self, "_interactive_frags", 0) + 1
         if self._files is not None:
             self._files.append(name)  # published by the caller's _write_state
 
@@ -772,6 +801,151 @@ class EventLog:
             "checksum",
         )
 
+    def scan_rows(
+        self,
+        version: int | None = None,
+        reverse: bool = False,
+        limit: int | None = None,
+        skip_first: bool = False,
+    ) -> list[ScanRow]:
+        """O5-O8 as a DRIVER-SIDE page read — the serving fast path.
+
+        ``scan()`` returns a DataFrame (the analytics entry point), but
+        an HTTP page request for ≤1000 events must not schedule a Spark
+        job: the reference serves a scan with one O(1) offset seek +
+        sequential read (read_event.go:37), and at 100 TB a serving
+        layer reads only the fragments containing the page, never the
+        log. Dense versions make that exact here: the page is a closed
+        version interval [lo, hi], fragment version ranges come from
+        parquet FOOTER STATS (metadata-only read, cached per immutable
+        file), and only overlapping fragments are read — pyarrow,
+        in-process, no job. Cost: one ≤1 KB manifest read + O(#frags)
+        cached stat lookups + the page's fragment reads; latency is
+        ms where the Spark path is seconds.
+
+        Falls back to ``scan(...).collect()`` (the manifest-snapshot
+        Spark path) if the pyarrow read cannot prove completeness —
+        e.g. a legacy fragment without stats whose listed file vanished
+        mid-read. Dense versions give the completeness check: a page of
+        [lo, hi] must yield exactly hi-lo+1 rows."""
+        with self._lock:
+            latest, initial = self._latest, self._initial
+        if latest == 0:
+            raise InvalidVersion("scan on empty log")
+        v = version if version is not None else (latest if reverse else initial)
+        if v < initial or v > latest:
+            raise InvalidVersion(f"version {v} out of bounds [{initial}, {latest}]")
+        if reverse:
+            hi = v - 1 if skip_first else v
+            lo = initial if limit is None else max(initial, hi - limit + 1)
+        else:
+            lo = v + 1 if skip_first else v
+            hi = latest if limit is None else min(latest, lo + limit - 1)
+        if hi < lo:
+            return []
+        rows = self._rows_in_range(lo, hi)
+        if rows is None or len(rows) != hi - lo + 1:
+            collected = self.scan(
+                version=version, reverse=reverse, limit=limit, skip_first=skip_first
+            ).collect()
+            return [ScanRow(*r) for r in collected]
+        rows.sort(key=lambda r: r[0])
+        out = [
+            ScanRow(
+                ver, vp, 0 if ver == latest else ver + 1, ts, label, payload, ck
+            )
+            for (ver, vp, ts, label, payload, ck) in rows
+        ]
+        return out[::-1] if reverse else out
+
+    def _rows_in_range(
+        self, lo: int, hi: int
+    ) -> list[tuple[int, int, int, str, str, int]] | None:
+        """Storage seam for ``scan_rows``: every committed event with
+        lo <= version <= hi, as (version, version_prev, timestamp,
+        label, payload, checksum) tuples in any order — or None if the
+        engine cannot serve the range driver-side. File engine: parquet
+        footer stats select the overlapping manifest fragments (range
+        cache keyed by (name, mtime, size) — fragments are immutable
+        once published, truncation rewrites change the key), pyarrow
+        reads just those."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover - pyarrow ships in Spark
+            return None
+        cache = getattr(self, "_frag_range_cache", None)
+        if cache is None:
+            cache = self._frag_range_cache = {}
+        if getattr(self, "_frag_row_cache", None) is None:
+            from collections import OrderedDict
+
+            self._frag_row_cache: OrderedDict = OrderedDict()
+            self._frag_rows_total = 0
+        out: list[tuple] = []
+        try:
+            for fname in self._manifest_files():
+                if not fname.endswith(".parquet"):
+                    continue
+                full = os.path.join(self.path, fname)
+                st = os.stat(full)
+                key = (fname, st.st_mtime_ns, st.st_size)
+                rng = cache.get(key)
+                if rng is None:
+                    md = pq.ParquetFile(full).metadata
+                    names = [md.schema.column(i).name for i in range(md.num_columns)]
+                    ci = names.index("version")
+                    mn = mx = None
+                    for g in range(md.num_row_groups):
+                        s = md.row_group(g).column(ci).statistics
+                        if s is None or not s.has_min_max:
+                            mn = None
+                            break
+                        mn = s.min if mn is None else min(mn, s.min)
+                        mx = s.max if mx is None else max(mx, s.max)
+                    if mn is None:
+                        return None  # stats unavailable: let Spark serve it
+                    rng = cache[key] = (mn, mx)
+                    if len(cache) > 4096:  # bound: evict arbitrary half
+                        for k in list(cache)[:2048]:
+                            del cache[k]
+                if rng[1] < lo or rng[0] > hi:
+                    continue
+                rows = self._frag_row_cache.get(key) if key in self._frag_row_cache else None
+                if rows is None:
+                    pf = pq.ParquetFile(full)
+                    n_rows = pf.metadata.num_rows
+                    if n_rows > 16384 and (rng[0] < lo or rng[1] > hi):
+                        # big fragment, partial overlap: let the dataset
+                        # reader prune row groups instead of full-reading
+                        tbl = pq.read_table(
+                            full,
+                            filters=[("version", ">=", lo), ("version", "<=", hi)],
+                        )
+                    else:
+                        # small or fully-covered fragment: plain footer+
+                        # column read is ~4x cheaper than the dataset path
+                        tbl = pf.read()
+                    rows = list(zip(*[
+                        tbl.column(c).to_pylist()
+                        for c in (
+                            "version", "version_prev", "timestamp",
+                            "label", "payload", "checksum",
+                        )
+                    ]))
+                    if n_rows <= 1024 and n_rows == len(rows):
+                        # hot-tail cache: single-append fragments are
+                        # immutable and tiny — repeated pages over an
+                        # uncompacted tail must not re-open 1000 files
+                        self._frag_rows_total += n_rows
+                        self._frag_row_cache[key] = rows
+                        while self._frag_rows_total > 200_000 and self._frag_row_cache:
+                            _, old = self._frag_row_cache.popitem(last=False)
+                            self._frag_rows_total -= len(old)
+                out.extend(r for r in rows if lo <= r[0] <= hi)
+        except (FileNotFoundError, OSError, ValueError):
+            return None  # manifest/fragment race: Spark path re-snapshots
+        return out
+
     def dataframe(self) -> DataFrame:
         """The whole committed log as a DataFrame (analysis entry point)."""
         df = self._read_raw()
@@ -921,8 +1095,71 @@ class EventLog:
                 new_files.append(name)
             shutil.rmtree(tmp, ignore_errors=True)
             self._files = new_files
+            self._interactive_frags = 0
             self._write_state()  # atomic manifest swap — the publish point
             self._retire(old)
+
+    # LSM-style minor-compaction trigger: once this many single-commit
+    # ``part-*`` fragments accumulate in the manifest, the next append
+    # folds them into one file driver-side (0 disables). Without a
+    # bound, per-commit cost grows with total appends — the manifest
+    # publish serializes the file list and page scans fan in over every
+    # fragment — i.e. appends degrade O(n) after n commits. With it,
+    # both are bounded by the threshold and the fold is amortized O(1).
+    MINOR_COMPACT_FRAGMENTS = int(os.environ.get("SPARK_GRAFT_MINOR_COMPACT", 256))
+
+    # Only fragments at or under this size are folded: bulk ingest also
+    # writes ``part-*`` files (Spark's own naming) and those can be
+    # arbitrarily large — folding them driver-side would pull a
+    # cluster-sized file through the driver. 4 MiB is ~3 orders of
+    # magnitude above any single interactive commit.
+    MINOR_COMPACT_MAX_BYTES = 4 << 20
+
+    def minor_compact(self) -> int:
+        """Fold the accumulated small ``part-*`` fragments into ONE
+        parquet file with pyarrow — a driver-side merge, no Spark job —
+        under the same publish-before-delete manifest swap as
+        ``compact()``. This is the LSM minor compaction to
+        ``compact()``'s major one: ~0.4 ms per tiny fragment to read,
+        one file write, one atomic manifest publish, replaced fragments
+        retired into the vacuum ledger for straggler readers. The
+        ``compact-`` output name keeps the rewritten history out of the
+        tail stream's ``part-*`` glob (streams.py), exactly like major
+        compaction. Returns the number of fragments folded."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        with self._commit_section():
+            manifest = (
+                list(self._files) if self._files is not None else self._data_files()
+            )
+            small = [
+                f
+                for f in manifest
+                if f.startswith("part-")
+                and f.endswith(".parquet")
+                and os.path.getsize(os.path.join(self.path, f))
+                <= self.MINOR_COMPACT_MAX_BYTES
+            ]
+            self._interactive_frags = 0  # folded (or provably few) below
+            if len(small) < 2:
+                return 0
+            tables = [
+                pq.read_table(os.path.join(self.path, f)) for f in small
+            ]
+            schema = tables[0].schema
+            merged = pa.concat_tables(
+                [t.cast(schema) for t in tables]
+            ).sort_by("version")
+            name = f"compact-{uuid.uuid4().hex[:8]}-minor.parquet"
+            landing = os.path.join(self.path, "." + name + ".tmp")
+            pq.write_table(merged, landing)
+            os.rename(landing, os.path.join(self.path, name))
+            gone = set(small)
+            self._files = [f for f in manifest if f not in gone] + [name]
+            self._write_state()  # atomic manifest swap — the publish point
+            self._retire(small)
+            return len(small)
 
     # Retired-but-not-deleted files wait out this grace window so
     # straggler readers (a DataFrame built against the previous manifest,

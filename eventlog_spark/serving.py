@@ -193,9 +193,12 @@ class _Handler(BaseHTTPRequestHandler):
         reverse = "reverse" in q
         skip_first = "skip_first" in q
         try:
-            rows = log.scan(
+            # driver-side page read (log.py:scan_rows): a ≤1000-event HTTP
+            # page must not schedule a Spark job — same reasoning as the
+            # reference's O(1) offset seek per scan (read_event.go:37)
+            rows = log.scan_rows(
                 version=version, reverse=reverse, limit=n or None, skip_first=skip_first
-            ).collect()
+            )
         except InvalidVersion:
             self._err("ErrInvalidVersion")
             return

@@ -579,3 +579,91 @@ def test_two_process_occ_commit_protocol(spark, tmp_path):
     assert audit.checksum_violations == 0
     assert audit.chain_violations == 0
     assert audit.payload_violations == 0
+
+
+def test_scan_rows_matches_scan_dataframe(log):
+    """The driver-side serving fast path (log.py:scan_rows) must agree
+    with the Spark scan on every parameter combination — same rows,
+    same chain links, same order — on BOTH engines."""
+    for i in range(1, 8):
+        log.append(f"e{i}", json.dumps({"ix": i}))
+    cases = [
+        dict(),
+        dict(version=3),
+        dict(version=3, limit=2),
+        dict(version=3, skip_first=True),
+        dict(version=3, limit=3, skip_first=True),
+        dict(reverse=True),
+        dict(version=5, reverse=True, limit=2),
+        dict(version=5, reverse=True, skip_first=True, limit=10),
+        dict(version=7, skip_first=True),  # empty page
+        dict(version=1, limit=1),
+    ]
+    for kw in cases:
+        fast = log.scan_rows(**kw)
+        slow = log.scan(**kw).collect()
+        assert [tuple(r) for r in fast] == [tuple(r) for r in slow], kw
+    with pytest.raises(InvalidVersion):
+        log.scan_rows(version=99)
+
+
+def test_scan_rows_multi_fragment_and_compaction(spark, tmp_path):
+    """The pyarrow path prunes by fragment footer stats: verify against
+    a multi-fragment log, then across a compaction (fragment set and
+    stat-cache keys change) and more appends on top."""
+    log = EventLog.create(spark, str(tmp_path / "sr"))
+    for i in range(1, 13):
+        log.append(f"e{i}", json.dumps({"ix": i}))  # one fragment each
+    page = log.scan_rows(version=4, limit=5)
+    assert [r.version for r in page] == [4, 5, 6, 7, 8]
+    assert [r.version_next for r in page] == [5, 6, 7, 8, 9]
+    log.compact(target_partitions=1)
+    log.append("post", '{"ix": 13}')
+    fast = log.scan_rows(version=10, limit=10)
+    assert [r.version for r in fast] == [10, 11, 12, 13]
+    assert fast[-1].version_next == 0
+    assert [tuple(r) for r in fast] == [
+        tuple(r) for r in log.scan(version=10, limit=10).collect()
+    ]
+
+
+def test_scan_rows_falls_back_when_stats_unserveable(spark, tmp_path, monkeypatch):
+    """If the fragment range probe cannot prove completeness the page
+    must come from the Spark snapshot path, not a short read."""
+    log = EventLog.create(spark, str(tmp_path / "fb"))
+    for i in range(1, 5):
+        log.append(f"e{i}", json.dumps({"ix": i}))
+    monkeypatch.setattr(type(log), "_rows_in_range", lambda self, lo, hi: None)
+    rows = log.scan_rows(version=2, limit=2)
+    assert [r.version for r in rows] == [2, 3]
+    assert [r.version_next for r in rows] == [3, 4]
+
+
+def test_minor_compact_folds_small_fragments(spark, tmp_path, monkeypatch):
+    """LSM maintenance: crossing the fragment threshold folds the
+    accumulated single-commit files into one, automatically, with no
+    data change — and a big bulk fragment is left alone."""
+    monkeypatch.setattr(EventLog, "MINOR_COMPACT_FRAGMENTS", 8)
+    log = EventLog.create(spark, str(tmp_path / "mc"))
+    for i in range(1, 9):
+        log.append(f"e{i}", json.dumps({"ix": i}))
+    # the 8th append crossed the threshold and folded
+    manifest = [f for f in log._manifest_files() if f.endswith(".parquet")]
+    assert len(manifest) == 1 and manifest[0].startswith("compact-")
+    assert "-minor" in manifest[0]
+    rows = log.scan_rows()
+    assert [r.version for r in rows] == list(range(1, 9))
+    assert [r.label for r in rows] == [f"e{i}" for i in range(1, 9)]
+    assert rows[-1].version_next == 0
+    # appends continue on top of the folded file; integrity audit clean
+    log.append("after", '{"ix": 9}')
+    assert [r.version for r in log.scan_rows()] == list(range(1, 10))
+    audit = log.check_integrity().collect()[0]
+    assert all(v == 0 for v in audit.asDict().values()), audit
+    # a fragment above the size bound is never folded driver-side
+    monkeypatch.setattr(EventLog, "MINOR_COMPACT_MAX_BYTES", 0)
+    for i in range(10, 19):
+        log.append(f"e{i}", json.dumps({"ix": i}))
+    folded = log.minor_compact()
+    assert folded == 0  # all fragments are "too big" under the 0 bound
+    assert [r.version for r in log.scan_rows()] == list(range(1, 19))
