@@ -442,3 +442,45 @@ def test_tail_stream_unaffected_by_compaction(spark, tmp_path):
     log.append("f", '{"x":6}')
     drain()
     assert sorted(got) == [1, 2, 3, 4, 5, 6]
+
+
+def test_tail_stream_across_minor_compaction(spark, tmp_path):
+    """Minor compaction (log.py:minor_compact) folds part-* fragments
+    the tail stream may NOT have processed yet — unlike the major-
+    compaction test above, where history was drained first. The folded
+    fragments stay on disk in the vacuum ledger for the grace window,
+    so an in-flight tail still delivers them exactly once; the
+    compact-* fold output is outside the part-* glob, so nothing is
+    double-delivered."""
+    log = EventLog.create(spark, str(tmp_path / "log"))
+    log.append_multi([("a", '{"x":1}'), ("b", '{"x":2}'), ("c", '{"x":3}')])
+
+    got: list[int] = []
+
+    def drain():
+        q = (
+            streams.log_tail_stream(log, commit_wait=0.3)
+            .writeStream.foreachBatch(
+                lambda b, _: got.extend(r.version for r in b.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q, timeout=120)
+
+    drain()
+    assert sorted(got) == [1, 2, 3]
+    # events 4-5 land, then are folded BEFORE the stream sees them
+    log.append("d", '{"x":4}')
+    log.append("e", '{"x":5}')
+    assert log.minor_compact() >= 2
+    manifest = [f for f in log._manifest_files() if f.endswith(".parquet")]
+    assert all(f.startswith("compact-") for f in manifest)
+    drain()
+    # delivered exactly once, from the retired-but-on-disk fragments
+    assert sorted(got) == [1, 2, 3, 4, 5]
+    log.vacuum(grace_seconds=0)
+    log.append("f", '{"x":6}')
+    drain()
+    assert sorted(got) == [1, 2, 3, 4, 5, 6]
