@@ -873,14 +873,20 @@ class EventLog:
             import pyarrow.parquet as pq
         except ImportError:  # pragma: no cover - pyarrow ships in Spark
             return None
-        cache = getattr(self, "_frag_range_cache", None)
-        if cache is None:
-            cache = self._frag_range_cache = {}
-        if getattr(self, "_frag_row_cache", None) is None:
-            from collections import OrderedDict
+        # cache setup and every mutation happen under the engine RLock:
+        # the serving layer calls scan_rows from ThreadingHTTPServer
+        # threads, and unsynchronized evictions race (popitem on an
+        # emptied OrderedDict, lost _frag_rows_total updates). File
+        # reads stay OUTSIDE the lock — only dict ops are serialized.
+        with self._lock:
+            cache = getattr(self, "_frag_range_cache", None)
+            if cache is None:
+                cache = self._frag_range_cache = {}
+            if getattr(self, "_frag_row_cache", None) is None:
+                from collections import OrderedDict
 
-            self._frag_row_cache: OrderedDict = OrderedDict()
-            self._frag_rows_total = 0
+                self._frag_row_cache: OrderedDict = OrderedDict()
+                self._frag_rows_total = 0
         out: list[tuple] = []
         try:
             for fname in self._manifest_files():
@@ -889,7 +895,8 @@ class EventLog:
                 full = os.path.join(self.path, fname)
                 st = os.stat(full)
                 key = (fname, st.st_mtime_ns, st.st_size)
-                rng = cache.get(key)
+                with self._lock:
+                    rng = cache.get(key)
                 if rng is None:
                     md = pq.ParquetFile(full).metadata
                     names = [md.schema.column(i).name for i in range(md.num_columns)]
@@ -904,13 +911,16 @@ class EventLog:
                         mx = s.max if mx is None else max(mx, s.max)
                     if mn is None:
                         return None  # stats unavailable: let Spark serve it
-                    rng = cache[key] = (mn, mx)
-                    if len(cache) > 4096:  # bound: evict arbitrary half
-                        for k in list(cache)[:2048]:
-                            del cache[k]
+                    rng = (mn, mx)
+                    with self._lock:
+                        cache[key] = rng
+                        if len(cache) > 4096:  # bound: evict arbitrary half
+                            for k in list(cache)[:2048]:
+                                cache.pop(k, None)
                 if rng[1] < lo or rng[0] > hi:
                     continue
-                rows = self._frag_row_cache.get(key) if key in self._frag_row_cache else None
+                with self._lock:
+                    rows = self._frag_row_cache.get(key)
                 if rows is None:
                     pf = pq.ParquetFile(full)
                     n_rows = pf.metadata.num_rows
@@ -936,11 +946,16 @@ class EventLog:
                         # hot-tail cache: single-append fragments are
                         # immutable and tiny — repeated pages over an
                         # uncompacted tail must not re-open 1000 files
-                        self._frag_rows_total += n_rows
-                        self._frag_row_cache[key] = rows
-                        while self._frag_rows_total > 200_000 and self._frag_row_cache:
-                            _, old = self._frag_row_cache.popitem(last=False)
-                            self._frag_rows_total -= len(old)
+                        with self._lock:
+                            if key not in self._frag_row_cache:
+                                self._frag_rows_total += n_rows
+                                self._frag_row_cache[key] = rows
+                            while (
+                                self._frag_rows_total > 200_000
+                                and self._frag_row_cache
+                            ):
+                                _, old = self._frag_row_cache.popitem(last=False)
+                                self._frag_rows_total -= len(old)
                 out.extend(r for r in rows if lo <= r[0] <= hi)
         except (FileNotFoundError, OSError, ValueError):
             return None  # manifest/fragment race: Spark path re-snapshots
@@ -1129,14 +1144,23 @@ class EventLog:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        if self.path is None:  # inmem engine: nothing on disk to fold
+            return 0
         with self._commit_section():
+            self.vacuum()  # reap grace-expired retirees of previous folds
             manifest = (
                 list(self._files) if self._files is not None else self._data_files()
             )
+            # fold set: the single-commit fragments AND any still-small
+            # previous fold outputs (size-tiered: a minor file absorbs
+            # folds until it reaches MAX_BYTES, then is left for major
+            # compact) — so per-fold work is bounded by MAX_BYTES and
+            # the steady-state file count is total_bytes/MAX_BYTES, not
+            # linear in fold count
             small = [
                 f
                 for f in manifest
-                if f.startswith("part-")
+                if (f.startswith("part-") or f.endswith("-minor.parquet"))
                 and f.endswith(".parquet")
                 and os.path.getsize(os.path.join(self.path, f))
                 <= self.MINOR_COMPACT_MAX_BYTES

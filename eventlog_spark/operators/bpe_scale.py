@@ -165,14 +165,22 @@ def bpe_train_iterative(
 
     ``snapshot_dir`` + ``snapshot_every=K``: every K completed rounds
     the full training state (vocab, pair counts, merge table, round
-    number) is written to parquet under an atomically-renamed snapshot
-    dir, and a later call with the same ``snapshot_dir`` RESUMES from
-    the newest snapshot instead of round 0 — a 32k-merge production run
-    survives preemption at the cost of one table write per K rounds
-    (resume is tested bit-identical to an uninterrupted run). The
-    in-loop localCheckpoints remain the fast per-round boundary;
-    snapshots are the durable one.
+    number) is written to parquet under a round-stamped directory, then
+    published by an ATOMIC pointer-file replace (``LATEST``) — a crash
+    at any instant leaves either the previous snapshot or the new one
+    reachable, never neither — and a later call with the same
+    ``snapshot_dir`` RESUMES from the pointed-to snapshot instead of
+    round 0: a 32k-merge production run survives preemption at the cost
+    of one table write per K rounds (resume is tested bit-identical to
+    an uninterrupted run). Superseded and crash-orphaned snapshot dirs
+    are swept after each successful publish. The in-loop
+    localCheckpoints remain the fast per-round boundary; snapshots are
+    the durable one. A snapshot resumes ONLY the run shape it saved:
+    passing ``vocab_df`` together with an existing snapshot, or asking
+    for fewer rounds than the snapshot already contains, raises
+    ValueError instead of silently returning mismatched state.
     """
+    import contextlib
     import json as _json
     import os as _os
     import shutil as _shutil
@@ -180,11 +188,31 @@ def bpe_train_iterative(
 
     merges: list[tuple[int, str, str, int]] = []
     start_k = 0
-    snap = _os.path.join(snapshot_dir, "snapshot") if snapshot_dir else None
+    snap = None
+    if snapshot_dir:
+        _os.makedirs(snapshot_dir, exist_ok=True)
+        ptr = _os.path.join(snapshot_dir, "LATEST")
+        try:
+            with open(ptr) as f:
+                snap = _os.path.join(snapshot_dir, f.read().strip())
+        except FileNotFoundError:
+            snap = None
     if snap and _os.path.exists(_os.path.join(snap, "STATE.json")):
+        if vocab_df is not None:
+            raise ValueError(
+                "snapshot_dir already holds a snapshot; resuming it with a "
+                "caller-supplied vocab_df would silently mix two runs — "
+                "use a fresh snapshot_dir"
+            )
         with open(_os.path.join(snap, "STATE.json")) as f:
             st = _json.load(f)
         start_k = int(st["k"])
+        if start_k > n_merges:
+            raise ValueError(
+                f"snapshot is at round {start_k}, past the requested "
+                f"n_merges={n_merges}; use a fresh snapshot_dir to train a "
+                "smaller vocabulary"
+            )
         merges = [tuple(m) for m in st["merges"]]
         vocab = spark.read.parquet(_os.path.join(snap, "vocab")).localCheckpoint(
             eager=True
@@ -203,16 +231,32 @@ def bpe_train_iterative(
     n_parts = vocab.rdd.getNumPartitions()
 
     def write_snapshot(k: int) -> None:
-        tmp = snap + f".tmp-{_uuid.uuid4().hex}"
+        # write under a dot-prefixed temp, rename to the final dir
+        # (atomic dir publish), then REPLACE the pointer file (atomic on
+        # POSIX) — the pointer flip is the single publish point, so a
+        # crash anywhere leaves a reachable consistent snapshot
+        dname = f"snapshot-{k}-{_uuid.uuid4().hex[:8]}"
+        tmp = _os.path.join(snapshot_dir, "." + dname + ".tmp")
         vocab.write.mode("overwrite").parquet(_os.path.join(tmp, "vocab"))
         pc.write.mode("overwrite").parquet(_os.path.join(tmp, "pc"))
         with open(_os.path.join(tmp, "STATE.json"), "w") as f:
             _json.dump({"k": k, "merges": merges}, f)
-        old = snap + f".old-{_uuid.uuid4().hex}"
-        if _os.path.exists(snap):
-            _os.rename(snap, old)
-        _os.rename(tmp, snap)  # atomic publish; readers see old or new
-        _shutil.rmtree(old, ignore_errors=True)
+        _os.rename(tmp, _os.path.join(snapshot_dir, dname))
+        ptr_tmp = _os.path.join(snapshot_dir, f".LATEST.{_uuid.uuid4().hex}")
+        with open(ptr_tmp, "w") as f:
+            f.write(dname)
+        _os.replace(ptr_tmp, _os.path.join(snapshot_dir, "LATEST"))
+        # sweep superseded snapshots and crash-orphaned temps
+        for d in _os.listdir(snapshot_dir):
+            if d in (dname, "LATEST"):
+                continue
+            if d.startswith("snapshot-") or d.startswith("."):
+                p = _os.path.join(snapshot_dir, d)
+                if _os.path.isdir(p):
+                    _shutil.rmtree(p, ignore_errors=True)
+                else:
+                    with contextlib.suppress(OSError):
+                        _os.remove(p)
 
     for k in range(start_k + 1, n_merges + 1):
         top = pc.orderBy(F.col("total").desc(), "pair").limit(1).collect()
@@ -252,7 +296,7 @@ def bpe_train_iterative(
             .where(F.col("total") > 0)
             .localCheckpoint(eager=True)
         )
-        if snap and snapshot_every and k % snapshot_every == 0:
+        if snapshot_dir and snapshot_every and k % snapshot_every == 0:
             write_snapshot(k)
     return merges, vocab
 

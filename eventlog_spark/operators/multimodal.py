@@ -1318,12 +1318,16 @@ def decode_avi(b: bytes) -> tuple[dict, list[bytes]]:
             if fourcc == b"LIST":
                 walk(ds + 4, de)
             elif fourcc == b"avih":
+                if ln < 56:
+                    raise ValueError("avih chunk shorter than 56 bytes")
                 v = struct.unpack("<14I", b[ds : ds + 56])
                 meta.update(
                     us_per_frame=v[0], n_frames=v[4], n_streams=v[6],
                     w=v[8], h=v[9],
                 )
             elif fourcc == b"strh":
+                if ln < 28:
+                    raise ValueError("strh chunk shorter than its rate field")
                 scale, rate = struct.unpack("<II", b[ds + 20 : ds + 28])
                 meta.update(
                     fcc_type=bytes(b[ds : ds + 4]),
@@ -1331,6 +1335,8 @@ def decode_avi(b: bytes) -> tuple[dict, list[bytes]]:
                     scale=scale, rate=rate,
                 )
             elif fourcc == b"strf":
+                if ln < 12:
+                    raise ValueError("strf chunk shorter than its dims")
                 bw, bh = struct.unpack("<ii", b[ds + 4 : ds + 12])
                 meta.update(strf_w=bw, strf_h=bh)
             elif fourcc == b"00dc":
@@ -1344,8 +1350,13 @@ def decode_avi(b: bytes) -> tuple[dict, list[bytes]]:
             i = de + (ln & 1)
 
     walk(12, 8 + total)
+    required = ("n_frames", "w", "h", "strf_w", "strf_h", "scale", "rate")
+    if any(k not in meta for k in required):
+        raise ValueError("missing avih/strh/strf header chunk")
     if meta.get("fcc_type") != b"vids" or meta.get("handler") != b"MJPG":
         raise ValueError("not a single-stream MJPEG AVI")
+    if meta["scale"] <= 0 or meta["rate"] <= 0:
+        raise ValueError("non-positive frame rate")
     if meta["n_frames"] != len(frames) or len(idx_entries) != len(frames):
         raise ValueError("frame count disagrees between avih/movi/idx1")
     if (meta["w"], meta["h"]) != (meta["strf_w"], meta["strf_h"]):

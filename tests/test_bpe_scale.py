@@ -15,7 +15,7 @@ from collections import Counter
 
 import pytest
 
-from eventlog_spark.operators.bpe_scale import bpe_train_iterative
+from eventlog_spark.operators.bpe_scale import bpe_train_iterative, initial_vocab
 
 
 # -- pure-Python golden trainer (Sennrich learn_bpe semantics) -----------------
@@ -159,3 +159,28 @@ def test_snapshot_resume_is_bit_identical(spark, sf_dir, tmp_path):
     a = {r.word: (r.cnt, tuple(r.syms)) for r in v8_resumed.collect()}
     b = {r.word: (r.cnt, tuple(r.syms)) for r in v8_straight.collect()}
     assert a == b
+
+
+def test_snapshot_resume_guards_and_sweep(spark, sf_dir, tmp_path):
+    """A snapshot resumes only the run shape it saved: mismatched
+    requests raise instead of silently returning other state, and each
+    publish sweeps superseded snapshot dirs (pointer-file layout)."""
+    snapdir = str(tmp_path / "bpe_guard")
+    bpe_train_iterative(spark, sf_dir, 4, snapshot_dir=snapdir, snapshot_every=2)
+    with pytest.raises(ValueError, match="past the requested"):
+        bpe_train_iterative(spark, sf_dir, 2, snapshot_dir=snapdir, snapshot_every=2)
+    probe_vocab = initial_vocab(spark, sf_dir)
+    with pytest.raises(ValueError, match="vocab_df"):
+        bpe_train_iterative(
+            spark, sf_dir, 8, snapshot_dir=snapdir, snapshot_every=2,
+            vocab_df=probe_vocab,
+        )
+    # continue to 8 (two more snapshot publishes): exactly one snapshot
+    # dir remains, LATEST points at it, no temp orphans
+    bpe_train_iterative(spark, sf_dir, 8, snapshot_dir=snapdir, snapshot_every=2)
+    entries = sorted(os.listdir(snapdir))
+    snaps = [d for d in entries if d.startswith("snapshot-")]
+    assert len(snaps) == 1 and snaps[0].startswith("snapshot-8-")
+    with open(os.path.join(snapdir, "LATEST")) as f:
+        assert f.read().strip() == snaps[0]
+    assert not [d for d in entries if d.startswith(".")]

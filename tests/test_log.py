@@ -667,3 +667,27 @@ def test_minor_compact_folds_small_fragments(spark, tmp_path, monkeypatch):
     folded = log.minor_compact()
     assert folded == 0  # all fragments are "too big" under the 0 bound
     assert [r.version for r in log.scan_rows()] == list(range(1, 19))
+
+
+def test_minor_compact_refolds_and_vacuums(spark, tmp_path, monkeypatch):
+    """Size-tiered folding: a previous fold's -minor output is itself
+    absorbed by the next fold (the manifest stays bounded in fold
+    count, not linear), and each fold reaps grace-expired retirees so
+    the directory doesn't leak every superseded fragment forever."""
+    monkeypatch.setattr(EventLog, "MINOR_COMPACT_FRAGMENTS", 4)
+    monkeypatch.setattr(EventLog, "VACUUM_GRACE_SECONDS", 0)
+    log = EventLog.create(spark, str(tmp_path / "rf"))
+    for i in range(1, 13):  # three auto-folds at appends 4, 8, 12
+        log.append(f"e{i}", json.dumps({"ix": i}))
+    manifest = [f for f in log._manifest_files() if f.endswith(".parquet")]
+    assert len(manifest) == 1, manifest  # each fold absorbed the last
+    assert manifest[0].endswith("-minor.parquet")
+    # the LAST fold's own retirees are still in their (zero-second)
+    # grace window until the next vacuum; after it, only the live file
+    # (+ state/ledger bookkeeping) remains on disk
+    log.vacuum(grace_seconds=0)
+    on_disk = [f for f in os.listdir(log.path) if f.endswith(".parquet")]
+    assert on_disk == manifest
+    assert [r.version for r in log.scan_rows()] == list(range(1, 13))
+    audit = log.check_integrity().collect()[0]
+    assert all(v == 0 for v in audit.asDict().values()), audit

@@ -99,6 +99,11 @@ def main() -> None:
         log = EventLog.create(spark, os.path.join(tmp, "log"))
         srv = serve(log, port=0)
         clt = Client("127.0.0.1", srv.server_address[1])
+        # genuinely 1000 single-append fragments: auto minor compaction
+        # is disabled for this log so the fragmented rows below measure
+        # the state they claim (the append bench above keeps it on —
+        # that's the production path, folds amortized in)
+        log.MINOR_COMPACT_FRAGMENTS = 0
         first = clt.append(LABEL, PAYLOAD).version
         for _ in range(999):
             clt.append(LABEL, PAYLOAD)
