@@ -186,3 +186,43 @@ def test_websocket_latest_wins_conflation(server):
             seen.append(ws.recv_version())
         assert seen[-1] == log.version()
         assert len(seen) <= 5
+
+
+def test_concurrent_page_scans_and_appends(server):
+    """The scan fast path (log.py:scan_rows) runs on ThreadingHTTPServer
+    threads concurrently with appends: 8 reader threads page through
+    the log while a writer appends — every page must be a dense version
+    run with correct chain links (the fragment caches are shared
+    mutable state; this is the race the engine lock guards)."""
+    import queue as _queue
+
+    base, log = server
+    for i in range(60):
+        log.append(f"seed{i}", '{"x":%d}' % i)
+
+    errs: _queue.Queue = _queue.Queue()
+    stop = threading.Event()
+
+    def reader():
+        try:
+            while not stop.is_set():
+                status, body = _get(f"{base}/log/1?n=50")
+                assert status == 200
+                events = json.loads(body)
+                versions = [int(e["version"], 16) for e in events]
+                assert versions == list(range(1, len(versions) + 1))
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.put(e)
+
+    threads = [threading.Thread(target=reader) for _ in range(8)]
+    for t in threads:
+        t.start()
+    try:
+        for i in range(120):
+            log.append(f"w{i}", '{"y":%d}' % i)
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=30)
+    assert errs.empty(), errs.get()
+    assert log.version() == 180
