@@ -34,6 +34,8 @@ from __future__ import annotations
 
 import http.client
 import json
+import socket
+import threading
 import time as _time
 from collections.abc import Callable, Iterator
 from dataclasses import dataclass
@@ -94,6 +96,7 @@ class Client:
         self.host = host
         self.port = port
         self.timeout = timeout
+        self._local = threading.local()  # one keep-alive conn per thread
         # Compat mode (round-5 verdict item 7): the reference client
         # resends ``skip_first`` on EVERY pagination request while
         # resuming from ``version-next`` — the next UNREAD event — so
@@ -106,13 +109,35 @@ class Client:
     # -- transport ---------------------------------------------------------
 
     def _request(self, method: str, path: str, body: bytes | None = None) -> tuple[int, bytes]:
-        conn = http.client.HTTPConnection(self.host, self.port, timeout=self.timeout)
-        try:
-            conn.request(method, path, body=body)
-            resp = conn.getresponse()
-            return resp.status, resp.read()
-        finally:
-            conn.close()
+        # Persistent keep-alive connection per thread (the server speaks
+        # HTTP/1.1 with Content-Length): the reference client reuses
+        # connections too (fasthttp). A stale socket — server restart,
+        # idle timeout — gets ONE transparent reconnect; responses are
+        # fully read before reuse, so the connection is always clean.
+        local = self._local
+        for attempt in (0, 1):
+            conn = getattr(local, "conn", None)
+            if conn is None:
+                conn = local.conn = http.client.HTTPConnection(
+                    self.host, self.port, timeout=self.timeout
+                )
+                # disable Nagle: headers and body go out in separate
+                # writes, and on a reused connection Nagle + delayed ACK
+                # turns every request into a ~40 ms stall
+                conn.connect()
+                conn.sock.setsockopt(
+                    socket.IPPROTO_TCP, socket.TCP_NODELAY, 1
+                )
+            try:
+                conn.request(method, path, body=body)
+                resp = conn.getresponse()
+                return resp.status, resp.read()
+            except (http.client.HTTPException, ConnectionError, OSError):
+                local.conn = None
+                conn.close()
+                if attempt:
+                    raise
+        raise AssertionError("unreachable")
 
     def _checked(self, method: str, path: str, body: bytes | None = None) -> bytes:
         status, data = self._request(method, path, body)

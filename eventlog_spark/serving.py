@@ -90,6 +90,7 @@ _WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"  # RFC 6455 §1.3
 class _Handler(BaseHTTPRequestHandler):
     server: EventLogHTTPServer
     protocol_version = "HTTP/1.1"  # required for the websocket upgrade
+    disable_nagle_algorithm = True  # keep-alive + Nagle = 40 ms stalls
 
     def log_message(self, *a):  # silence default stderr access log
         pass
