@@ -923,13 +923,43 @@ class EventLog:
                     rows = self._frag_row_cache.get(key)
                 if rows is None:
                     pf = pq.ParquetFile(full)
-                    n_rows = pf.metadata.num_rows
+                    md = pf.metadata
+                    n_rows = md.num_rows
                     if n_rows > 16384 and (rng[0] < lo or rng[1] > hi):
-                        # big fragment, partial overlap: let the dataset
-                        # reader prune row groups instead of full-reading
-                        tbl = pq.read_table(
-                            full,
-                            filters=[("version", ">=", lo), ("version", "<=", hi)],
+                        # big fragment, partial overlap: read ONLY the
+                        # row groups whose version stats overlap the
+                        # page (compact() writes 8 MiB row groups for
+                        # exactly this pruning unit); a direct
+                        # read_row_groups beats the dataset-filter
+                        # machinery ~2-4x
+                        names = [
+                            md.schema.column(i).name
+                            for i in range(md.num_columns)
+                        ]
+                        ci = names.index("version")
+                        groups = [
+                            g
+                            for g in range(md.num_row_groups)
+                            if (
+                                (s := md.row_group(g).column(ci).statistics)
+                                is None
+                                or not s.has_min_max
+                                or (s.min <= hi and s.max >= lo)
+                            )
+                        ]
+                        tbl = pf.read_row_groups(groups)
+                        # trim Arrow-side BEFORE the Python conversion:
+                        # a row group holds up to ~10^6 rows and
+                        # to_pylist of the untrimmed group would dwarf
+                        # the read itself
+                        import pyarrow.compute as pc
+
+                        col = tbl.column("version")
+                        tbl = tbl.filter(
+                            pc.and_(
+                                pc.greater_equal(col, lo),
+                                pc.less_equal(col, hi),
+                            )
                         )
                     else:
                         # small or fully-covered fragment: plain footer+
@@ -1095,7 +1125,16 @@ class EventLog:
                 return
             n = target_partitions or max(1, self.spark.sparkContext.defaultParallelism // 4)
             tmp = self.path + f".compact.{uuid.uuid4().hex}"
-            df.repartitionByRange(n, "version").write.mode("overwrite").parquet(tmp)
+            # 8 MiB row groups (vs the 128 MiB default): row groups are
+            # the pruning unit of the scan_rows page path — a page read
+            # inside a compacted fragment costs one row group, and at
+            # the default size that is ~10^6 rows for a 1000-row page
+            (
+                df.repartitionByRange(n, "version")
+                .write.option("parquet.block.size", 8 * 1024 * 1024)
+                .mode("overwrite")
+                .parquet(tmp)
+            )
             old = list(self._files) if self._files is not None else self._data_files()
             tag = uuid.uuid4().hex[:8]
             new_files = []
