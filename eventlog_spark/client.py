@@ -97,6 +97,8 @@ class Client:
         self.port = port
         self.timeout = timeout
         self._local = threading.local()  # one keep-alive conn per thread
+        self._conns: set = set()  # every open conn, for close()
+        self._conns_lock = threading.Lock()
         # Compat mode (round-5 verdict item 7): the reference client
         # resends ``skip_first`` on EVERY pagination request while
         # resuming from ``version-next`` — the next UNREAD event — so
@@ -111,13 +113,20 @@ class Client:
     def _request(self, method: str, path: str, body: bytes | None = None) -> tuple[int, bytes]:
         # Persistent keep-alive connection per thread (the server speaks
         # HTTP/1.1 with Content-Length): the reference client reuses
-        # connections too (fasthttp). A stale socket — server restart,
-        # idle timeout — gets ONE transparent reconnect; responses are
-        # fully read before reuse, so the connection is always clean.
+        # connections too (fasthttp). Retry policy preserves the log's
+        # at-most-once append semantics: a REUSED socket that fails
+        # while SENDING gets one transparent reconnect (the server
+        # closed it idle — the request was never processed), and
+        # idempotent GETs retry on any transport failure; but a POST
+        # whose response was lost AFTER the send completed is NOT
+        # retried — the append may have committed, and re-sending would
+        # duplicate it (the caller sees the error and can inspect
+        # version()/scan to disambiguate, same as the reference client).
         local = self._local
         for attempt in (0, 1):
             conn = getattr(local, "conn", None)
-            if conn is None:
+            fresh = conn is None
+            if fresh:
                 conn = local.conn = http.client.HTTPConnection(
                     self.host, self.port, timeout=self.timeout
                 )
@@ -128,16 +137,40 @@ class Client:
                 conn.sock.setsockopt(
                     socket.IPPROTO_TCP, socket.TCP_NODELAY, 1
                 )
+                with self._conns_lock:
+                    self._conns.add(conn)
             try:
                 conn.request(method, path, body=body)
+            except (http.client.HTTPException, ConnectionError, OSError):
+                self._drop(conn)
+                if attempt == 0 and not fresh:
+                    continue  # stale keep-alive, never reached the server
+                raise
+            try:
                 resp = conn.getresponse()
                 return resp.status, resp.read()
             except (http.client.HTTPException, ConnectionError, OSError):
-                local.conn = None
-                conn.close()
-                if attempt:
-                    raise
+                self._drop(conn)
+                if attempt == 0 and method in ("GET", "HEAD"):
+                    continue  # idempotent: safe to re-ask
+                raise
         raise AssertionError("unreachable")
+
+    def _drop(self, conn) -> None:
+        self._local.conn = None
+        with self._conns_lock:
+            self._conns.discard(conn)
+        conn.close()
+
+    def close(self) -> None:
+        """Close every keep-alive connection this client has opened
+        (across all threads). Safe to call repeatedly; the next request
+        on any thread transparently reconnects."""
+        with self._conns_lock:
+            conns, self._conns = self._conns, set()
+        self._local.conn = None
+        for c in conns:
+            c.close()
 
     def _checked(self, method: str, path: str, body: bytes | None = None) -> bytes:
         status, data = self._request(method, path, body)

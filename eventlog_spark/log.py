@@ -46,6 +46,7 @@ import shutil
 import threading
 import time
 import uuid
+import warnings
 from dataclasses import dataclass
 from typing import Callable, Iterable, NamedTuple
 
@@ -80,6 +81,21 @@ EVENT_SCHEMA = StructType(
 _STATE_FILE = "_state.json"  # leading underscore → invisible to parquet readers
 _META_FILE = "_eventlog_meta.json"
 _COMMIT_LOCK_FILE = "_commit.lock"  # cross-process commit mutex (flock)
+
+
+def _version_group_stats(md) -> list[tuple[int, int]] | None:
+    """Per-row-group (min, max) of the ``version`` column from a parquet
+    footer, or None when any group lacks min/max stats (legacy writers)
+    — the shared probe behind ``scan_rows``'s fragment pruning."""
+    names = [md.schema.column(i).name for i in range(md.num_columns)]
+    ci = names.index("version")
+    out = []
+    for g in range(md.num_row_groups):
+        s = md.row_group(g).column(ci).statistics
+        if s is None or not s.has_min_max:
+            return None
+        out.append((s.min, s.max))
+    return out if out else None
 
 
 def checksum_expr() -> Column:
@@ -530,7 +546,17 @@ class EventLog:
             and getattr(self, "_interactive_frags", 0)
             >= self.MINOR_COMPACT_FRAGMENTS
         ):
-            self.minor_compact()
+            # the append above is already durably committed and
+            # published — a failure in this opportunistic maintenance
+            # (ENOSPC mid-merge, a racing external delete) must not
+            # surface as an append error. Defer the retry a full
+            # threshold so a persistently failing fold doesn't re-run
+            # on every subsequent commit.
+            try:
+                self.minor_compact()
+            except Exception as e:  # pragma: no cover - defensive
+                self._interactive_frags = 0
+                warnings.warn(f"minor_compact failed (deferred): {e!r}")
         return AppendResult(
             version_previous=base,
             version_first=base + 1,
@@ -757,6 +783,35 @@ class EventLog:
 
     # -- scan (O5-O8) ----------------------------------------------------------
 
+    def _page_interval(
+        self,
+        version: int | None,
+        reverse: bool,
+        limit: int | None,
+        skip_first: bool,
+    ) -> tuple[int, int, int]:
+        """The ONE encoding of O5-O8 paging semantics, shared by
+        ``scan()`` and ``scan_rows()`` so the fast path and its
+        fallback cannot drift: under dense versions a scan request is
+        exactly the closed interval [lo, hi] (possibly empty, hi < lo)
+        read toward the head (or tail when ``reverse``). Returns
+        (lo, hi, latest); raises InvalidVersion exactly like the
+        reference (eventlog_test.go:339-390)."""
+        with self._lock:
+            latest, initial = self._latest, self._initial
+        if latest == 0:
+            raise InvalidVersion("scan on empty log")
+        v = version if version is not None else (latest if reverse else initial)
+        if v < initial or v > latest:
+            raise InvalidVersion(f"version {v} out of bounds [{initial}, {latest}]")
+        if reverse:
+            hi = v - 1 if skip_first else v
+            lo = initial if limit is None else max(initial, hi - limit + 1)
+        else:
+            lo = v + 1 if skip_first else v
+            hi = latest if limit is None else min(latest, lo + limit - 1)
+        return lo, hi, latest
+
     def scan(
         self,
         version: int | None = None,
@@ -768,22 +823,21 @@ class EventLog:
         (or tail when ``reverse``), with derived chain links.
 
         Dense versions ⇒ ``version_prev``/``version_next`` are arithmetic
-        (no window, no shuffle); the version-range predicate prunes
-        parquet row groups via min/max stats — the Spark analog of the
-        reference's O(1) offset seek (read_event.go:37)."""
-        with self._lock:
-            latest, initial = self._latest, self._initial
-        if latest == 0:
-            raise InvalidVersion("scan on empty log")
-        v = version if version is not None else (latest if reverse else initial)
-        if v < initial or v > latest:
-            raise InvalidVersion(f"version {v} out of bounds [{initial}, {latest}]")
-
+        (no window, no shuffle), and the whole request reduces to ONE
+        closed version interval (``_page_interval``) — two pushed-down
+        range predicates that prune parquet row groups via min/max
+        stats, the Spark analog of the reference's O(1) offset seek
+        (read_event.go:37). Under dense versions the interval bound IS
+        the limit, so the pushed-down range filter does the real
+        pruning; the ``limit`` operator stays purely for plan shape —
+        it turns the output sort into a single-stage
+        TakeOrderedAndProject instead of a range-partitioned Sort."""
+        lo, hi, latest = self._page_interval(version, reverse, limit, skip_first)
         df = self._read_raw()
-        df = df.where(F.col("version") <= latest)  # ignore orphans past head
-        df = df.where(F.col("version") <= v) if reverse else df.where(F.col("version") >= v)
-        if skip_first:
-            df = df.where(F.col("version") != v)
+        if df is None or hi < lo:
+            df = self.spark.createDataFrame([], EVENT_SCHEMA)
+        else:
+            df = df.where((F.col("version") >= lo) & (F.col("version") <= hi))
         df = df.withColumn(
             "version_next",
             F.when(F.col("version") == latest, F.lit(0)).otherwise(F.col("version") + 1),
@@ -827,20 +881,10 @@ class EventLog:
         Spark path) if the pyarrow read cannot prove completeness —
         e.g. a legacy fragment without stats whose listed file vanished
         mid-read. Dense versions give the completeness check: a page of
-        [lo, hi] must yield exactly hi-lo+1 rows."""
-        with self._lock:
-            latest, initial = self._latest, self._initial
-        if latest == 0:
-            raise InvalidVersion("scan on empty log")
-        v = version if version is not None else (latest if reverse else initial)
-        if v < initial or v > latest:
-            raise InvalidVersion(f"version {v} out of bounds [{initial}, {latest}]")
-        if reverse:
-            hi = v - 1 if skip_first else v
-            lo = initial if limit is None else max(initial, hi - limit + 1)
-        else:
-            lo = v + 1 if skip_first else v
-            hi = latest if limit is None else min(latest, lo + limit - 1)
+        [lo, hi] must yield exactly hi-lo+1 rows. Paging semantics come
+        from the same ``_page_interval`` the Spark path uses, so the
+        two paths cannot drift."""
+        lo, hi, latest = self._page_interval(version, reverse, limit, skip_first)
         if hi < lo:
             return []
         rows = self._rows_in_range(lo, hi)
@@ -897,21 +941,13 @@ class EventLog:
                 key = (fname, st.st_mtime_ns, st.st_size)
                 with self._lock:
                     rng = cache.get(key)
+                pf = None  # opened at most ONCE per fragment per page
                 if rng is None:
-                    md = pq.ParquetFile(full).metadata
-                    names = [md.schema.column(i).name for i in range(md.num_columns)]
-                    ci = names.index("version")
-                    mn = mx = None
-                    for g in range(md.num_row_groups):
-                        s = md.row_group(g).column(ci).statistics
-                        if s is None or not s.has_min_max:
-                            mn = None
-                            break
-                        mn = s.min if mn is None else min(mn, s.min)
-                        mx = s.max if mx is None else max(mx, s.max)
-                    if mn is None:
+                    pf = pq.ParquetFile(full)
+                    stats = _version_group_stats(pf.metadata)
+                    if stats is None:
                         return None  # stats unavailable: let Spark serve it
-                    rng = (mn, mx)
+                    rng = (min(s[0] for s in stats), max(s[1] for s in stats))
                     with self._lock:
                         cache[key] = rng
                         if len(cache) > 4096:  # bound: evict arbitrary half
@@ -922,7 +958,8 @@ class EventLog:
                 with self._lock:
                     rows = self._frag_row_cache.get(key)
                 if rows is None:
-                    pf = pq.ParquetFile(full)
+                    if pf is None:
+                        pf = pq.ParquetFile(full)
                     md = pf.metadata
                     n_rows = md.num_rows
                     if n_rows > 16384 and (rng[0] < lo or rng[1] > hi):
@@ -932,20 +969,12 @@ class EventLog:
                         # exactly this pruning unit); a direct
                         # read_row_groups beats the dataset-filter
                         # machinery ~2-4x
-                        names = [
-                            md.schema.column(i).name
-                            for i in range(md.num_columns)
-                        ]
-                        ci = names.index("version")
+                        stats = _version_group_stats(md)
                         groups = [
                             g
                             for g in range(md.num_row_groups)
-                            if (
-                                (s := md.row_group(g).column(ci).statistics)
-                                is None
-                                or not s.has_min_max
-                                or (s.min <= hi and s.max >= lo)
-                            )
+                            if stats is None
+                            or (stats[g][0] <= hi and stats[g][1] >= lo)
                         ]
                         tbl = pf.read_row_groups(groups)
                         # trim Arrow-side BEFORE the Python conversion:
