@@ -974,7 +974,7 @@ def encode_jpeg(doc_id: int) -> bytes:
     return bytes(out)
 
 
-def decode_jpeg(b: bytes):
+def decode_jpeg(b: bytes, dc_only: bool = False):
     """REAL baseline JPEG decoder (8-bit grayscale, one scan): walks
     markers, builds canonical Huffman tables from DHT counts/values,
     entropy-decodes with 0xFF00 unstuffing (DC prediction, AC
@@ -982,7 +982,15 @@ def decode_jpeg(b: bytes):
     2-D IDCT (numpy separable basis-matrix form), level-shifts and
     clamps. Shares no code with ``encode_jpeg`` beyond the zigzag
     constant — a table-build or bit-order bug on either side breaks the
-    formula oracle. Returns (w, h, int image array)."""
+    formula oracle. Returns (w, h, int image array).
+
+    ``dc_only=True`` is the compressed-domain analytics path: the
+    entropy stream is still fully parsed (bit sync requires it), but
+    no dequant/IDCT/pixel work happens — returns (w, h, list of
+    dequantized per-block DC coefficients), i.e. 8x the block mean
+    minus the 128 level shift. This is how DC-domain video analysis
+    (scene-cut detection, brightness histograms) runs over compressed
+    frames without ever materializing pixels."""
     import math
     import struct
 
@@ -1047,19 +1055,23 @@ def decode_jpeg(b: bytes):
         data.append(b[j])
         j += 1
 
+    # single big-int bitstream: each read is one shift+mask instead of
+    # a per-bit divmod/index loop — the same trick real decoders play
+    # with 64-bit bit reservoirs, and ~2-3x on the Python hot loop
     pos = 0
-
-    def bit() -> int:
-        nonlocal pos
-        byte, off = divmod(pos, 8)
-        pos += 1
-        return (data[byte] >> (7 - off)) & 1
+    total_bits = len(data) * 8
+    big = int.from_bytes(bytes(data), "big")
 
     def bits(n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | bit()
+        nonlocal pos
+        if pos + n > total_bits:
+            raise ValueError("bad Huffman stream: truncated")
+        v = (big >> (total_bits - pos - n)) & ((1 << n) - 1)
+        pos += n
         return v
+
+    def bit() -> int:
+        return bits(1)
 
     def huff(table) -> int:
         code, length = 0, 0
@@ -1083,6 +1095,7 @@ def decode_jpeg(b: bytes):
     dc_table, ac_table = hts[(0, comp_dc)], hts[(1, comp_ac)]
     blocks_w, blocks_h = w // 8, h // 8
     img = np.zeros((h, w), dtype=np.int64)
+    dcs: list[int] = []
     pred = 0
     for bi in range(blocks_w * blocks_h):
         coef = [0] * 64
@@ -1101,12 +1114,22 @@ def decode_jpeg(b: bytes):
             k += run
             coef[k] = extend(bits(size), size) * qt[k]
             k += 1
+        if dc_only:
+            # COMPRESSED-DOMAIN fast path (Yeo & Liu 1995): the AC
+            # symbols above were consumed only to stay bit-synced;
+            # skip dequant/dezigzag/IDCT/pixel work entirely and keep
+            # the dequantized DC — enough for block-mean analytics
+            # (brightness, scene cuts) at a fraction of decode cost
+            dcs.append(coef[0])
+            continue
         Fm = np.zeros((8, 8))
         for zi, (r, c) in enumerate(_JPEG_ZZ):
             Fm[r, c] = coef[zi]
         px = np.floor(basis.T @ Fm @ basis + 0.5).astype(np.int64) + 128
         r0, c0 = (bi // blocks_w) * 8, (bi % blocks_w) * 8
         img[r0 : r0 + 8, c0 : c0 + 8] = np.clip(px, 0, 255)
+    if dc_only:
+        return w, h, dcs
     return w, h, img
 
 
@@ -1454,3 +1477,108 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return docs.mapInPandas(extract, schema=AVI_SCHEMA)
+
+
+# A scene cut is a DC-domain brightness jump of >= 6 grey levels
+# between consecutive frames; brightness is tracked as 4*sum-of-block-
+# DCs so the comparison stays pure-integer on both engines (>= 24 in
+# sum-DC units == >= 6 in brightness units).
+SCENE_CUT_MIN_DELTA_X4 = 24
+
+SCENE_SCHEMA = (
+    "doc_id long, n_frames int, n_cuts long, first_cut int, "
+    "mean_brightness double"
+)
+
+
+@register(
+    "multimodal_video_scene_cuts",
+    # ground truth restated from the per-frame DC plan: frame f's
+    # sum-of-block-DCs is sum_b dc(doc_id + 131f, b); cuts are
+    # |delta| >= 24 between consecutive frames (integer-exact)
+    oracle=f"""
+WITH v AS (
+    SELECT doc_id, 4 + doc_id % 5 AS n_frames FROM documents
+),
+fr AS (
+    SELECT doc_id, n_frames, unnest(range(0, CAST(n_frames AS BIGINT))) AS f
+    FROM v
+),
+s AS (
+    SELECT doc_id, n_frames, f,
+           list_sum(list_transform([0,1,2,3], b ->
+               (((doc_id + {AVI_SEED_STRIDE} * f) * 7 + b * 11) % 49) - 24
+           )) AS sum_dc
+    FROM fr
+),
+d AS (
+    SELECT doc_id, n_frames, f, sum_dc,
+           sum_dc - LAG(sum_dc) OVER (PARTITION BY doc_id ORDER BY f) AS delta
+    FROM s
+)
+SELECT doc_id,
+       CAST(MAX(n_frames) AS INT) AS n_frames,
+       CAST(SUM(CASE WHEN delta IS NOT NULL
+                     AND ABS(delta) >= {SCENE_CUT_MIN_DELTA_X4}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       CAST(COALESCE(MIN(CASE WHEN delta IS NOT NULL
+                              AND ABS(delta) >= {SCENE_CUT_MIN_DELTA_X4}
+                         THEN f END), -1) AS INT) AS first_cut,
+       CAST(SUM(sum_dc) AS DOUBLE) / (4 * MAX(n_frames)) + 128
+           AS mean_brightness
+FROM d GROUP BY doc_id
+""",
+    doc="COMPRESSED-DOMAIN scene-cut detection (Yeo & Liu 1995): parse "
+    "every frame's entropy stream DC-only (no IDCT, no pixels), track "
+    "per-frame DC-domain brightness, flag jumps >= 6 grey levels.",
+)
+def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video-pipeline step after frame sampling: SHOT BOUNDARY
+    detection, done the way compressed-video pipelines do it — in the
+    DC domain. Every frame's entropy stream is parsed (that's
+    unavoidable: bit sync), but no frame is ever dequantized,
+    IDCT'd, or materialized as pixels; per-frame brightness comes from
+    the block DC coefficients alone (``decode_jpeg(dc_only=True)``),
+    and a cut is a >= 6-grey-level jump between consecutive frames.
+    Unlike ``multimodal_video_frames`` (which samples frames and pays
+    full decode on the sample), this runs over EVERY frame at a
+    fraction of decode cost — the classic recall/cost trade of
+    DC-domain analysis. All comparisons are integer (sum-DC x4 units);
+    only the final mean is a double, computed with the identical
+    expression in the oracle. Shuffle-free Arrow map stage."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                meta, frames = decode_avi(encode_avi_mjpeg(int(doc_id)))
+                # dequantized DC = 8 * plan-dc (DC quant step is 8):
+                # sum_dc below is in plan units, matching the oracle
+                sums = []
+                for frbytes in frames:
+                    _w, _h, dcs = decode_jpeg(frbytes, dc_only=True)
+                    sums.append(sum(c // 8 for c in dcs))
+                cuts = [
+                    f
+                    for f in range(1, len(sums))
+                    if abs(sums[f] - sums[f - 1]) >= SCENE_CUT_MIN_DELTA_X4
+                ]
+                rows.append(
+                    (
+                        doc_id,
+                        meta["n_frames"],
+                        len(cuts),
+                        cuts[0] if cuts else -1,
+                        sum(sums) / (4 * meta["n_frames"]) + 128,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "n_cuts", "first_cut",
+                    "mean_brightness",
+                ],
+            ).astype({"n_frames": "int32", "first_cut": "int32"})
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(extract, schema=SCENE_SCHEMA)

@@ -99,21 +99,23 @@ _loaded = False
 # ROUND-7 ROTATION (freshness — the r6 verdict's item 2 executes the
 # registry's own round-7 note): every query is cumulatively green, so
 # the window is exactly
-# (a) the 4 NEW round-7 queries (no driver row yet): the iterative BPE
-#     trainer, its encode half, the real baseline-JPEG decode, and the
-#     MJPEG/AVI video frame-sample decode;
-# (b) ALL 20 rows whose latest driver check is still round 1 and 26 of
+# (a) the 5 NEW round-7 queries (no driver row yet): the iterative BPE
+#     trainer, its encode half, the real baseline-JPEG decode, the
+#     MJPEG/AVI video frame-sample decode, and the DC-domain scene-cut
+#     detector;
+# (b) ALL 20 rows whose latest driver check is still round 1 and 25 of
 #     the 27 rows still at round 3 — after this window, no query's
 #     latest driver check is older than round 4 except
-#     multimodal_manifest (a trivial projection; it ceded its slot to
-#     the new video query and rotates in round 8). (The storage engine
+#     multimodal_manifest and sample_hash_stats (trivial projections;
+#     they ceded their slots to the new media queries and rotate in
+#     round 8). (The storage engine
 #     also changed this round — manifest snapshot reads, publish-
 #     before-delete compaction — and eventlog_engine_roundtrip was
 #     re-proven green in this session's full sf0.01 driver simulations
 #     plus the dedicated log/streaming/CLI test suites; it likewise
 #     cedes its window slot to the new queries.)
-# ROUND-8 NOTE: freshness after r7 leaves multimodal_manifest (r3) and
-# the 43 rows last checked in
+# ROUND-8 NOTE: freshness after r7 leaves multimodal_manifest and
+# sample_hash_stats (r3) and the 43 rows last checked in
 # r4 as the oldest cohort (bm25_search, corpus_*, dedup_segments/
 # semantic_cluster/winnowing, domain_quota_cap, embedding_*, event_*,
 # incremental_agg_merge, merge_upsert_orders, pack_token_budget,
@@ -128,6 +130,7 @@ _FIRST_50 = [
     "text_bpe_encode_scaled",
     "multimodal_jpeg_decode",
     "multimodal_video_frames",
+    "multimodal_video_scene_cuts",
     # (b) latest driver check round 1 — all 20
     "agg_distinct",
     "agg_percentiles",
@@ -163,7 +166,6 @@ _FIRST_50 = [
     "join_skew_salted",
     "json_extract",
     "q22_idle_customers",
-    "sample_hash_stats",
     "stream_dedup",
     "stream_interval_join",
     "stream_session_window",

@@ -1345,3 +1345,25 @@ def test_avi_decoder_rejects_corruption():
     bad2[28:32] = struct.pack("<I", 10_000_000)
     with _pytest.raises(ValueError, match="overruns"):
         multimodal.decode_avi(bytes(bad2))
+
+
+def test_jpeg_dc_only_matches_full_decode():
+    """The compressed-domain path returns exactly the block DCs the
+    full decoder uses: block means of the full-decode pixels equal
+    128 + dc/8 + the fixed AC pattern's mean contribution (0 here by
+    construction of the plan's zero-mean AC pattern check), and the
+    DC list matches the seeded plan."""
+    for seed in (0, 5, 48, 123):
+        w, h, dcs = multimodal.decode_jpeg(
+            multimodal.encode_jpeg(seed), dc_only=True
+        )
+        assert (w, h) == (multimodal.JPEG_SIDE,) * 2
+        assert [c // 8 for c in dcs] == [
+            multimodal._jpeg_dc(seed, b) for b in range(4)
+        ]
+        # full decode agrees: per-block pixel sum = 64*(128+dc) + A_SUM
+        _, _, img = multimodal.decode_jpeg(multimodal.encode_jpeg(seed))
+        for b, c0 in enumerate(dcs):
+            r0, col0 = (b // 2) * 8, (b % 2) * 8
+            blk = img[r0 : r0 + 8, col0 : col0 + 8]
+            assert int(blk.sum()) == 64 * (128 + c0 // 8) + multimodal._JPEG_A_SUM
