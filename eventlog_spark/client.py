@@ -36,6 +36,7 @@ import http.client
 import json
 import socket
 import threading
+import weakref
 import time as _time
 from collections.abc import Callable, Iterator
 from dataclasses import dataclass
@@ -97,7 +98,11 @@ class Client:
         self.port = port
         self.timeout = timeout
         self._local = threading.local()  # one keep-alive conn per thread
-        self._conns: set = set()  # every open conn, for close()
+        # WeakSet: close() reaches every LIVE conn, while a conn whose
+        # owning thread exited (its threading.local ref died) stays
+        # GC-able — a strong set would pin one open socket per dead
+        # thread for the life of the process
+        self._conns: "weakref.WeakSet" = weakref.WeakSet()
         self._conns_lock = threading.Lock()
         # Compat mode (round-5 verdict item 7): the reference client
         # resends ``skip_first`` on EVERY pagination request while
@@ -130,6 +135,13 @@ class Client:
                 conn = local.conn = http.client.HTTPConnection(
                     self.host, self.port, timeout=self.timeout
                 )
+                # auto_open=0: a conn closed under us (close() from
+                # another thread, a Connection: close response) must
+                # surface as NotConnected on the next request — caught
+                # below and replaced by a properly-configured fresh
+                # conn — instead of http.client silently reconnecting
+                # WITHOUT the TCP_NODELAY setup or close() tracking
+                conn.auto_open = 0
                 # disable Nagle: headers and body go out in separate
                 # writes, and on a reused connection Nagle + delayed ACK
                 # turns every request into a ~40 ms stall
@@ -163,11 +175,12 @@ class Client:
         conn.close()
 
     def close(self) -> None:
-        """Close every keep-alive connection this client has opened
-        (across all threads). Safe to call repeatedly; the next request
-        on any thread transparently reconnects."""
+        """Close every live keep-alive connection this client has
+        opened (across all threads). Safe to call repeatedly; the next
+        request on any thread transparently reconnects."""
         with self._conns_lock:
-            conns, self._conns = self._conns, set()
+            conns = list(self._conns)
+            self._conns = weakref.WeakSet()
         self._local.conn = None
         for c in conns:
             c.close()

@@ -947,7 +947,15 @@ class EventLog:
                     stats = _version_group_stats(pf.metadata)
                     if stats is None:
                         return None  # stats unavailable: let Spark serve it
-                    rng = (min(s[0] for s in stats), max(s[1] for s in stats))
+                    # cache the per-group stats too (only when there IS
+                    # more than one group — single-group files never
+                    # need them), so repeated pages over a big compacted
+                    # fragment don't re-walk its footer every time
+                    rng = (
+                        min(s[0] for s in stats),
+                        max(s[1] for s in stats),
+                        stats if len(stats) > 1 else None,
+                    )
                     with self._lock:
                         cache[key] = rng
                         if len(cache) > 4096:  # bound: evict arbitrary half
@@ -969,7 +977,9 @@ class EventLog:
                         # exactly this pruning unit); a direct
                         # read_row_groups beats the dataset-filter
                         # machinery ~2-4x
-                        stats = _version_group_stats(md)
+                        stats = rng[2] if len(rng) > 2 else None
+                        if stats is None:
+                            stats = _version_group_stats(md)
                         groups = [
                             g
                             for g in range(md.num_row_groups)

@@ -346,3 +346,124 @@ def test_local_client_follow(spark):
     c.append("e4", '{"i":4}')
     assert done.wait(30), f"follow never completed; got={got}"
     assert got == [1, 2, 3, 4]
+
+
+class _ScriptedServer:
+    """Raw-socket HTTP stand-in with per-request scripted behavior:
+    'ok' answers, 'hang_up_before_reply' reads the request then closes
+    the socket without responding (response-phase loss), 'refuse_next'
+    closes immediately (send-phase loss on a reused socket is simulated
+    separately by closing the client's cached socket)."""
+
+    def __init__(self):
+        import socket as _socket
+
+        self.sock = _socket.socket()
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(8)
+        self.port = self.sock.getsockname()[1]
+        self.requests: list[bytes] = []
+        self.script: list[str] = []
+        self._t = threading.Thread(target=self._serve, daemon=True)
+        self._t.start()
+
+    def _serve(self):
+        while True:
+            try:
+                c, _ = self.sock.accept()
+            except OSError:
+                return
+            threading.Thread(target=self._conn, args=(c,), daemon=True).start()
+
+    def _conn(self, c):
+        try:
+            while True:
+                data = b""
+                while b"\r\n\r\n" not in data:
+                    chunk = c.recv(65536)
+                    if not chunk:
+                        return
+                    data += chunk
+                head, _, rest = data.partition(b"\r\n\r\n")
+                clen = 0
+                for line in head.split(b"\r\n"):
+                    if line.lower().startswith(b"content-length:"):
+                        clen = int(line.split(b":")[1])
+                while len(rest) < clen:
+                    rest += c.recv(65536)
+                self.requests.append(head.split(b"\r\n")[0])
+                action = self.script.pop(0) if self.script else "ok"
+                if action == "hang_up_before_reply":
+                    c.close()
+                    return
+                body = b'{"version":"1","version-previous":"0","time":"2026-01-01T00:00:00Z"}'
+                c.sendall(
+                    b"HTTP/1.1 200 OK\r\nContent-Type: application/json\r\n"
+                    b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+                )
+        finally:
+            c.close()
+
+    def close(self):
+        self.sock.close()
+
+
+def test_transport_retries_stale_keepalive_send(monkeypatch):
+    """A reused socket the server closed idle fails at SEND time; the
+    transport must reconnect and re-send exactly once — for POSTs too,
+    because nothing reached the server."""
+    srv = _ScriptedServer()
+    try:
+        clt = Client("127.0.0.1", srv.port)
+        assert clt.append("a", '{"x":1}').version == 1  # conn established
+        # simulate the server closing the idle keep-alive socket
+        clt._local.conn.sock.shutdown(2)
+        assert clt.append("b", '{"x":2}').version == 1  # retried, fresh conn
+        assert len(srv.requests) == 2  # one request per append — no dupes
+    finally:
+        srv.close()
+
+
+def test_transport_never_resends_post_after_response_loss():
+    """A POST whose response is lost AFTER the full send must surface
+    the transport error, NOT re-send (the append may have committed) —
+    the at-most-once rule. An idempotent GET in the same situation IS
+    retried."""
+    import pytest as _pytest
+
+    srv = _ScriptedServer()
+    try:
+        clt = Client("127.0.0.1", srv.port)
+        srv.script[:] = ["hang_up_before_reply"]
+        with _pytest.raises(Exception):
+            clt.append("a", '{"x":1}')
+        assert len(srv.requests) == 1  # exactly ONE send — never retried
+        # GET: response lost once -> transparently re-asked
+        srv.script[:] = ["hang_up_before_reply", "ok"]
+        status, _ = clt._request("GET", "/version")
+        assert status == 200
+        assert len(srv.requests) == 3  # the failed GET + its retry
+    finally:
+        srv.close()
+
+
+def test_transport_close_then_reuse_reapplies_nodelay():
+    """close() releases every live conn; the next request reconnects
+    with TCP_NODELAY re-applied (auto_open is disabled so http.client
+    can never sneak in an unconfigured socket)."""
+    import socket as _socket
+
+    srv = _ScriptedServer()
+    try:
+        clt = Client("127.0.0.1", srv.port)
+        clt._request("GET", "/version")
+        first = clt._local.conn
+        assert first.sock.getsockopt(_socket.IPPROTO_TCP, _socket.TCP_NODELAY) == 1
+        clt.close()
+        assert first.sock is None  # actually closed
+        clt._request("GET", "/version")
+        again = clt._local.conn
+        assert again is not first
+        assert again.sock.getsockopt(_socket.IPPROTO_TCP, _socket.TCP_NODELAY) == 1
+    finally:
+        srv.close()
