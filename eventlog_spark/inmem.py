@@ -48,6 +48,11 @@ class InMemEventLog(EventLog):
         self._last_ts = 0
         self._stream_commits: dict[str, int] = {}
         self._rows: list[tuple] = []
+        # manifest plumbing (unused: nothing on disk to track)
+        self._manifest = None
+        self._legacy_files = None
+        self._pending_add: list[dict] = []
+        self._pending_remove: list[str] = []
 
     @classmethod
     def create(

@@ -24,9 +24,12 @@ Design (Spark-first, not a port):
   Throughput comes from batch size, not concurrent commits — identical
   to the reference, where every append holds the lock for an fsync.
   OCC (O3/O4) is a compare inside that section.
-* Each commit writes one parquet fragment via Spark and then publishes
-  the new head in ``_state.json`` (atomic rename). Readers never take
-  the lock: committed fragments are immutable (snapshot isolation).
+* Each commit writes one parquet fragment, appends ONE immutable delta
+  record to the log-structured manifest (manifest.py — per-commit O(1),
+  paged checkpoints every K commits), and then publishes the new head +
+  manifest seq in ``_state.json`` (atomic rename). Readers never take
+  the lock: committed fragments and manifest records are immutable
+  (snapshot isolation), and the pointer names a complete chain.
   A crash between fragment-write and state-publish leaves orphan rows
   above the committed head; ``open()`` truncates them logically by
   trusting the recovered state, and ``check_integrity`` flags them.
@@ -60,6 +63,7 @@ from pyspark.sql.types import (
 )
 
 from .errors import InvalidVersion, MismatchingVersions
+from .manifest import ManifestChainBroken, ManifestLog
 from .validation import (
     DEFAULT_MAX_PAYLOAD_LEN,
     minify_json,
@@ -182,10 +186,16 @@ class EventLog:
         self._initial = 0
         self._last_ts = 0
         self._stream_commits: dict[str, int] = {}  # foreachBatch idempotence
-        # Committed data-file manifest: the file names that make up the
-        # current snapshot, published atomically inside _state.json.
-        # None = legacy log (pre-manifest state file) → directory listing.
-        self._files: list[str] | None = None
+        # Committed data-file manifest: a log-structured chain of
+        # per-commit delta records + paged checkpoints (manifest.py);
+        # _state.json holds only a pointer (head fields + manifest_seq),
+        # so a commit never rewrites the file list and a page read
+        # loads only the manifest pages its version range overlaps.
+        # None until adoption = legacy/recovering log → directory listing.
+        self._manifest: ManifestLog | None = None
+        self._legacy_files: list[str] | None = None  # pre-manifest state file
+        self._pending_add: list[dict] = []  # entries staged for the next publish
+        self._pending_remove: list[str] = []
         self._load_meta()
         self._load_state()
         # Orphan truncation deletes fragment rows above the committed
@@ -196,12 +206,29 @@ class EventLog:
         # uncontended flock.
         with self._commit_section():
             self._truncate_orphans()
-            if self.path is not None and self._files is None:
-                # Legacy log (no manifest in its state file): adopt the
-                # post-truncation directory listing as the manifest. The
-                # next commit publishes it; until then readers fall back
-                # to the same listing.
-                self._files = self._data_files()
+            if self.path is not None and self._manifest is None:
+                # Legacy log (file list embedded in its state file) or
+                # recovery (pointer lost): adopt the legacy list / the
+                # post-truncation directory listing. The first commit
+                # publishes a full checkpoint (adopted entries exist in
+                # no delta); until then readers fall back to the same
+                # listing. Seq resumes past anything on disk so a stale
+                # pointer can never name the rebuilt chain.
+                m = ManifestLog(self.path)
+                names = (
+                    self._legacy_files
+                    if self._legacy_files is not None
+                    else self._data_files()
+                )
+                m.adopt(
+                    [{"n": f} for f in names],
+                    max(
+                        m.max_seq_on_disk(),
+                        getattr(self, "_stale_manifest_seq", 0),
+                    ),
+                )
+                self._manifest = m
+                self._legacy_files = None
 
     # -- lifecycle (O21/O22) ------------------------------------------------
 
@@ -251,7 +278,23 @@ class EventLog:
                 str(k): int(v) for k, v in st.get("stream_commits", {}).items()
             }
             files = st.get("files")
-            self._files = list(files) if files is not None else None
+            if files is not None:
+                # legacy format: full list in the state file — adopted
+                # into a manifest chain by __init__
+                self._legacy_files = list(files)
+            elif "manifest_seq" in st:
+                m = ManifestLog(self.path)
+                try:
+                    m.load(int(st["manifest_seq"]))
+                    self._manifest = m
+                except ManifestChainBroken:
+                    # pointer names a vacuumed chain (crash between a
+                    # roll-up and its pointer publish, then a vacuum):
+                    # head fields are still good; re-adopt the listing.
+                    # The rebuilt chain must resume PAST this seq or the
+                    # stale pointer would outrank the re-adoption.
+                    self._stale_manifest_seq = int(st["manifest_seq"])
+                    self._manifest = None
         except (FileNotFoundError, KeyError, ValueError):
             self._recover_state()
 
@@ -288,6 +331,20 @@ class EventLog:
         files = self._data_files()
         if not files:
             return
+        if self._manifest is not None:
+            # Only UNPUBLISHED files can be orphans: a manifest-listed
+            # fragment was published atomically with a head ≥ its max
+            # version. A crash orphan strictly ADDS a file beyond the
+            # manifest, so listing-count == manifest-count (a metadata-
+            # only probe) proves no orphans without loading a single
+            # page; on mismatch, the name diff restricts footer checks
+            # to the suspects — O(orphans), not O(all fragments).
+            if len(files) <= self._manifest.count():
+                return
+            published = set(self._manifest.names())
+            files = [f for f in files if f not in published]
+            if not files:
+                return
         import pyarrow.parquet as pq
 
         for fname in files:
@@ -319,8 +376,10 @@ class EventLog:
                 continue
             if mn > latest:
                 os.remove(full)
-                if self._files is not None and fname in self._files:
-                    self._files.remove(fname)
+                # orphans are unpublished by definition, so they can
+                # only appear in the pre-adoption legacy list
+                if self._legacy_files is not None and fname in self._legacy_files:
+                    self._legacy_files.remove(fname)
             else:
                 import pyarrow.compute as pc
 
@@ -380,11 +439,15 @@ class EventLog:
             latest = int(st["latest_version"])
         except (FileNotFoundError, KeyError, ValueError):
             return
-        files = st.get("files")
-        if files is not None:
-            # adopted unconditionally: another process's COMPACTION swaps
-            # the file set without moving the head
-            self._files = list(files)
+        seq = st.get("manifest_seq")
+        if seq is not None and self._manifest is not None:
+            # replay the other writer's delta records — O(their commits),
+            # covers compactions (a delta carries removes) without
+            # moving the head
+            try:
+                self._manifest.replay_to(int(seq))
+            except ManifestChainBroken:
+                pass  # readers fall back to the listing until re-adopted
         if latest != self._latest:
             self._latest = latest
             self._initial = int(st["version_initial"])
@@ -394,6 +457,20 @@ class EventLog:
             }
 
     def _write_state(self) -> None:
+        """Publish: the staged manifest change goes out as ONE immutable
+        delta record (O(1), manifest.py), then the pointer — head fields
+        + manifest_seq — in one atomic rename. A reader's (seq, latest)
+        pair is always one snapshot because the chain below a published
+        seq is immutable. Manifest files a roll-up superseded retire
+        into the vacuum ledger only AFTER the pointer is out
+        (publish-before-delete, same as data fragments)."""
+        superseded: list[str] = []
+        if self._manifest is not None and (
+            self._pending_add or self._pending_remove
+        ):
+            add, rm = self._pending_add, self._pending_remove
+            self._pending_add, self._pending_remove = [], []
+            _, superseded = self._manifest.commit(add, rm)
         tmp = self._state_path() + f".tmp.{uuid.uuid4().hex}"
         st = {
             "latest_version": self._latest,
@@ -401,13 +478,13 @@ class EventLog:
             "last_timestamp": self._last_ts,
             "stream_commits": self._stream_commits,
         }
-        if self._files is not None:
-            # the manifest rides in the same atomic publish as the head:
-            # a reader's (files, latest) pair is always one snapshot
-            st["files"] = self._files
+        if self._manifest is not None:
+            st["manifest_seq"] = self._manifest.seq
         with open(tmp, "w") as f:
             json.dump(st, f)
         os.replace(tmp, self._state_path())  # atomic publish
+        if superseded:
+            self._retire(superseded)
 
     def _read_raw(self) -> DataFrame | None:
         """Snapshot read: the file set comes from the PUBLISHED manifest
@@ -425,20 +502,37 @@ class EventLog:
             *[os.path.join(self.path, f) for f in files]
         )
 
-    def _manifest_files(self) -> list[str]:
-        """The committed data-file set: freshest published manifest if
-        one exists, else this process's in-memory view (pre-publish
-        window of a legacy adoption), else the directory listing
-        (legacy log with no state file at all)."""
+    def _sync_manifest_to_pointer(self) -> bool:
+        """Advance the manifest mirror to the freshest PUBLISHED pointer
+        — one tiny JSON read; when another process committed, replay of
+        its delta records (O(their commits), never a full reparse).
+        Returns False when the mirror can't serve (no manifest / broken
+        chain) and the caller should use the directory listing."""
+        if self._manifest is None:
+            return False
         try:
             with open(self._state_path()) as f:
-                files = json.load(f).get("files")
-            if files is not None:
-                return list(files)
+                seq = json.load(f).get("manifest_seq")
         except (FileNotFoundError, ValueError):
-            pass
-        if self._files is not None:
-            return list(self._files)
+            seq = None
+        if seq is None:
+            # pre-publish window of an adoption: the in-memory mirror IS
+            # the current view (same as the old in-memory list fallback)
+            return True
+        with self._lock:
+            try:
+                self._manifest.replay_to(int(seq))
+            except ManifestChainBroken:
+                return False
+        return True
+
+    def _manifest_files(self) -> list[str]:
+        """The committed data-file set at the freshest published
+        pointer; directory listing (retirement-aware) when no manifest
+        chain is usable (legacy log mid-adoption, vacuumed chain)."""
+        if self._sync_manifest_to_pointer():
+            with self._lock:
+                return self._manifest.names()
         return self._data_files()
 
     def _data_files(self) -> list[str]:
@@ -605,23 +699,53 @@ class EventLog:
         # counts interactive fragments since the last fold — the
         # minor-compaction trigger (amortized-O(1) append maintenance)
         self._interactive_frags = getattr(self, "_interactive_frags", 0) + 1
-        if self._files is not None:
-            self._files.append(name)  # published by the caller's _write_state
+        # staged with the EXACT version range (the commit assigned it);
+        # published by the caller's _write_state as one delta record
+        self._pending_add.append(
+            {"n": name, "lo": rows[0][0], "hi": rows[-1][0]}
+        )
 
     def _write_out(self, out: DataFrame) -> None:
         """Bulk-commit seam: persist an already-versioned, checksummed
         frame. The storage engines differ only here and in ``_read_raw``
         + the state/lifecycle hooks (the reference's engine seam,
         eventlog/eventlog.go EventLogger interface)."""
-        before = set(self._data_files()) if self._files is not None else None
+        try:
+            before = set(os.listdir(self.path))
+        except FileNotFoundError:
+            before = set()
         out.write.mode("append").parquet(self.path)
-        if self._files is not None:
-            # name discovery by directory diff: safe because every writer
-            # (this one included) holds the cross-process commit flock,
-            # so nothing else adds files during the window
-            self._files.extend(
-                sorted(f for f in self._data_files() if f not in before)
-            )
+        # name discovery by directory diff: safe because every writer
+        # (this one included) holds the cross-process commit flock, so
+        # nothing else adds files during the window. Version ranges come
+        # from the footers Spark just wrote — one metadata read per new
+        # file, so scan_rows/page pruning works on bulk fragments too.
+        try:
+            listing = os.listdir(self.path)
+        except FileNotFoundError:
+            listing = []
+        for f in sorted(listing):
+            if f.startswith(("_", ".")) or f in before:
+                continue
+            rng = self._parquet_version_range(os.path.join(self.path, f))
+            entry: dict = {"n": f}
+            if rng is not None:
+                entry["lo"], entry["hi"] = rng
+            self._pending_add.append(entry)
+
+    @staticmethod
+    def _parquet_version_range(full: str) -> tuple[int, int] | None:
+        """(min, max) of the version column from a fragment's footer
+        stats — a metadata-only read; None when stats are unavailable."""
+        try:
+            import pyarrow.parquet as pq
+
+            stats = _version_group_stats(pq.ParquetFile(full).metadata)
+        except Exception:
+            return None
+        if not stats:
+            return None
+        return min(s[0] for s in stats), max(s[1] for s in stats)
 
     def append_dataframe(
         self,
@@ -931,9 +1055,21 @@ class EventLog:
 
                 self._frag_row_cache: OrderedDict = OrderedDict()
                 self._frag_rows_total = 0
+        # Candidate set: the manifest's version-range index selects only
+        # the fragments whose range MAY overlap the page — O(manifest
+        # pages overlapped + matches), so a 1000-event page over a
+        # 100k-fragment log touches a handful of entries, not 100k
+        # stat/footer probes. Entries without a recorded range (legacy
+        # adoption) fall through to the footer-stats probe below.
+        if self._sync_manifest_to_pointer():
+            with self._lock:
+                cand = self._manifest.overlapping(lo, hi)
+        else:
+            cand = [{"n": f} for f in self._data_files()]
         out: list[tuple] = []
         try:
-            for fname in self._manifest_files():
+            for entry in cand:
+                fname = entry["n"]
                 if not fname.endswith(".parquet"):
                     continue
                 full = os.path.join(self.path, fname)
@@ -942,6 +1078,11 @@ class EventLog:
                 with self._lock:
                     rng = cache.get(key)
                 pf = None  # opened at most ONCE per fragment per page
+                if rng is None and entry.get("lo") is not None:
+                    # manifest range is authoritative for the file-level
+                    # prune; per-group stats load lazily if the read
+                    # path needs them
+                    rng = (entry["lo"], entry["hi"], None)
                 if rng is None:
                     pf = pq.ParquetFile(full)
                     stats = _version_group_stats(pf.metadata)
@@ -980,6 +1121,11 @@ class EventLog:
                         stats = rng[2] if len(rng) > 2 else None
                         if stats is None:
                             stats = _version_group_stats(md)
+                            if stats is not None:
+                                # manifest-seeded range had no per-group
+                                # stats: cache them for the next page
+                                with self._lock:
+                                    cache[key] = (rng[0], rng[1], stats)
                         groups = [
                             g
                             for g in range(md.num_row_groups)
@@ -1174,9 +1320,8 @@ class EventLog:
                 .mode("overwrite")
                 .parquet(tmp)
             )
-            old = list(self._files) if self._files is not None else self._data_files()
+            old = self._manifest_files()
             tag = uuid.uuid4().hex[:8]
-            new_files = []
             for f in sorted(os.listdir(tmp)):
                 if f.startswith(("_", ".")):
                     continue
@@ -1185,9 +1330,13 @@ class EventLog:
                 landing = os.path.join(self.path, "." + name + ".tmp")
                 shutil.move(os.path.join(tmp, f), landing)
                 os.rename(landing, os.path.join(self.path, name))
-                new_files.append(name)
+                entry: dict = {"n": name}
+                rng = self._parquet_version_range(os.path.join(self.path, name))
+                if rng is not None:
+                    entry["lo"], entry["hi"] = rng
+                self._pending_add.append(entry)
             shutil.rmtree(tmp, ignore_errors=True)
-            self._files = new_files
+            self._pending_remove.extend(old)
             self._interactive_frags = 0
             self._write_state()  # atomic manifest swap — the publish point
             self._retire(old)
@@ -1226,9 +1375,7 @@ class EventLog:
             return 0
         with self._commit_section():
             self.vacuum()  # reap grace-expired retirees of previous folds
-            manifest = (
-                list(self._files) if self._files is not None else self._data_files()
-            )
+            manifest = self._manifest_files()
             # fold set: the single-commit fragments AND any still-small
             # previous fold outputs (size-tiered: a minor file absorbs
             # folds until it reaches MAX_BYTES, then is left for major
@@ -1257,8 +1404,12 @@ class EventLog:
             landing = os.path.join(self.path, "." + name + ".tmp")
             pq.write_table(merged, landing)
             os.rename(landing, os.path.join(self.path, name))
-            gone = set(small)
-            self._files = [f for f in manifest if f not in gone] + [name]
+            # merged is sorted by version: range = first/last row
+            vcol = merged.column("version")
+            self._pending_add.append(
+                {"n": name, "lo": vcol[0].as_py(), "hi": vcol[-1].as_py()}
+            )
+            self._pending_remove.extend(small)
             self._write_state()  # atomic manifest swap — the publish point
             self._retire(small)
             return len(small)
@@ -1270,24 +1421,38 @@ class EventLog:
     VACUUM_GRACE_SECONDS = int(os.environ.get("SPARK_GRAFT_LOG_GC_GRACE", 900))
 
     def _retired_path(self) -> str:
-        return os.path.join(self.path, "_retired.json")
+        return os.path.join(self.path, "_retired.jsonl")
 
     def _retire(self, files: list[str]) -> None:
-        """Record ``files`` in the deferred-deletion ledger (atomic
-        rewrite; caller holds the commit flock)."""
-        ledger = self._read_retired()
-        ledger.append({"ts": time.time(), "files": files})
-        tmp = self._retired_path() + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(ledger, f)
-        os.replace(tmp, self._retired_path())
+        """Record ``files`` in the deferred-deletion ledger. APPEND-ONLY
+        (one JSON line per batch, O(1) — the ledger was previously a
+        read-modify-rewrite JSON list, O(ledger) per retirement, which
+        showed up as the commit p99 once manifest roll-ups started
+        retiring their superseded records). Caller holds the commit
+        flock; vacuum compacts the ledger when it reaps."""
+        if not files:
+            return
+        with open(self._retired_path(), "a") as f:
+            f.write(json.dumps({"ts": time.time(), "files": files}) + "\n")
 
     def _read_retired(self) -> list[dict]:
+        out: list[dict] = []
+        # legacy list-format ledger (pre round 8), adopted transparently
+        try:
+            with open(os.path.join(self.path, "_retired.json")) as f:
+                out.extend(json.load(f))
+        except (FileNotFoundError, ValueError):
+            pass
         try:
             with open(self._retired_path()) as f:
-                return list(json.load(f))
-        except (FileNotFoundError, ValueError):
-            return []
+                for line in f:
+                    try:
+                        out.append(json.loads(line))
+                    except ValueError:
+                        continue  # torn trailing line from a crash
+        except FileNotFoundError:
+            pass
+        return out
 
     def vacuum(self, grace_seconds: float | None = None) -> int:
         """Delete retired data files older than the grace window; returns
@@ -1311,6 +1476,12 @@ class EventLog:
         if kept != ledger:
             tmp = self._retired_path() + f".tmp.{uuid.uuid4().hex}"
             with open(tmp, "w") as f:
-                json.dump(kept, f)
+                for batch in kept:
+                    f.write(json.dumps(batch) + "\n")
             os.replace(tmp, self._retired_path())
+            # the legacy list-format ledger (if any) is folded in above
+            try:
+                os.remove(os.path.join(self.path, "_retired.json"))
+            except FileNotFoundError:
+                pass
         return removed

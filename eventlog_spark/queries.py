@@ -96,89 +96,79 @@ _loaded = False
 # goes dead LAST so a harness abort there cannot cost any other query
 # its row.
 #
-# ROUND-7 ROTATION (freshness — the r6 verdict's item 2 executes the
-# registry's own round-7 note): every query is cumulatively green, so
-# the window is exactly
-# (a) the 5 NEW round-7 queries (no driver row yet): the iterative BPE
-#     trainer, its encode half, the real baseline-JPEG decode, the
-#     MJPEG/AVI video frame-sample decode, and the DC-domain scene-cut
-#     detector;
-# (b) ALL 20 rows whose latest driver check is still round 1 and 25 of
-#     the 27 rows still at round 3 — after this window, no query's
-#     latest driver check is older than round 4 except
-#     multimodal_manifest and sample_hash_stats (trivial projections;
-#     they ceded their slots to the new media queries and rotate in
-#     round 8). (The storage engine
-#     also changed this round — manifest snapshot reads, publish-
-#     before-delete compaction — and eventlog_engine_roundtrip was
-#     re-proven green in this session's full sf0.01 driver simulations
-#     plus the dedicated log/streaming/CLI test suites; it likewise
-#     cedes its window slot to the new queries.)
-# ROUND-8 NOTE: freshness after r7 leaves multimodal_manifest and
-# sample_hash_stats (r3) and the 43 rows last checked in
-# r4 as the oldest cohort (bm25_search, corpus_*, dedup_segments/
-# semantic_cluster/winnowing, domain_quota_cap, embedding_*, event_*,
-# incremental_agg_merge, merge_upsert_orders, pack_token_budget,
-# quality_*, sample_stratified/temperature, scd2_user_state, sketch_*,
-# source_overlap_matrix, stream_late_arrival_audit, text_bigram_
-# surprisal/blocklist/bpe_pair_counts/decontaminate/inverse_freq/
-# repetition, tfidf_top_terms, vocab_topk, zorder_layout_key) — rotate
-# those in next, plus anything round 8 touches and any new queries.
+# ROUND-8 ROTATION (executes the registry's own round-8 note + the r7
+# verdict's item 6): every query is cumulatively green (183/183, zero
+# latest-red), so the window is freshness-driven:
+# (a) the 2 stragglers whose latest driver check is still round 3
+#     (multimodal_manifest, sample_hash_stats — the oldest rows in the
+#     ledger);
+# (b) the 8 log-family queries — the STORAGE ENGINE changed this round
+#     (the flat _state.json file list became a log-structured manifest:
+#     per-commit delta records + paged checkpoints, manifest.py), so
+#     every query that appends/scans/audits through the engine re-proves
+#     against the driver on the new read/write paths;
+# (c) 40 of the 43 rows last checked in round 4 (the next-oldest
+#     cohort). The 3 deferred to round 9 — tfidf_top_terms, vocab_topk,
+#     zorder_layout_key — stay green in the local sf0.001 oracle suite.
+# ROUND-9 NOTE: rotate in the 3 deferred r4 rows above, the remaining
+# r5 cohort (TPC-H q1-q3/q5/q9-q12/q18, subquery_*, window_*,
+# multimodal_decode/frame/header, pivot_returnflag, dedup_exact/simhash,
+# graph_pagerank, ann_pq_adc_topk, pipeline_curate, stream_real_*,
+# udaf/udtf), plus anything round 9 touches and any new queries.
 _FIRST_50 = [
-    # (a) NEW round 7
-    "text_bpe_train_scaled",
-    "text_bpe_encode_scaled",
-    "multimodal_jpeg_decode",
-    "multimodal_video_frames",
-    "multimodal_video_scene_cuts",
-    # (b) latest driver check round 1 — all 20
-    "agg_distinct",
-    "agg_percentiles",
-    "array_collect_ops",
-    "date_functions",
-    "explode_unnest",
-    "join_anti",
-    "join_asof",
-    "join_semi",
-    "q4_priority_late_ship",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q17_small_quantity",
-    "q19_disjunctive_revenue",
-    "q20_part_promotion",
-    "scalar_functions",
-    # (b) latest driver check round 3 — 26 of 27 (multimodal_manifest
-    # ceded its slot to multimodal_video_frames; rotates round 8)
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_rollup",
-    "approx_distinct_hll",
-    "approx_distinct_kmv",
-    "chunk_overlap_windows",
-    "dedup_embedding_cosine",
-    "join_broadcast_dim",
-    "join_range",
-    "join_skew_salted",
-    "json_extract",
-    "q22_idle_customers",
-    "stream_dedup",
-    "stream_interval_join",
-    "stream_session_window",
-    "stream_static_enrich",
-    "stream_threshold_alert",
-    "stream_tumbling_window",
-    "text_fingerprint",
-    "text_lang_stats",
-    "text_quality",
-    "text_rolling_hash",
-    "text_token_count",
-    "timeseries_rollup",
-    "window_running_total",
+    # (a) round-3 stragglers
+    "multimodal_manifest",
+    "sample_hash_stats",
+    # (b) storage engine changed this round — whole log family
+    "eventlog_engine_roundtrip",
+    "eventlog_inmem_roundtrip",
+    "eventlog_binary_roundtrip",
+    "log_integrity_audit",
+    "log_scan_forward",
+    "log_scan_reverse",
+    "log_scan_skip_first",
+    "log_version_bounds",
+    # (c) round-4 cohort (40 of 43)
+    "bm25_search",
+    "corpus_dataset_card",
+    "corpus_interleave_schedule",
+    "corpus_length_histogram",
+    "corpus_shard_assign",
+    "corpus_train_val_split",
+    "dedup_segments",
+    "dedup_semantic_cluster",
+    "dedup_winnowing",
+    "domain_quota_cap",
+    "embedding_centroid_assign",
+    "embedding_dim_stats",
+    "embedding_pq_codes",
+    "embedding_quantize_int8",
+    "embedding_whiten_apply",
+    "event_daily_ewma",
+    "event_funnel",
+    "event_retention",
+    "event_transition_matrix",
+    "event_type_lift",
+    "event_value_outliers",
+    "incremental_agg_merge",
+    "merge_upsert_orders",
+    "pack_token_budget",
+    "quality_gopher_rules",
+    "quality_model_scores",
+    "quality_relative_filter",
+    "sample_stratified",
+    "sample_temperature_mixture",
+    "scd2_user_state",
+    "sketch_bloom_filter",
+    "sketch_count_min",
+    "source_overlap_matrix",
+    "stream_late_arrival_audit",
+    "text_bigram_surprisal",
+    "text_blocklist_filter",
+    "text_bpe_pair_counts",
+    "text_decontaminate",
+    "text_inverse_freq_score",
+    "text_repetition_score",
 ]
 
 # catalog side effects (SparkSQL bucketed-table DDL) — dead last in the

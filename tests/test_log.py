@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 import pytest
 
@@ -371,6 +372,12 @@ def test_concurrent_scans_during_compaction(spark, tmp_path):
         for i in range(9, 12):
             log.append(f"e{i}", f'{{"i":{i}}}')
         log.compact(target_partitions=1)
+        # under full-suite load a reader may still be inside its first
+        # collect; give it a bounded window to land at least one
+        # snapshot so the assertion below tests isolation, not timing
+        deadline = time.time() + 60
+        while not snapshots and not errors and time.time() < deadline:
+            time.sleep(0.1)
     finally:
         stop.set()
         for t in threads:

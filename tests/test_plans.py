@@ -781,15 +781,18 @@ _SHUFFLE_BUDGET = {
 }
 
 # Construction of these EXECUTES real work (bounded Structured Streaming
-# runs; the iterative BPE training loop), so they are covered by their
-# own tests rather than re-run here per session.
+# runs; the iterative BPE training loop), so the whole-surface sweep
+# skips them — but they are NOT unguarded: the signature test below
+# builds each one once per suite run and pins its physical-plan node
+# multiset against tests/plan_signatures.json (r7 verdict item 7 — a
+# plan regression in exactly the most expensive queries must not hide
+# behind the exclusion).
 _BUDGET_EXCLUDED = {
     "stream_real_availablenow",
     "stream_real_stateful",
     "stream_real_restart",
     "stream_real_join",
     "stream_real_watermark_drop",
-    "stream_real_foreachbatch",
     "text_bpe_train_scaled",
     "text_bpe_encode_scaled",
 }
@@ -819,4 +822,34 @@ def test_whole_surface_plan_budget(spark, sf_dir):
         budget = _SHUFFLE_BUDGET.get(name, _DEFAULT_MAX_SHUFFLES)
         if n_ex > budget:
             failures.append(f"{name}: {n_ex} shuffles > budget {budget}")
+    assert not failures, "\n".join(failures)
+
+
+def test_budget_excluded_plan_signatures(spark, sf_dir):
+    """The queries excluded from the sweep above (their construction
+    runs real streaming jobs / the iterative BPE trainer) are pinned by
+    a SAVED plan signature instead: the physical node-type multiset of
+    each returned DataFrame must match tests/plan_signatures.json.
+    Regenerate the file (see its git history for the producer snippet)
+    only when a plan change is intentional and reviewed."""
+    import json
+    import os
+    import re
+    from collections import Counter
+
+    sig_path = os.path.join(os.path.dirname(__file__), "plan_signatures.json")
+    with open(sig_path) as f:
+        saved = json.load(f)
+    assert set(saved) == _BUDGET_EXCLUDED, (
+        "exclusion set and signature file drifted — regenerate the file"
+    )
+    failures = []
+    for name in sorted(_BUDGET_EXCLUDED):
+        plan = formatted_plan(REGISTRY[name].fn(spark, sf_dir))
+        got = dict(sorted(Counter(re.findall(r"\(\d+\) (\w+)", plan)).items()))
+        if got != saved[name]:
+            failures.append(f"{name}: {got} != saved {saved[name]}")
+        for node in _ARROW_ONLY:
+            if re.search(rf"\(\d+\) {node}\b", plan):
+                failures.append(f"{name}: forbidden node {node}")
     assert not failures, "\n".join(failures)

@@ -484,3 +484,109 @@ def test_tail_stream_across_minor_compaction(spark, tmp_path):
     log.append("f", '{"x":6}')
     drain()
     assert sorted(got) == [1, 2, 3, 4, 5, 6]
+
+
+_INGEST_SCRIPT = """
+import sys
+sys.path.insert(0, sys.argv[1])
+log_path, src, ckpt = sys.argv[2], sys.argv[3], sys.argv[4]
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+from eventlog_spark.log import EventLog
+from eventlog_spark.streaming import streams
+
+log = EventLog.open(spark, log_path)
+stream = (
+    spark.readStream.schema("label string, payload string")
+    .option("maxFilesPerTrigger", 1)  # one source file per micro-batch
+    .parquet(src)
+)
+q = streams.append_stream(
+    log, stream, ckpt, available_now=True, stream_id="crash-ingest"
+)
+q.awaitTermination(300)
+print("INGEST_DONE", flush=True)
+spark.stop()
+"""
+
+
+def test_append_stream_kill9_mid_batch_recovers_exactly_once(spark, tmp_path):
+    """r7 verdict item 5: the 560k events/s streaming-ingest rehearsal's
+    last untested claim. A WRITER PROCESS is SIGKILLed mid-run (between
+    micro-batch commits — every crash window is fair game: fragment
+    written/pointer unpublished → orphan truncation; log committed/
+    checkpoint offset unwritten → batch replay deduped by the
+    (stream_id, batch_id) marker). A fresh process restarts from the
+    same checkpoint and must land every event EXACTLY ONCE: dense
+    versions, distinct labels, clean integrity audit."""
+    import json as _json
+    import os as _os
+    import signal
+    import subprocess
+    import sys
+
+    path = str(tmp_path / "log")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    EventLog.create(spark, path)
+    n_files, rows_per = 12, 200
+    for fi in range(n_files):
+        spark.createDataFrame(
+            [(f"f{fi}-r{r}", _json.dumps({"f": fi, "r": r})) for r in range(rows_per)],
+            "label string, payload string",
+        ).coalesce(1).write.mode("append").parquet(src)
+    total = n_files * rows_per
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    args = [sys.executable, "-c", _INGEST_SCRIPT, repo, path, src, ckpt]
+
+    # run 1: kill -9 the whole process group once ~a third has landed
+    p = subprocess.Popen(
+        args, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        start_new_session=True,
+    )
+    state = _os.path.join(path, "_state.json")
+    deadline = time.time() + 240
+    killed = False
+    while time.time() < deadline:
+        try:
+            with open(state) as f:
+                head = int(_json.load(f).get("latest_version", 0))
+        except (FileNotFoundError, ValueError):
+            head = 0
+        if head >= total // 3:
+            _os.killpg(p.pid, signal.SIGKILL)  # no goodbye: JVM + driver
+            killed = True
+            break
+        if p.poll() is not None:  # finished before we could kill it
+            break
+        time.sleep(0.02)
+    p.wait(timeout=60)
+    assert killed, "writer finished before the kill window — slow the source"
+
+    # run 2: fresh process, same checkpoint — finish the ingest
+    out = subprocess.run(
+        args, capture_output=True, text=True, timeout=360
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "INGEST_DONE" in out.stdout
+
+    # exactly-once across the crash: every event landed exactly once
+    recovered = EventLog.open(spark, path)
+    assert recovered.version() == total
+    rows = recovered.scan().collect()
+    assert len(rows) == total
+    assert len({r.label for r in rows}) == total
+    assert [r.version for r in sorted(rows, key=lambda r: r.version)] == list(
+        range(1, total + 1)
+    )
+    audit = recovered.check_integrity().collect()[0]
+    assert audit.checksum_violations == 0
+    assert audit.chain_violations == 0
+    assert audit.density_violation == 0

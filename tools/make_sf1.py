@@ -17,7 +17,24 @@ Output: /root/repo/.bench/sf1/*.parquet (git-ignored). Usage:
 
     python tools/make_sf1.py                      # sf1 (10x), the default
     python tools/make_sf1.py --replicas 30 --name sf3   # the next decade
+    python tools/make_sf1.py --zipf --name sf1z   # Zipf-skewed sf1
     SPARK_GRAFT_SF_DIR=/root/repo/.bench/sf1 python bench.py
+
+``--zipf`` (r7 verdict item 2): real 100 TB logs and corpora are
+Zipfian, while plain replication keeps the testdata's uniform key
+frequencies. The flag remaps the high-volume foreign keys through an
+exact Zipf(s=1) sampler — rank = floor(N^u) for u ~ U[0,1) gives
+P(rank = k) ∝ 1/k over ranks 1..N (hash-deterministic, referentially
+intact: every remapped key still hits an existing parent row):
+
+* ``lineitem.l_orderkey``  → Zipf over the full orders domain (the
+  hottest order collects ~|lineitem|/ln(|orders|) items — the shape
+  that breaks an unsalted shuffle join),
+* ``orders.o_custkey`` and ``events.user_id`` → Zipf over customers
+  (hot-customer aggregates, skewed window partitions),
+* ``documents.text`` → ~25% of docs share a fixed boilerplate prefix
+  (hot shingles: exercises the NGRAM_MAX_DF stop-shingle cap and the
+  LSH stop-bucket cull at a genuinely binding document frequency).
 """
 
 from __future__ import annotations
@@ -40,7 +57,23 @@ def _arg(flag: str, default: str) -> str:
 
 
 REPLICAS = int(_arg("--replicas", "10"))
-DST = os.path.join(_BENCH, _arg("--name", "sf1"))
+ZIPF = "--zipf" in sys.argv
+DST = os.path.join(_BENCH, _arg("--name", "sf1z" if ZIPF else "sf1"))
+
+# ~25% of documents open with this fixed block → every shingle in it has
+# document frequency ≈ corpus/4, far past any stop-shingle cap
+_BOILERPLATE = (
+    "terms of service privacy policy all rights reserved copyright "
+    "notice cookie consent subscribe to our newsletter follow us on "
+    "social media home about contact sitemap"
+)
+
+
+def _zipf_expr(n: int, seed_col: str) -> str:
+    """Exact Zipf(s=1) rank in [1, n], deterministic in ``seed_col``:
+    u = hash/2^64 uniform, rank = floor(n^u) → P(rank=k) ∝ 1/k."""
+    u = f"((CAST(hash({seed_col}) AS HUGEINT) % 1000000 + 1000000) % 1000000) / 1000000.0"
+    return f"LEAST(CAST(pow({n}, {u}) AS BIGINT), {n})"
 
 # per-table: (key columns to offset, stride source table)  — stride =
 # max(key)+1 of the REFERENCED table so copies never collide
@@ -81,13 +114,43 @@ def main() -> None:
             f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{DST}/{t}.parquet' (FORMAT PARQUET)"
         )
         print(t, "copied (dimension, unscaled)")
+    # Zipf remaps: (table, column) -> (parent table, per-row seed column).
+    # The rank→key mapping table keeps referential integrity even for
+    # sparse parent keys (TPC-H orderkeys are not dense).
+    zipf_cols = (
+        {
+            "lineitem": ("l_orderkey", "orders", "l_orderkey"),
+            "orders": ("o_custkey", "customer", "o_orderkey"),
+            "events": ("user_id", "customer", "event_id"),
+        }
+        if ZIPF
+        else {}
+    )
+    base_counts = {
+        t: con.execute(f"SELECT COUNT(*) FROM '{SRC}/{t}.parquet'").fetchone()[0]
+        for t in KEY_OF
+    }
     for t, keys in STRIDES.items():
         cols = [
             c[0]
             for c in con.execute(f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()
         ]
+        zc = zipf_cols.get(t)
+        if zc:
+            zcol, parent, seed = zc
+            n_base = base_counts[parent]
+            n_total = n_base * REPLICAS
+            zrank = _zipf_expr(n_total, f"{seed} + r.i * {strides[t]}")
 
         def expr(c: str) -> str:
+            if zc and c == zcol:
+                # Zipf rank k → the rank-((k-1) mod n_base) parent key in
+                # replica (k-1) div n_base: hottest ranks land on real,
+                # existing parent rows
+                return (
+                    f"m.key + CAST(({zrank} - 1) / {n_base} AS BIGINT)"
+                    f" * {strides[parent]} AS {c}"
+                )
             if c in keys:
                 return f"{c} + r.i * {strides[keys[c]]} AS {c}"
             # replica-perturb content columns so copies are NOT
@@ -98,11 +161,19 @@ def main() -> None:
             # embeddings get one replica-dependent dimension bumped
             # (rotates the vector away from its copies).
             if t == "documents" and c == "text":
-                return (
+                base = (
                     "CASE WHEN r.i = 0 THEN text ELSE array_to_string("
                     "list_transform(string_split(text, ' '),"
-                    " x -> x || 'r' || r.i), ' ') END AS text"
+                    " x -> x || 'r' || r.i), ' ') END"
                 )
+                if ZIPF:
+                    # hot shingles: ~25% of docs share one fixed prefix
+                    base = (
+                        f"CASE WHEN (hash(doc_id + r.i * {strides['documents']})"
+                        f" % 4 + 4) % 4 = 0 THEN '{_BOILERPLATE} ' || {base}"
+                        f" ELSE {base} END"
+                    )
+                return f"{base} AS text"
             if t == "embeddings" and c == "embedding":
                 return (
                     "CASE WHEN r.i = 0 THEN embedding ELSE "
@@ -114,10 +185,17 @@ def main() -> None:
             return c
 
         sel = ", ".join(expr(c) for c in cols)
-        con.execute(
-            f"COPY (SELECT {sel} FROM '{SRC}/{t}.parquet', range(0, {REPLICAS}) r(i)) "
-            f"TO '{DST}/{t}.parquet' (FORMAT PARQUET)"
-        )
+        if zc:
+            sql = (
+                f"WITH ranks AS (SELECT {KEY_OF[parent]} AS key, "
+                f"row_number() OVER (ORDER BY {KEY_OF[parent]}) - 1 AS rnk "
+                f"FROM '{SRC}/{parent}.parquet') "
+                f"SELECT {sel} FROM '{SRC}/{t}.parquet', range(0, {REPLICAS}) r(i) "
+                f"JOIN ranks m ON m.rnk = ({zrank} - 1) % {n_base}"
+            )
+        else:
+            sql = f"SELECT {sel} FROM '{SRC}/{t}.parquet', range(0, {REPLICAS}) r(i)"
+        con.execute(f"COPY ({sql}) TO '{DST}/{t}.parquet' (FORMAT PARQUET)")
         n = con.execute(f"SELECT COUNT(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
         print(t, n, "rows")
 
