@@ -24,6 +24,8 @@ every signature exactly.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -260,15 +262,40 @@ def _minhash_signature_sql() -> str:
     return f"WITH sh AS ({_SHINGLES_SQL}) SELECT doc_id, {cols} FROM sh GROUP BY doc_id"
 
 
+# Hot-bucket cull (found by the sf1z Zipf rehearsal, tools/skew_probe.py):
+# a bucket of m co-hashing docs emits m(m-1)/2 candidate pairs — 25% of
+# a corpus sharing one boilerplate prefix measured a 510× pair explosion
+# (7.7k → 3.9M pairs at 50k docs). Buckets larger than this cap switch
+# to a STAR pattern: every member pairs with the bucket's min-doc_id
+# representative only — m-1 pairs, and dedup_connected_components still
+# groups the whole bucket (all members reach each other through the
+# rep), so cluster-level dedup semantics are unchanged. Non-binding on
+# uniform corpora; the oracle replays the same rule.
+LSH_MAX_BUCKET = int(os.environ.get("SPARK_GRAFT_LSH_MAX_BUCKET", 256))
+
 _LSH_PAIRS_SQL = f"""
-WITH sig AS ({_minhash_signature_sql()})
-SELECT DISTINCT doc_a, doc_b FROM (
+WITH sig AS ({_minhash_signature_sql()}),
+keys AS (
     {" UNION ALL ".join(
-        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b "
-        f"ON a.mh{2 * band} = b.mh{2 * band} AND a.mh{2 * band + 1} = b.mh{2 * band + 1} "
-        f"AND a.doc_id < b.doc_id"
+        f"SELECT doc_id, {band} AS band, mh{2 * band} AS k1, mh{2 * band + 1} AS k2 FROM sig"
         for band in range(N_BANDS)
     )}
+),
+keyed AS (
+    SELECT doc_id, band, k1, k2,
+           COUNT(*) OVER (PARTITION BY band, k1, k2) AS bn,
+           MIN(doc_id) OVER (PARTITION BY band, k1, k2) AS rep
+    FROM keys
+)
+SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM (SELECT * FROM keyed WHERE bn <= {LSH_MAX_BUCKET}) a
+    JOIN (SELECT * FROM keyed WHERE bn <= {LSH_MAX_BUCKET}) b
+    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+       AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT rep AS doc_a, doc_id AS doc_b
+    FROM keyed WHERE bn > {LSH_MAX_BUCKET} AND doc_id <> rep
 )
 """
 
@@ -316,14 +343,28 @@ def _lsh_candidate_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
         "doc_id", "bk.band", "bk.k1", "bk.k2"
     )
-    a = keys.alias("a")
-    b = keys.alias("b")
-    return (
+    # hot-bucket star cull (see LSH_MAX_BUCKET): bucket occupancy rides
+    # the SAME band-key shuffle the join needs — one window pass, no
+    # extra exchange; oversized buckets emit member→representative
+    # edges (linear) instead of all-pairs (quadratic)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band", "k1", "k2")
+    keyed = keys.withColumn("bn", F.count(F.lit(1)).over(w)).withColumn(
+        "rep", F.min("doc_id").over(w)
+    )
+    small = keyed.where(F.col("bn") <= LSH_MAX_BUCKET)
+    a = small.alias("a")
+    b = small.alias("b")
+    all_pairs = (
         a.join(b, ["band", "k1", "k2"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
+    star_pairs = keyed.where(
+        (F.col("bn") > LSH_MAX_BUCKET) & (F.col("doc_id") != F.col("rep"))
+    ).select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    return all_pairs.unionByName(star_pairs).distinct()
 
 
 @register(

@@ -231,9 +231,16 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _ws_client_closed(self) -> bool:
         """Non-blocking peek: consume any client frame; True on close
-        frame or EOF. (Clients only ever send close/ping here.)"""
-        r, _, _ = select.select([self.connection], [], [], 0)
-        if not r:
+        frame or EOF. (Clients only ever send close/ping here.)
+
+        poll(), not select(): select() raises on any fd ≥ FD_SETSIZE
+        (1024), so with ~1000 concurrent subscribers every later-accepted
+        ws connection crashed its handler mid-subscription — found by
+        the 1k-subscriber fan-out stress (tools/fanout_stress.py);
+        poll() has no fd-value limit."""
+        p = select.poll()
+        p.register(self.connection, select.POLLIN)
+        if not p.poll(0):
             return False
         hdr = self.connection.recv(2)
         if len(hdr) < 2:

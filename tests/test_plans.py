@@ -757,8 +757,12 @@ _SHUFFLE_BUDGET = {
     "ann_ivf_pq": 25,
     "ann_lsh_multiprobe": 15,
     "ann_recall_report": 70,
-    "dedup_lsh_verified": 68,
-    "dedup_minhash_calibration": 74,
+    # +~30 r8: the LSH hot-bucket star cull (dedup.py:LSH_MAX_BUCKET)
+    # adds a bucket-occupancy window per STATIC copy of the pair
+    # subtree; at runtime the shared artifact computes pairs once
+    "dedup_lsh_verified": 100,
+    "dedup_minhash_calibration": 106,
+    "split_leakage_audit": 12,
     # 3 static copies of the shingle subtree under ENABLED=False (index
     # a-side, b-side, and the round-7 stop-shingle df count); at runtime
     # the artifact checkpoint + ReuseExchange compute it once
@@ -767,7 +771,7 @@ _SHUFFLE_BUDGET = {
     "embedding_isolation_audit": 22,
     "event_funnel": 15,
     "event_type_lift": 12,
-    "graph_triangle_count": 39,
+    "graph_triangle_count": 70,  # +r8 LSH star-cull windows (see above)
     "mixture_reweight_excess": 24,
     "sample_importance_dsir": 13,
     "source_overlap_matrix": 12,

@@ -226,3 +226,72 @@ def test_concurrent_page_scans_and_appends(server):
             t.join(timeout=30)
     assert errs.empty(), errs.get()
     assert log.version() == 180
+
+
+def _fanout(log_dir, **kw):
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "fanout_stress",
+        _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "tools",
+            "fanout_stress.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.run_stress(log_dir, **kw)
+
+
+def test_ws_survives_fd_numbers_past_select_limit(tmp_path):
+    """Regression for the bug the 1k-subscriber stress found: the ws
+    handler's readiness peek used select.select(), which raises for any
+    fd ≥ FD_SETSIZE (1024) — every late-accepted subscriber crashed
+    mid-subscription. Pin fd numbers past 1024 with dummy fds, then run
+    a small real ws+poll stress: with poll() every subscriber converges."""
+    import os
+
+    dummies = [os.open("/dev/null", os.O_RDONLY) for _ in range(1100)]
+    try:
+        r = _fanout(str(tmp_path / "log"), n_ws=24, n_poll=8, n_appends=10)
+    finally:
+        for fd in dummies:
+            os.close(fd)
+    assert r["n_errors"] == 0, r["errors"]
+    assert r["converged"] == 32
+    assert r["hub_subscribers_left"] == 0
+
+
+def test_fanout_1k_subscribers_converge_no_leak(tmp_path):
+    """r7 verdict item 4: 1000 concurrent REAL subscribers (600 RFC 6455
+    websockets + 400 HTTP long-polls, one server thread each) against an
+    append burst: every subscriber converges to the final head
+    (latest-wins conflation may skip intermediates, never the end), the
+    hub's subscriber map drains to zero, and neither threads nor file
+    descriptors leak."""
+    import os
+    import threading
+
+    fd0 = len(os.listdir("/proc/self/fd"))
+    th0 = threading.active_count()
+    r = _fanout(str(tmp_path / "log"), n_ws=600, n_poll=400, n_appends=20)
+    assert r["n_errors"] == 0, r["errors"]
+    assert r["converged"] == 1000
+    assert r["hub_subscribers_left"] == 0
+    assert r["still_alive_threads"] == 0
+    # teardown drain, then leak counters back to baseline (small slack
+    # for the server's own lingering accept machinery)
+    import time as _t
+
+    deadline = _t.monotonic() + 15
+    while _t.monotonic() < deadline:
+        if (
+            threading.active_count() <= th0 + 2
+            and len(os.listdir("/proc/self/fd")) <= fd0 + 8
+        ):
+            break
+        _t.sleep(0.2)
+    assert threading.active_count() <= th0 + 2
+    assert len(os.listdir("/proc/self/fd")) <= fd0 + 8

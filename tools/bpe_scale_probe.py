@@ -15,7 +15,16 @@ a deterministic SYNTHETIC vocabulary of N pseudo-words (base-5 letter
 strings, Zipf-ish counts) — same trainer, same loop, honest row counts.
 
 Run: python tools/bpe_scale_probe.py [n_merges] [--vocab-rows N]
+         [--snapshot-dir D] [--snapshot-every K] [--round-log FILE]
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+
+``--snapshot-dir``/``--snapshot-every``: pass through to the trainer's
+durable snapshot/resume; if the dir already holds a snapshot the run
+RESUMES from it (and ``--vocab-rows`` is ignored — the snapshot carries
+the vocabulary). ``--round-log``: append one JSON line per round
+({"k", "pair", "total", "sec"}) — the kill+resume rehearsal compares
+the overlap region of the killed and resumed runs' logs to prove the
+resumed run is bit-identical past the kill point.
 """
 
 from __future__ import annotations
@@ -68,32 +77,59 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     args = [a for a in sys.argv[1:]]
-    vocab_rows = 0
-    if "--vocab-rows" in args:
-        i = args.index("--vocab-rows")
-        vocab_rows = int(args[i + 1])
-        del args[i : i + 2]
+
+    def opt(flag: str, default: str | None) -> str | None:
+        if flag in args:
+            i = args.index(flag)
+            v = args[i + 1]
+            del args[i : i + 2]
+            return v
+        return default
+
+    vocab_rows = int(opt("--vocab-rows", "0"))
+    snapshot_dir = opt("--snapshot-dir", None)
+    snapshot_every = int(opt("--snapshot-every", "0"))
+    round_log = opt("--round-log", None)
     n_merges = int(args[0]) if args else 256
     spark = get_spark(app_name="bpe_scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
 
     t_round = [time.monotonic()]
     times: list[float] = []
+    log_fh = open(round_log, "a") if round_log else None
 
     def on_round(k: int, pair: str, total: int) -> None:
         now = time.monotonic()
         times.append(now - t_round[-1])
         t_round.append(now)
+        if log_fh:
+            log_fh.write(
+                json.dumps(
+                    {"k": k, "pair": pair, "total": total, "sec": round(times[-1], 3)}
+                )
+                + "\n"
+            )
+            log_fh.flush()
         if k % 32 == 0:
             print(
                 f"# round {k}: {times[-1]:.3f}s merge={pair!r} total={total}",
                 file=sys.stderr,
             )
 
-    vdf = synthetic_vocab(spark, vocab_rows) if vocab_rows else None
+    resuming = bool(
+        snapshot_dir and os.path.exists(os.path.join(snapshot_dir, "LATEST"))
+    )
+    # a snapshot carries its vocabulary; vocab_df alongside it is an error
+    vdf = synthetic_vocab(spark, vocab_rows) if vocab_rows and not resuming else None
     t0 = time.monotonic()
     merges, vocab = bpe_train_iterative(
-        spark, sf_dir, n_merges, on_round=on_round, vocab_df=vdf
+        spark,
+        sf_dir,
+        n_merges,
+        on_round=on_round,
+        vocab_df=vdf,
+        snapshot_dir=snapshot_dir,
+        snapshot_every=snapshot_every,
     )
     wall = time.monotonic() - t0
     plan_lines = len(

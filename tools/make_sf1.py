@@ -73,7 +73,8 @@ def _zipf_expr(n: int, seed_col: str) -> str:
     """Exact Zipf(s=1) rank in [1, n], deterministic in ``seed_col``:
     u = hash/2^64 uniform, rank = floor(n^u) → P(rank=k) ∝ 1/k."""
     u = f"((CAST(hash({seed_col}) AS HUGEINT) % 1000000 + 1000000) % 1000000) / 1000000.0"
-    return f"LEAST(CAST(pow({n}, {u}) AS BIGINT), {n})"
+    # floor, not CAST: CAST rounds-half-even, biasing ranks upward
+    return f"LEAST(CAST(floor(pow({n}, {u})) AS BIGINT), {n})"
 
 # per-table: (key columns to offset, stride source table)  — stride =
 # max(key)+1 of the REFERENCED table so copies never collide
@@ -115,13 +116,16 @@ def main() -> None:
         )
         print(t, "copied (dimension, unscaled)")
     # Zipf remaps: (table, column) -> (parent table, per-row seed column).
-    # The rank→key mapping table keeps referential integrity even for
-    # sparse parent keys (TPC-H orderkeys are not dense).
+    # The testdata's parent keys are DENSE 0-based (asserted below), so
+    # rank k maps arithmetically: key = (k-1) % n_base in replica
+    # (k-1) div n_base — no mapping join (a join on a computed rank
+    # planned as a nested loop over 60M lineitems).
+    # (column to remap, parent domain, seed column, seed column's domain)
     zipf_cols = (
         {
-            "lineitem": ("l_orderkey", "orders", "l_orderkey"),
-            "orders": ("o_custkey", "customer", "o_orderkey"),
-            "events": ("user_id", "customer", "event_id"),
+            "lineitem": ("l_orderkey", "orders", "l_orderkey", "orders"),
+            "orders": ("o_custkey", "customer", "o_orderkey", "orders"),
+            "events": ("user_id", "customer", "event_id", "events"),
         }
         if ZIPF
         else {}
@@ -130,6 +134,14 @@ def main() -> None:
         t: con.execute(f"SELECT COUNT(*) FROM '{SRC}/{t}.parquet'").fetchone()[0]
         for t in KEY_OF
     }
+    for _, parent, _, _ in zipf_cols.values():
+        mn, mx = con.execute(
+            f"SELECT MIN({KEY_OF[parent]}), MAX({KEY_OF[parent]}) "
+            f"FROM '{SRC}/{parent}.parquet'"
+        ).fetchone()
+        assert (mn, mx) == (0, base_counts[parent] - 1), (
+            f"{parent} keys not dense 0-based — restore the rank mapping"
+        )
     for t, keys in STRIDES.items():
         cols = [
             c[0]
@@ -137,19 +149,23 @@ def main() -> None:
         ]
         zc = zipf_cols.get(t)
         if zc:
-            zcol, parent, seed = zc
+            zcol, parent, seed, seed_domain = zc
             n_base = base_counts[parent]
             n_total = n_base * REPLICAS
-            zrank = _zipf_expr(n_total, f"{seed} + r.i * {strides[t]}")
+            # seed unique per (source row group, replica): the original
+            # seed key offset by the replica stride of its own domain
+            zrank = _zipf_expr(n_total, f"{seed} + r.i * {strides[seed_domain]}")
 
         def expr(c: str) -> str:
             if zc and c == zcol:
-                # Zipf rank k → the rank-((k-1) mod n_base) parent key in
-                # replica (k-1) div n_base: hottest ranks land on real,
-                # existing parent rows
+                # Zipf rank k → parent key (k-1) mod n_base in replica
+                # (k-1) div n_base: hottest ranks land on real parents
+                # // (integer division): / is float division and CAST
+                # rounds, which pushed top-of-last-replica ranks into a
+                # nonexistent replica (21.9k orphaned foreign keys)
                 return (
-                    f"m.key + CAST(({zrank} - 1) / {n_base} AS BIGINT)"
-                    f" * {strides[parent]} AS {c}"
+                    f"(({zrank} - 1) % {n_base}) + (({zrank} - 1) //"
+                    f" {n_base}) * {strides[parent]} AS {c}"
                 )
             if c in keys:
                 return f"{c} + r.i * {strides[keys[c]]} AS {c}"
@@ -185,16 +201,7 @@ def main() -> None:
             return c
 
         sel = ", ".join(expr(c) for c in cols)
-        if zc:
-            sql = (
-                f"WITH ranks AS (SELECT {KEY_OF[parent]} AS key, "
-                f"row_number() OVER (ORDER BY {KEY_OF[parent]}) - 1 AS rnk "
-                f"FROM '{SRC}/{parent}.parquet') "
-                f"SELECT {sel} FROM '{SRC}/{t}.parquet', range(0, {REPLICAS}) r(i) "
-                f"JOIN ranks m ON m.rnk = ({zrank} - 1) % {n_base}"
-            )
-        else:
-            sql = f"SELECT {sel} FROM '{SRC}/{t}.parquet', range(0, {REPLICAS}) r(i)"
+        sql = f"SELECT {sel} FROM '{SRC}/{t}.parquet', range(0, {REPLICAS}) r(i)"
         con.execute(f"COPY ({sql}) TO '{DST}/{t}.parquet' (FORMAT PARQUET)")
         n = con.execute(f"SELECT COUNT(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
         print(t, n, "rows")
