@@ -20,6 +20,8 @@ DuckDB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -670,6 +672,13 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 WIN_NGRAM = 3   # words per shingle
 WIN_W = 4       # winnowing window (shingles per window)
 WIN_MIN_SHARED = 2
+# Stop-fingerprint cap (bound by the sf1z Zipf rehearsal): a fingerprint
+# shared by df docs contributes df(df-1)/2 pairs, so one boilerplate
+# block across 25% of a corpus goes quadratic (measured 3.5 → 20 s at
+# 50k docs). Fingerprints with df above the cap are dropped — ubiquitous
+# fingerprints carry no dedup signal (the MOSS/stop-shingle rationale);
+# non-binding on uniform corpora; the oracle replays the filter.
+WIN_MAX_DF = int(os.environ.get("SPARK_GRAFT_WIN_MAX_DF", 5_000))
 
 from .dedup import md5_int_col, md5_int_sql  # noqa: E402  (shared hash helpers)
 
@@ -691,9 +700,14 @@ fp AS (
                list_transform(range(1, len(gh) - {WIN_W - 2}),
                               j -> list_min(list_slice(gh, j, j + {WIN_W - 1}))))) AS fp
     FROM g
+),
+fpk AS (
+    SELECT doc_id, fp FROM (
+        SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS df FROM fp
+    ) WHERE df <= {WIN_MAX_DF}
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
-FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING COUNT(*) >= {WIN_MIN_SHARED}
 """,
@@ -709,9 +723,12 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order functions, no explode until the distinct fingerprint
     set is formed — the exploded stream carries ~len/W rows per doc,
     the winnowing guarantee). Candidate pairs come from an
-    inverted-index equi-join on the fingerprint (never all-pairs); at
-    100 TB hot fingerprints (boilerplate) would get the same
-    stop-shingle cap as dedup_ngram_jaccard.
+    inverted-index equi-join on the fingerprint (never all-pairs), with
+    hot fingerprints dropped above WIN_MAX_DF (the stop-fingerprint
+    cull — ubiquitous boilerplate carries no dedup signal and its
+    df²/2 pairs are the one input shape that goes quadratic; measured
+    binding on the sf1z boilerplate corpus, non-binding on uniform
+    data; the occupancy window rides the self-join's own fp exchange).
 
     Round-6 perf: the projection is spread() across cores (the
     single-row-group source otherwise pins the per-shingle md5 work to
@@ -733,8 +750,13 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.size("gh") - (WIN_W - 1)),
         lambda j: F.array_min(F.slice("gh", j, WIN_W)),
     )
+    from pyspark.sql.window import Window
+
     fp = lazy_checkpoint(
         g.select("doc_id", F.explode(F.array_distinct(wins)).alias("fp"))
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .where(F.col("df") <= WIN_MAX_DF)
+        .drop("df")
     )
     a, b = fp.alias("a"), fp.alias("b")
     return (

@@ -257,17 +257,41 @@ def corpus_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- LSH candidates + exact-Jaccard verification ------------------------------
 
 
+def _pair_shingle_intersections(cands: DataFrame, sh: DataFrame) -> DataFrame:
+    """Per-CANDIDATE-PAIR shared-shingle counts: (ia, ib, i).
+
+    Pair-restricted by construction — pairs pull doc_a's shingles, then
+    equi-join doc_b's on (doc_b, shh). Cost ∝ |pairs| × shingles/doc.
+    The previous shape (shingle self-join over candidate DOCS, filtered
+    to pairs afterwards) is Σ df² over candidate-doc shingles — the
+    sf1z Zipf rehearsal measured it at 134 s when 25% of the corpus
+    shares a boilerplate prefix (hot shingles with df ≈ 12.6k), because
+    the self-join materializes every co-occurring doc pair whether or
+    not LSH nominated it. Both DuckDB oracles replay this exact shape."""
+    return (
+        cands.join(sh.select(F.col("doc_id").alias("doc_a"), "shh"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shh"), ["doc_b", "shh"])
+        .groupBy(F.col("doc_a").alias("ia"), F.col("doc_b").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+
+
+_PAIR_INTER_SQL = """
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND b.shh = a.shh
+    GROUP BY c.doc_a, c.doc_b
+"""
+
+
 @register(
     "dedup_lsh_verified",
     oracle=f"""
 WITH sh AS ({_SHINGLES_SQL}),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 cand AS ({_LSH_PAIRS_SQL}),
-inter AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-    FROM sh a JOIN sh b ON a.shh = b.shh AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
-)
+inter AS ({_PAIR_INTER_SQL})
 SELECT c.doc_a, c.doc_b,
        CAST(COALESCE(i.i, 0) AS DOUBLE)
            / (sa.n + sb.n - COALESCE(i.i, 0)) AS jaccard,
@@ -284,11 +308,12 @@ LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
 )
 def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production near-dup shape: cheap LSH recall stage, exact
-    verification stage restricted to the candidates. The shingle table
-    is semi-joined down to candidate documents BEFORE the intersection
-    join, so the quadratic stage runs over |candidate docs|, not
-    |corpus| — at 100 TB the verify cost tracks the (tiny) candidate
-    set. LSH false positives surface as verified=0 rows: the operator
+    verification stage restricted to the candidates. The intersection
+    is computed PER CANDIDATE PAIR (_pair_shingle_intersections), so
+    verify cost is ∝ |pairs| × shingles/doc — at 100 TB it tracks the
+    (tiny) candidate set, and a hot shingle shared by a quarter of the
+    corpus cannot re-introduce the Σ df² blow-up LSH exists to avoid.
+    LSH false positives surface as verified=0 rows: the operator
     measures its own precision."""
     # The candidate pairs and the corpus shingle table are both
     # session-shared artifacts now (dedup.lsh_candidate_pairs /
@@ -315,12 +340,7 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingles_shared(spark, sf_dir).join(cand_docs, "doc_id", "left_semi")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shh") == F.col("b.shh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib"))
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
+    inter = _pair_shingle_intersections(cands, sh)
     sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
     ii = F.coalesce(F.col("i"), F.lit(0))
@@ -2546,11 +2566,7 @@ WITH sh AS ({_SHINGLES_SQL}),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 sig AS ({_minhash_signature_sql()}),
 cand AS ({_LSH_PAIRS_SQL}),
-inter AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-    FROM sh a JOIN sh b ON a.shh = b.shh AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
-),
+inter AS ({_PAIR_INTER_SQL}),
 pairj AS (
     SELECT ({_AGREE_SQL}) AS agree,
            COALESCE(i.i, 0) * {CAL_FXP} // (sa.n + sb.n - COALESCE(i.i, 0)) AS j_fp
@@ -2612,15 +2628,7 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingles_shared(spark, sf_dir).join(cand_docs, "doc_id", "left_semi")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sha, shb = sh.alias("sa"), sh.alias("sb")
-    inter = (
-        sha.join(
-            shb,
-            (F.col("sa.shh") == F.col("sb.shh")) & (F.col("sa.doc_id") < F.col("sb.doc_id")),
-        )
-        .groupBy(F.col("sa.doc_id").alias("ia"), F.col("sb.doc_id").alias("ib"))
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
+    inter = _pair_shingle_intersections(cands, sh)
     na = sizes.select(F.col("doc_id").alias("za"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("zb"), F.col("n").alias("nb"))
     pairj = (

@@ -1367,3 +1367,32 @@ def test_jpeg_dc_only_matches_full_decode():
             r0, col0 = (b // 2) * 8, (b % 2) * 8
             blk = img[r0 : r0 + 8, col0 : col0 + 8]
             assert int(blk.sum()) == 64 * (128 + c0 // 8) + multimodal._JPEG_A_SUM
+
+
+def test_lsh_star_cull_preserves_components(spark, sf_dir, monkeypatch):
+    """The hot-bucket star cull (LSH_MAX_BUCKET, found by the sf1z Zipf
+    rehearsal) must change only the PAIR LIST shape, never the duplicate
+    CLUSTERS: with the cap forced to 1 (every multi-doc bucket goes
+    star) the connected components over the pairs are identical to the
+    uncapped all-pairs graph, and the pair count is no larger."""
+    from eventlog_spark.operators import dedup as D
+    from eventlog_spark.operators import artifacts
+
+    monkeypatch.setattr(artifacts, "ENABLED", False)  # fresh builds
+
+    def components(pairs_df):
+        docs = D.load_table(spark, sf_dir, "documents").select("doc_id")
+        comp = D.connected_components(docs, pairs_df)
+        return {(r.doc_id, r.component_id) for r in comp.collect()}
+
+    uncapped = D._lsh_candidate_pairs_build(spark, sf_dir)
+    n_uncapped = uncapped.count()
+    comp_uncapped = components(uncapped)
+
+    monkeypatch.setattr(D, "LSH_MAX_BUCKET", 1)
+    starred = D._lsh_candidate_pairs_build(spark, sf_dir)
+    n_star = starred.count()
+    comp_star = components(starred)
+
+    assert comp_star == comp_uncapped  # cluster semantics unchanged
+    assert n_star <= n_uncapped  # star edges never exceed all-pairs

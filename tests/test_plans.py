@@ -757,11 +757,13 @@ _SHUFFLE_BUDGET = {
     "ann_ivf_pq": 25,
     "ann_lsh_multiprobe": 15,
     "ann_recall_report": 70,
-    # +~30 r8: the LSH hot-bucket star cull (dedup.py:LSH_MAX_BUCKET)
+    # +~40 r8: the LSH hot-bucket star cull (dedup.py:LSH_MAX_BUCKET)
     # adds a bucket-occupancy window per STATIC copy of the pair
-    # subtree; at runtime the shared artifact computes pairs once
-    "dedup_lsh_verified": 100,
-    "dedup_minhash_calibration": 106,
+    # subtree, and the pair-restricted verify (curation.py
+    # _pair_shingle_intersections) joins the pair subtree two more
+    # times; at runtime the shared artifacts compute each once
+    "dedup_lsh_verified": 115,
+    "dedup_minhash_calibration": 120,
     "split_leakage_audit": 12,
     # 3 static copies of the shingle subtree under ENABLED=False (index
     # a-side, b-side, and the round-7 stop-shingle df count); at runtime
