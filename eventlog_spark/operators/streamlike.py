@@ -273,6 +273,99 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "attribution_last_click",
+    oracle="""
+WITH ev AS (
+    SELECT event_id, user_id, event_type, ts,
+           CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isc
+    FROM events WHERE event_type IN ('click', 'purchase')
+),
+w AS (
+    SELECT event_id, user_id, event_type, ts,
+           last_value(CASE WHEN isc = 1 THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, isc, event_id
+                     ROWS UNBOUNDED PRECEDING) AS click_id,
+           last_value(CASE WHEN isc = 1 THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, isc, event_id
+                     ROWS UNBOUNDED PRECEDING) AS click_ts
+    FROM ev
+)
+SELECT CAST(event_id AS BIGINT) AS buy_id, user_id, ts AS buy_ts,
+       CAST(click_id AS BIGINT) AS click_id, click_ts
+FROM w
+WHERE event_type = 'purchase' AND click_id IS NOT NULL
+  AND ts <= click_ts + INTERVAL 1 HOUR
+""",
+    doc="Last-click attribution: each purchase attributed to the most "
+    "recent same-user click within 1 h — bounded output (≤1 row per "
+    "purchase) at any key skew.",
+)
+def attribution_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BOUNDED-OUTPUT attribution operator — the production answer
+    to the skew cost the sf1z Zipf rehearsal measured in the all-pairs
+    interval join (``stream_interval_join`` / ``conversion_join``): a
+    hot user's clicks × purchases within the horizon is quadratic
+    OUTPUT by definition (103× more matches on the Zipf corpus), so
+    real attribution pipelines emit one row per purchase instead —
+    the most recent qualifying click (industry-standard last-click
+    model).
+
+    Plan: NO pair join at all. Clicks and purchases union into one
+    per-user event stream; one window (partition user_id, order ts)
+    carries the latest click forward (``last(..., ignorenulls=True)``,
+    an O(1)-state running value — not a self-join, not an
+    unbounded-preceding aggregate over pairs); purchases then filter on
+    the horizon. Cost is ONE shuffle on user_id + a per-partition sort
+    — linear in events at ANY skew; the hot user costs its row count,
+    never its row count squared. Tie discipline: at equal ts purchases
+    sort BEFORE clicks (a same-instant click cannot attribute —
+    matching the interval join's strict ``buy_ts > click_ts``), and
+    clicks tie-break on event_id so the carried value is deterministic
+    on both engines. The same expressions run streaming over
+    ``applyInPandasWithState`` (state = one (click_id, click_ts) pair
+    per user, the stream twin of this window)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    from pyspark.sql.window import Window
+
+    isc = F.when(F.col("event_type") == "click", 1).otherwise(0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", isc, "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("event_id")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("click_id"),
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+        )
+        .over(w)
+        .alias("click_ts"),
+    )
+    return carried.where(
+        (F.col("event_type") == "purchase")
+        & F.col("click_id").isNotNull()
+        & (F.col("ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR"))
+    ).select(
+        F.col("event_id").cast("long").alias("buy_id"),
+        "user_id",
+        F.col("ts").alias("buy_ts"),
+        F.col("click_id").cast("long").alias("click_id"),
+        "click_ts",
+    )
+
+
 # -- late-arrival watermark audit ---------------------------------------------
 
 from .dedup import md5_int_sql  # noqa: E402  (shared hash helper)

@@ -107,9 +107,12 @@ _loaded = False
 #     per-commit delta records + paged checkpoints, manifest.py), so
 #     every query that appends/scans/audits through the engine re-proves
 #     against the driver on the new read/write paths;
-# (c) 40 of the 43 rows last checked in round 4 (the next-oldest
-#     cohort). The 3 deferred to round 9 — tfidf_top_terms, vocab_topk,
-#     zorder_layout_key — stay green in the local sf0.001 oracle suite.
+# (c) the NEW round-8 query (attribution_last_click — the
+#     bounded-output skew answer the sf1z rehearsal motivated);
+# (d) 39 of the 43 rows last checked in round 4 (the next-oldest
+#     cohort). The 4 deferred to round 9 — tfidf_top_terms, vocab_topk,
+#     zorder_layout_key, text_repetition_score — stay green in the
+#     local sf0.001 oracle suite.
 # ROUND-9 NOTE: rotate in the 3 deferred r4 rows above, the remaining
 # r5 cohort (TPC-H q1-q3/q5/q9-q12/q18, subquery_*, window_*,
 # multimodal_decode/frame/header, pivot_returnflag, dedup_exact/simhash,
@@ -119,6 +122,8 @@ _FIRST_50 = [
     # (a) round-3 stragglers
     "multimodal_manifest",
     "sample_hash_stats",
+    # (c) NEW round 8
+    "attribution_last_click",
     # (b) storage engine changed this round — whole log family
     "eventlog_engine_roundtrip",
     "eventlog_inmem_roundtrip",
@@ -128,7 +133,7 @@ _FIRST_50 = [
     "log_scan_reverse",
     "log_scan_skip_first",
     "log_version_bounds",
-    # (c) round-4 cohort (40 of 43)
+    # (d) round-4 cohort (39 of 43)
     "bm25_search",
     "corpus_dataset_card",
     "corpus_interleave_schedule",
@@ -168,7 +173,6 @@ _FIRST_50 = [
     "text_bpe_pair_counts",
     "text_decontaminate",
     "text_inverse_freq_score",
-    "text_repetition_score",
 ]
 
 # catalog side effects (SparkSQL bucketed-table DDL) — dead last in the

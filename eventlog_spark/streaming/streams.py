@@ -437,3 +437,81 @@ def threshold_alerts_cents(events: DataFrame, threshold_cents: int = 50_000) -> 
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- stateful last-click attribution (bounded output at any skew) --------------
+
+ATTR_SCHEMA = "buy_id long, user_id long, buy_ts timestamp, click_id long, click_ts timestamp"
+_ATTR_STATE_SCHEMA = "click_id long, click_ts timestamp"
+
+
+def last_click_attribution(events: DataFrame, horizon_s: int = 3600) -> DataFrame:
+    """Streaming twin of ``operators/streamlike.attribution_last_click``
+    — the BOUNDED-OUTPUT attribution operator the sf1z Zipf rehearsal
+    motivated: each purchase attributes to the user's most recent click
+    within ``horizon_s``, ≤1 output row per purchase at ANY key skew
+    (the all-pairs stream-stream join's state and output are quadratic
+    in a hot user's events; this keeps O(1) state per user: the latest
+    (click_id, click_ts) pair).
+
+    ``applyInPandasWithState``: per micro-batch the group's rows sort
+    by (ts, purchases-before-clicks, event_id) — the same tie
+    discipline as the batch twin, so a same-instant click never
+    attributes — then the carried click forward-fills across the batch
+    seeded with the state. Cross-batch order is the stream's arrival
+    order, same contract as ``threshold_alerts``. Batch equivalence is
+    asserted by tests/test_streaming.py against the DuckDB-oracled
+    batch query."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def attribute(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        c_id, c_ts = state.get if state.exists else (None, None)
+        chunks = list(pdf_iter)
+        if chunks:
+            batch = pd.concat(chunks)
+            batch["isc"] = (batch["event_type"] == "click").astype(int)
+            batch = batch.sort_values(["ts", "isc", "event_id"]).reset_index(drop=True)
+            # carried click, seeded with state, forward-filled in order
+            cid = pd.concat(
+                [pd.Series([c_id], dtype="float64"),
+                 batch["event_id"].where(batch["isc"] == 1).astype("float64")],
+                ignore_index=True,
+            ).ffill().iloc[1:].reset_index(drop=True)
+            cts = pd.concat(
+                [pd.Series([c_ts], dtype=batch["ts"].dtype),
+                 batch["ts"].where(batch["isc"] == 1)],
+                ignore_index=True,
+            ).ffill().iloc[1:].reset_index(drop=True)
+            ok = (
+                (batch["isc"] == 0)
+                & cid.notna()
+                & (batch["ts"] <= cts + pd.Timedelta(seconds=horizon_s))
+            )
+            if pd.notna(cid.iloc[-1] if len(cid) else None):
+                c_id, c_ts = int(cid.iloc[-1]), cts.iloc[-1]
+            if c_id is not None:
+                state.update((int(c_id), c_ts))
+            if ok.any():
+                yield pd.DataFrame(
+                    {
+                        "buy_id": batch.loc[ok, "event_id"].astype("int64"),
+                        "user_id": int(user_id),
+                        "buy_ts": batch.loc[ok, "ts"],
+                        "click_id": cid[ok].astype("int64"),
+                        "click_ts": cts[ok],
+                    }
+                )
+
+    relevant = events.where(F.col("event_type").isin("click", "purchase")).select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    return relevant.groupBy("user_id").applyInPandasWithState(
+        attribute,
+        outputStructType=ATTR_SCHEMA,
+        stateStructType=_ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -590,3 +590,48 @@ def test_append_stream_kill9_mid_batch_recovers_exactly_once(spark, tmp_path):
     assert audit.checksum_violations == 0
     assert audit.chain_violations == 0
     assert audit.density_violation == 0
+
+
+def test_last_click_attribution_stateful_matches_batch(spark, tmp_path, sf_dir):
+    """The streaming bounded-output attribution (O(1) state per user:
+    the latest click) must equal the DuckDB-oracled batch twin across a
+    micro-batch boundary — per-user carried-click state survives the
+    restart, ties break identically, and every purchase appears at most
+    once."""
+    from eventlog_spark.queries import REGISTRY, _ensure_loaded
+    from eventlog_spark.tables import load_table
+
+    _ensure_loaded()
+    events = load_table(spark, sf_dir, "events")
+    cut = events.selectExpr("percentile(unix_timestamp(ts), 0.5) AS c").collect()[0]["c"]
+    src = str(tmp_path / "src")
+    events.where(F.unix_timestamp("ts") <= cut).write.mode("append").parquet(src)
+
+    rows: list = []
+
+    def run():
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            streams.last_click_attribution(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda b, _: rows.extend(b.collect()))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q, timeout=120)
+
+    run()
+    events.where(F.unix_timestamp("ts") > cut).write.mode("append").parquet(src)
+    run()
+
+    got = {
+        (r.buy_id, r.user_id, r.buy_ts, r.click_id, r.click_ts) for r in rows
+    }
+    assert len(got) == len(rows), "a purchase attributed twice"
+    expect = {
+        (r.buy_id, r.user_id, r.buy_ts, r.click_id, r.click_ts)
+        for r in REGISTRY["attribution_last_click"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert got, "no attributions produced"
