@@ -74,7 +74,8 @@ def main() -> None:
         "eventlog_engine_roundtrip", "log_scan_forward", "log_integrity_audit",
         "dedup_exact", "dedup_minhash_lsh", "dedup_connected_components",
         "dedup_embedding_cosine", "ann_topk_bruteforce", "ann_ivf_probed",
-        "ann_lsh_bucketed", "ann_ivf_pq", "text_quality", "text_decontaminate",
+        "ann_lsh_bucketed", "ann_ivf_pq", "ann_ivf_pq_residual",
+        "text_quality", "text_decontaminate",
         "multimodal_decode_features", "stream_tumbling_window",
         "stream_session_window", "timeseries_rollup", "pipeline_curate",
         "udaf_pandas_weighted_avg", "approx_distinct_hll",

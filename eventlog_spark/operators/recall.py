@@ -34,6 +34,7 @@ def _recall_oracle() -> str:
     bf = REGISTRY["ann_topk_bruteforce"].oracle
     ivf = REGISTRY["ann_ivf_probed"].oracle
     pq = REGISTRY["ann_ivf_pq"].oracle
+    pqr = REGISTRY["ann_ivf_pq_residual"].oracle
     lsh = REGISTRY["ann_lsh_bucketed"].oracle
 
     def hit_count(method: str, cte: str) -> str:
@@ -45,10 +46,11 @@ def _recall_oracle() -> str:
         )
 
     return f"""
-WITH bf AS (SELECT query_id, neighbor_id FROM ({bf}) t),
-ivf AS (SELECT query_id, neighbor_id FROM ({ivf}) t),
-pq AS (SELECT query_id, neighbor_id FROM ({pq}) t),
-lshp AS (SELECT vec_a, vec_b FROM ({lsh}) t),
+WITH bf AS MATERIALIZED (SELECT query_id, neighbor_id FROM ({bf}) t),
+ivf AS MATERIALIZED (SELECT query_id, neighbor_id FROM ({ivf}) t),
+pq AS MATERIALIZED (SELECT query_id, neighbor_id FROM ({pq}) t),
+pqr AS MATERIALIZED (SELECT query_id, neighbor_id FROM ({pqr}) t),
+lshp AS MATERIALIZED (SELECT vec_a, vec_b FROM ({lsh}) t),
 lsh AS (
     SELECT vec_a AS query_id, vec_b AS neighbor_id FROM lshp
     UNION ALL
@@ -59,6 +61,8 @@ h AS (
     {hit_count("ivf_probed", "ivf")}
     UNION ALL
     {hit_count("ivf_pq", "pq")}
+    UNION ALL
+    {hit_count("ivf_pq_residual", "pqr")}
     UNION ALL
     {hit_count("lsh_candidates", "lsh")}
 )
@@ -72,7 +76,8 @@ ORDER BY method
     "ann_recall_report",
     oracle=_recall_oracle(),
     doc="Index-quality gate: recall of each ANN tier (IVF-probed, "
-    "IVF-PQ, LSH candidate pairs) against the exact brute-force top-k.",
+    "IVF-PQ, residual IVF-PQ, LSH candidate pairs) against the exact "
+    "brute-force top-k.",
 )
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall = |index answers ∩ exact top-k| / |exact top-k| per ANN
@@ -82,12 +87,13 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of true neighbors an LSH-pruned re-ranker could still
     find. Counts are integers; the single division is two small exact
     ints, so the ratio is bit-identical across engines."""
-    from .curation import ann_ivf_pq
+    from .curation import ann_ivf_pq, ann_ivf_pq_residual
     from .similarity import ann_ivf_probed, ann_lsh_bucketed, ann_topk_bruteforce
 
     bf = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
     ivf = ann_ivf_probed(spark, sf_dir).select("query_id", "neighbor_id")
     pq = ann_ivf_pq(spark, sf_dir).select("query_id", "neighbor_id")
+    pqr = ann_ivf_pq_residual(spark, sf_dir).select("query_id", "neighbor_id")
     lshp = ann_lsh_bucketed(spark, sf_dir).select("vec_a", "vec_b")
     lsh = lshp.select(
         F.col("vec_a").alias("query_id"), F.col("vec_b").alias("neighbor_id")
@@ -108,6 +114,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = (
         hits(ivf, "ivf_probed")
         .unionAll(hits(pq, "ivf_pq"))
+        .unionAll(hits(pqr, "ivf_pq_residual"))
         .unionAll(hits(lsh, "lsh_candidates"))
     )
     return (

@@ -109,11 +109,14 @@ _loaded = False
 #     against the driver on the new read/write paths;
 # (c) the NEW round-8 query (attribution_last_click — the
 #     bounded-output skew answer the sf1z rehearsal motivated);
-# (d) 39 of the 43 rows last checked in round 4 (the next-oldest
-#     cohort). The 4 deferred to round 9 — tfidf_top_terms, vocab_topk,
-#     zorder_layout_key, text_repetition_score — stay green in the
-#     local sf0.001 oracle suite.
-# ROUND-9 NOTE: rotate in the 3 deferred r4 rows above, the remaining
+# (d) 37 of the 43 rows last checked in round 4 (the next-oldest
+#     cohort). The 6 deferred to round 9 — tfidf_top_terms, vocab_topk,
+#     zorder_layout_key, text_repetition_score, sketch_bloom_filter,
+#     sketch_count_min — stay green in the local sf0.001 oracle suite.
+# (e) the residual IVF-PQ pair added mid-round-8: the NEW
+#     ann_ivf_pq_residual and ann_recall_report, which CHANGED to
+#     measure the residual tier (its r5 green predates the change).
+# ROUND-9 NOTE: rotate in the 6 deferred r4 rows above, the remaining
 # r5 cohort (TPC-H q1-q3/q5/q9-q12/q18, subquery_*, window_*,
 # multimodal_decode/frame/header, pivot_returnflag, dedup_exact/simhash,
 # graph_pagerank, ann_pq_adc_topk, pipeline_curate, stream_real_*,
@@ -124,6 +127,11 @@ _FIRST_50 = [
     "sample_hash_stats",
     # (c) NEW round 8
     "attribution_last_click",
+    # (e) NEW round 8: residual IVF-PQ + the recall report that now
+    #     measures it (the report query CHANGED, so its old green is
+    #     stale until this re-check)
+    "ann_ivf_pq_residual",
+    "ann_recall_report",
     # (b) storage engine changed this round — whole log family
     "eventlog_engine_roundtrip",
     "eventlog_inmem_roundtrip",
@@ -164,8 +172,6 @@ _FIRST_50 = [
     "sample_stratified",
     "sample_temperature_mixture",
     "scd2_user_state",
-    "sketch_bloom_filter",
-    "sketch_count_min",
     "source_overlap_matrix",
     "stream_late_arrival_audit",
     "text_bigram_surprisal",

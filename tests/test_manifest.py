@@ -272,3 +272,81 @@ def test_manifest_unit_overlapping_and_tombstones(tmp_path):
     os.remove(os.path.join(str(tmp_path), "_manifest", f"delta-{1:020d}.json"))
     with pytest.raises(ManifestChainBroken):
         ManifestLog(str(tmp_path)).load(3)
+
+
+_STORM_WRITER = r"""
+import json, sys
+
+repo, path, wid, n = sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4])
+sys.path.insert(0, repo)
+from pyspark.sql import SparkSession
+
+from eventlog_spark.log import EventLog
+
+spark = (
+    SparkSession.builder.master("local[1]")
+    .appName(f"storm_writer_{wid}")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "1")
+    .getOrCreate()
+)
+log = EventLog.open(spark, path)
+wins = []
+for i in range(n):
+    r = log.try_append(
+        log.version(),
+        lambda: (f"writer{wid}", json.dumps({"writer": wid, "seq": i})),
+        max_retries=2048,
+    )
+    wins.append(r.version)
+print("WINS:" + ",".join(map(str, wins)))
+spark.stop()
+"""
+
+
+def test_eight_process_occ_manifest_storm(spark, tmp_path):
+    """EIGHT OS processes hammer one log through the OCC path while the
+    log-structured manifest checkpoints every 8 commits — so ~8 paged
+    roll-ups (page rewrites + delta retirement + pointer swaps) race
+    64 interleaved commits from 8 independent flock contenders. This is
+    the multi-writer shape a shared object-store prefix sees: every
+    writer advances its mirror by replaying the OTHERS' delta records.
+    Must hold: exactly-one-winner per version (union of acked versions
+    is a permutation of 1..64), dense scan, clean audit, and a fresh
+    process adopts the final chain (manifest count == live fragment
+    reality, no stale-pointer fallback)."""
+    import os as _os
+    import subprocess
+    import sys
+
+    path = str(tmp_path / "storm")
+    EventLog.create(spark, path, metadata={"test": "storm"})
+    n_writers, n_each = 8, 8
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    env = dict(_os.environ, SPARK_GRAFT_MANIFEST_CHECKPOINT="8")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _STORM_WRITER, repo, path, str(wid), str(n_each)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+        )
+        for wid in range(n_writers)
+    ]
+    wins = []
+    for p in procs:
+        out, err = p.communicate(timeout=540)
+        assert p.returncode == 0, f"writer failed:\n{err[-2000:]}"
+        (line,) = [ln for ln in out.splitlines() if ln.startswith("WINS:")]
+        wins.extend(int(v) for v in line[5:].split(","))
+    total = n_writers * n_each
+    assert sorted(wins) == list(range(1, total + 1))
+    reopened = EventLog.open(spark, path)
+    assert reopened.version() == total
+    rows = reopened.scan(version=1, limit=total).collect()
+    assert [r.version for r in rows] == list(range(1, total + 1))
+    audit = reopened.check_integrity().collect()[0]
+    assert audit.checksum_violations == 0
+    assert audit.chain_violations == 0
+    assert audit.payload_violations == 0

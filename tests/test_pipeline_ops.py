@@ -133,6 +133,39 @@ def test_ivf_pq_recall_against_bruteforce(spark, sf_dir):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_ivf_pq_residual_recall_against_bruteforce(spark, sf_dir):
+    """Residual-encoded IVF-PQ (FAISS IndexIVFPQ's by_residual) must be
+    at least as good as full-vector ADC at every scale — the coarse
+    centroid is subtracted before quantization, so the same 8x64
+    codebook budget describes only intra-list variation. At sf0.001
+    and sf0.01 both variants sit at/near the probed-exact ceiling; the
+    separation shows on the hard sf1 replica corpus (full-vector 0.68).
+    0.7 is the regression floor here, and residual must never fall
+    below the full-vector variant by more than one hit."""
+    from eventlog_spark import queries as Q
+
+    Q.queries()
+    REGISTRY = Q.REGISTRY
+
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["ann_topk_bruteforce"].fn(spark, sf_dir).collect()
+    }
+    rows = REGISTRY["ann_ivf_pq_residual"].fn(spark, sf_dir).collect()
+    pqr = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(bf & pqr) / len(bf) >= 0.7
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["ann_ivf_pq"].fn(spark, sf_dir).collect()
+    }
+    assert len(bf & pqr) >= len(bf & pq) - 1
+    by_q: dict[int, list[int]] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rk)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
 def test_connected_components_chain_and_singletons(spark):
     """Multi-hop merging: a 4-chain collapses to one component labeled by
     its min id; an isolated vertex keeps its own label; a separate pair

@@ -755,8 +755,15 @@ def test_bpe_roundtrip_is_vocab_sized(spark, sf_dir):
 _DEFAULT_MAX_SHUFFLES = 10
 _SHUFFLE_BUDGET = {
     "ann_ivf_pq": 25,
+    # residual variant: under ENABLED=False the codes table is the full
+    # training tree, and the residual input itself embeds the IVF
+    # assignment (emb ⋈ assigned ⋈ cnv), so every static copy of the
+    # sub/cent subtree carries those joins too (measured 55); at
+    # runtime the persisted bundle computes each exactly once
+    "ann_ivf_pq_residual": 69,
     "ann_lsh_multiprobe": 15,
-    "ann_recall_report": 70,
+    # +r8: the report now also embeds the residual IVF-PQ tier
+    "ann_recall_report": 143,
     # +~40 r8: the LSH hot-bucket star cull (dedup.py:LSH_MAX_BUCKET)
     # adds a bucket-occupancy window per STATIC copy of the pair
     # subtree, and the pair-restricted verify (curation.py
