@@ -42,6 +42,7 @@ Design (Spark-first, not a port):
 from __future__ import annotations
 
 import contextlib
+import hashlib
 import json
 import os
 import queue
@@ -106,6 +107,74 @@ def checksum_expr() -> Column:
     """O19: integrity checksum over the same fields the reference hashes
     (timestamp ‖ label ‖ payload ‖ version_prev; checksum.go:9-67)."""
     return F.xxhash64("timestamp", "label", "payload", "version_prev")
+
+
+# -- label data-skipping stats (Iceberg-style per-column manifest bounds) ------
+#
+# Manifest entries optionally carry label column stats so a
+# label-filtered scan prunes FRAGMENTS before touching any file:
+# ``lmin``/``lmax`` — the label lower/upper bounds (what Iceberg stores
+# per column per data file) — and, where the writer knows the exact
+# label set (interactive commits, minor-compaction folds), ``lb``, a
+# 256-bit / 4-hash bloom filter that prunes even when the bounds span
+# (a fragment holding labels {a, z} still skips a scan for "m").
+# Entries without stats are conservatively kept; pruning is therefore
+# purely an optimization and can never lose rows.
+
+LABEL_BLOOM_BITS = 256
+LABEL_BLOOM_K = 4
+
+
+def _label_bloom_positions(label: str):
+    for i in range(LABEL_BLOOM_K):
+        h = int.from_bytes(
+            hashlib.md5(f"{i}:{label}".encode()).digest()[:8], "big"
+        )
+        yield h % LABEL_BLOOM_BITS
+
+
+def _label_stats_entry(labels) -> dict:
+    """Manifest-entry stats for a fragment whose exact label set is
+    known driver-side: bounds + bloom."""
+    labs = sorted(labels)
+    bits = 0
+    for lab in labs:
+        for pos in _label_bloom_positions(lab):
+            bits |= 1 << pos
+    return {"lmin": labs[0], "lmax": labs[-1], "lb": f"{bits:064x}"}
+
+
+def _entry_may_contain_label(e: dict, label: str) -> bool:
+    """Whether a manifest entry's fragment MAY hold ``label``. Entries
+    without label stats always may (bulk fragments predating stats,
+    legacy adoption)."""
+    lmin = e.get("lmin")
+    if lmin is not None and (label < lmin or label > e["lmax"]):
+        return False
+    lb = e.get("lb")
+    if lb is not None:
+        bits = int(lb, 16)
+        for pos in _label_bloom_positions(label):
+            if not (bits >> pos) & 1:
+                return False
+    return True
+
+
+def _label_group_range(md) -> tuple[str, str] | None:
+    """(min, max) of the ``label`` column across a parquet footer's row
+    groups — metadata-only, None when any group lacks string stats."""
+    names = [md.schema.column(i).name for i in range(md.num_columns)]
+    ci = names.index("label")
+    mins, maxs = [], []
+    for g in range(md.num_row_groups):
+        s = md.row_group(g).column(ci).statistics
+        if s is None or not s.has_min_max:
+            return None
+        mins.append(s.min)
+        maxs.append(s.max)
+    if not mins or not all(isinstance(v, str) for v in mins + maxs):
+        return None
+    return min(mins), max(maxs)
 
 
 @dataclass(frozen=True)
@@ -502,6 +571,42 @@ class EventLog:
             *[os.path.join(self.path, f) for f in files]
         )
 
+    def label_candidate_files(
+        self, label: str, lo: int | None = None, hi: int | None = None
+    ) -> list[str] | None:
+        """Fragments that MAY contain ``label`` (and overlap versions
+        [lo, hi] when given) per the manifest's per-column stats —
+        bounds always, bloom where the writer knew the exact label set.
+        None when no manifest chain is usable (caller reads the full
+        snapshot). This is the data-skipping probe ``scan(label=...)``
+        prunes with and tests assert on."""
+        if self.path is None or not self._sync_manifest_to_pointer():
+            return None
+        with self._lock:
+            if lo is not None:
+                entries = self._manifest.overlapping(lo, hi)
+            else:
+                entries = self._manifest.entries()
+        return [
+            e["n"] for e in entries if _entry_may_contain_label(e, label)
+        ]
+
+    def _read_label_pruned(self, label: str, lo: int, hi: int) -> DataFrame | None:
+        """Snapshot read restricted to the fragments whose manifest
+        stats may hold ``label`` in [lo, hi] — Iceberg-style column
+        data skipping. Falls back to the full snapshot when the
+        manifest can't serve; the exact filters downstream make the
+        pruning purely an optimization."""
+        names = self.label_candidate_files(label, lo, hi)
+        if names is None:
+            return self._read_raw()
+        files = [f for f in names if f.endswith(".parquet")]
+        if not files:
+            return None
+        return self.spark.read.schema(EVENT_SCHEMA).parquet(
+            *[os.path.join(self.path, f) for f in files]
+        )
+
     def _sync_manifest_to_pointer(self) -> bool:
         """Advance the manifest mirror to the freshest PUBLISHED pointer
         — one tiny JSON read; when another process committed, replay of
@@ -699,11 +804,13 @@ class EventLog:
         # counts interactive fragments since the last fold — the
         # minor-compaction trigger (amortized-O(1) append maintenance)
         self._interactive_frags = getattr(self, "_interactive_frags", 0) + 1
-        # staged with the EXACT version range (the commit assigned it);
-        # published by the caller's _write_state as one delta record
-        self._pending_add.append(
-            {"n": name, "lo": rows[0][0], "hi": rows[-1][0]}
-        )
+        # staged with the EXACT version range (the commit assigned it)
+        # and exact label stats (the batch is driver-side, so the bloom
+        # is free); published by the caller's _write_state as one delta
+        # record
+        entry = {"n": name, "lo": rows[0][0], "hi": rows[-1][0]}
+        entry.update(_label_stats_entry({r[3] for r in rows}))
+        self._pending_add.append(entry)
 
     def _write_out(self, out: DataFrame) -> None:
         """Bulk-commit seam: persist an already-versioned, checksummed
@@ -727,10 +834,14 @@ class EventLog:
         for f in sorted(listing):
             if f.startswith(("_", ".")) or f in before:
                 continue
-            rng = self._parquet_version_range(os.path.join(self.path, f))
+            full = os.path.join(self.path, f)
+            rng = self._parquet_version_range(full)
             entry: dict = {"n": f}
             if rng is not None:
                 entry["lo"], entry["hi"] = rng
+            lrng = self._parquet_label_range(full)
+            if lrng is not None:
+                entry["lmin"], entry["lmax"] = lrng
             self._pending_add.append(entry)
 
     @staticmethod
@@ -746,6 +857,20 @@ class EventLog:
         if not stats:
             return None
         return min(s[0] for s in stats), max(s[1] for s in stats)
+
+    @staticmethod
+    def _parquet_label_range(full: str) -> tuple[str, str] | None:
+        """(min, max) of the label column from a fragment's footer stats
+        — the Iceberg-style per-column bounds for Spark-written
+        fragments (bulk ingest, major compaction), where the exact
+        label set is not driver-side. Metadata-only; None without
+        string stats (entries then stay conservatively unprunable)."""
+        try:
+            import pyarrow.parquet as pq
+
+            return _label_group_range(pq.ParquetFile(full).metadata)
+        except Exception:
+            return None
 
     def append_dataframe(
         self,
@@ -942,6 +1067,7 @@ class EventLog:
         reverse: bool = False,
         limit: int | None = None,
         skip_first: bool = False,
+        label: str | None = None,
     ) -> DataFrame:
         """O5-O8: scan from ``version`` (inclusive) toward the head
         (or tail when ``reverse``), with derived chain links.
@@ -955,13 +1081,29 @@ class EventLog:
         the limit, so the pushed-down range filter does the real
         pruning; the ``limit`` operator stays purely for plan shape —
         it turns the output sort into a single-stage
-        TakeOrderedAndProject instead of a range-partitioned Sort."""
-        lo, hi, latest = self._page_interval(version, reverse, limit, skip_first)
-        df = self._read_raw()
+        TakeOrderedAndProject instead of a range-partitioned Sort.
+
+        ``label`` (extension beyond the reference's scan, which is
+        version-only): restrict the scan to events with exactly that
+        label. The read then prunes FRAGMENTS by the manifest's
+        per-column label stats (bounds + bloom — see
+        ``_label_stats_entry``) before any file is opened, and the
+        exact ``label == X`` filter in the plan keeps pruning purely an
+        optimization. With a label filter ``limit`` counts MATCHING
+        rows, so it cannot tighten the version interval — the interval
+        uses only the version bound and ``limit`` applies in-plan."""
+        if label is not None:
+            lo, hi, latest = self._page_interval(version, reverse, None, skip_first)
+            df = self._read_label_pruned(label, lo, hi)
+        else:
+            lo, hi, latest = self._page_interval(version, reverse, limit, skip_first)
+            df = self._read_raw()
         if df is None or hi < lo:
             df = self.spark.createDataFrame([], EVENT_SCHEMA)
         else:
             df = df.where((F.col("version") >= lo) & (F.col("version") <= hi))
+            if label is not None:
+                df = df.where(F.col("label") == label)
         df = df.withColumn(
             "version_next",
             F.when(F.col("version") == latest, F.lit(0)).otherwise(F.col("version") + 1),
@@ -1330,10 +1472,29 @@ class EventLog:
                 landing = os.path.join(self.path, "." + name + ".tmp")
                 shutil.move(os.path.join(tmp, f), landing)
                 os.rename(landing, os.path.join(self.path, name))
+                full = os.path.join(self.path, name)
                 entry: dict = {"n": name}
-                rng = self._parquet_version_range(os.path.join(self.path, name))
+                rng = self._parquet_version_range(full)
                 if rng is not None:
                     entry["lo"], entry["hi"] = rng
+                # exact label stats (bounds + bloom): compaction just
+                # rewrote every byte of this file, so one read-back of
+                # the dictionary-encoded label column is a rounding
+                # error on the OPTIMIZE job — and it keeps label scans
+                # prunable on compacted logs, where range-partitioned
+                # files mix labels and footer bounds alone would span
+                try:
+                    import pyarrow.compute as pc
+                    import pyarrow.parquet as pqt
+
+                    labs = pc.unique(
+                        pqt.read_table(full, columns=["label"]).column("label")
+                    ).to_pylist()
+                    entry.update(_label_stats_entry(labs))
+                except Exception:
+                    lrng = self._parquet_label_range(full)
+                    if lrng is not None:
+                        entry["lmin"], entry["lmax"] = lrng
                 self._pending_add.append(entry)
             shutil.rmtree(tmp, ignore_errors=True)
             self._pending_remove.extend(old)
@@ -1404,11 +1565,18 @@ class EventLog:
             landing = os.path.join(self.path, "." + name + ".tmp")
             pq.write_table(merged, landing)
             os.rename(landing, os.path.join(self.path, name))
-            # merged is sorted by version: range = first/last row
+            # merged is sorted by version: range = first/last row; the
+            # fold holds the rows driver-side, so label stats are exact
+            # (bounds + bloom) — a fold of single-label commits stays
+            # perfectly label-prunable
             vcol = merged.column("version")
-            self._pending_add.append(
-                {"n": name, "lo": vcol[0].as_py(), "hi": vcol[-1].as_py()}
+            entry = {"n": name, "lo": vcol[0].as_py(), "hi": vcol[-1].as_py()}
+            import pyarrow.compute as pc
+
+            entry.update(
+                _label_stats_entry(pc.unique(merged.column("label")).to_pylist())
             )
+            self._pending_add.append(entry)
             self._pending_remove.extend(small)
             self._write_state()  # atomic manifest swap — the publish point
             self._retire(small)

@@ -361,3 +361,60 @@ def integrity_adjacent_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_ts_decreases"),
     )
+
+
+@register(
+    "log_scan_label_pruned",
+    oracle="""
+SELECT version, label, payload FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY event_type, event_id) AS version,
+           event_type AS label,
+           REGEXP_REPLACE(props, ': ', ':') AS payload
+    FROM events
+) WHERE label = 'purchase'
+ORDER BY version
+""",
+    doc="Label-filtered scan with manifest data skipping: label-batched "
+    "ingest, then scan(label=...) prunes fragments via per-column "
+    "manifest stats (bounds + bloom) before any file is read.",
+)
+def log_scan_label_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension beyond the reference's version-only scan (an Iceberg-
+    style per-column data-skipping read over the log-structured
+    manifest, log.py ``_label_stats_entry``/``label_candidate_files``):
+    events are bulk-ingested one label batch at a time — the common
+    partitioned-ingest shape, each batch's fragments carrying exact
+    label bounds from their footers — then ``scan(label='purchase')``
+    consults the manifest stats and opens ONLY the fragments whose
+    bounds/bloom may hold the label (asserted as 100%-binding in
+    tests/test_log.py; correctness never depends on it — the exact
+    label filter stays in the plan). The oracle replays the semantics:
+    versions are dense in (label, event_id) append order, and the
+    label filter selects the 'purchase' slice."""
+    import shutil
+    import tempfile
+
+    from .log import EventLog
+
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select(
+        F.col("event_type").alias("label"),
+        F.regexp_replace("props", ": ", ":").alias("payload"),
+        "event_id",
+        "event_type",
+    )
+    path = tempfile.mkdtemp(prefix="eventlog_lbl_")
+    shutil.rmtree(path)
+    log = EventLog.create(spark, path)
+    labels = [r[0] for r in src.select("event_type").distinct().orderBy("event_type").collect()]
+    for lab in labels:  # label-batched ingest: one bulk append per label
+        log.append_dataframe(
+            src.where(F.col("event_type") == lab).drop("event_type"),
+            on_invalid="error",
+            order_cols=["event_id"],
+        )
+    return (
+        log.scan(label="purchase")
+        .select("version", "label", "payload")
+        .orderBy("version")
+    )

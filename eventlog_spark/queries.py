@@ -109,14 +109,15 @@ _loaded = False
 #     against the driver on the new read/write paths;
 # (c) the NEW round-8 query (attribution_last_click — the
 #     bounded-output skew answer the sf1z rehearsal motivated);
-# (d) 37 of the 43 rows last checked in round 4 (the next-oldest
-#     cohort). The 6 deferred to round 9 — tfidf_top_terms, vocab_topk,
+# (d) 36 of the 43 rows last checked in round 4 (the next-oldest
+#     cohort). The 7 deferred to round 9 — tfidf_top_terms, vocab_topk,
 #     zorder_layout_key, text_repetition_score, sketch_bloom_filter,
-#     sketch_count_min — stay green in the local sf0.001 oracle suite.
-# (e) the residual IVF-PQ pair added mid-round-8: the NEW
-#     ann_ivf_pq_residual and ann_recall_report, which CHANGED to
+#     sketch_count_min, scd2_user_state — stay green in the local
+#     sf0.001 oracle suite.
+# (e) the queries added mid-round-8: the NEW ann_ivf_pq_residual and
+#     log_scan_label_pruned, plus ann_recall_report, which CHANGED to
 #     measure the residual tier (its r5 green predates the change).
-# ROUND-9 NOTE: rotate in the 6 deferred r4 rows above, the remaining
+# ROUND-9 NOTE: rotate in the 7 deferred r4 rows above, the remaining
 # r5 cohort (TPC-H q1-q3/q5/q9-q12/q18, subquery_*, window_*,
 # multimodal_decode/frame/header, pivot_returnflag, dedup_exact/simhash,
 # graph_pagerank, ann_pq_adc_topk, pipeline_curate, stream_real_*,
@@ -138,6 +139,7 @@ _FIRST_50 = [
     "eventlog_binary_roundtrip",
     "log_integrity_audit",
     "log_scan_forward",
+    "log_scan_label_pruned",
     "log_scan_reverse",
     "log_scan_skip_first",
     "log_version_bounds",
@@ -171,7 +173,6 @@ _FIRST_50 = [
     "quality_relative_filter",
     "sample_stratified",
     "sample_temperature_mixture",
-    "scd2_user_state",
     "source_overlap_matrix",
     "stream_late_arrival_audit",
     "text_bigram_surprisal",

@@ -698,3 +698,72 @@ def test_minor_compact_refolds_and_vacuums(spark, tmp_path, monkeypatch):
     assert [r.version for r in log.scan_rows()] == list(range(1, 13))
     audit = log.check_integrity().collect()[0]
     assert all(v == 0 for v in audit.asDict().values()), audit
+
+
+def test_scan_label_matches_filtered_scan(log):
+    """Label-filtered scan (extension; Iceberg-style manifest data
+    skipping on the file engine) must equal the plain scan filtered
+    in-plan, on BOTH engines, across every paging parameter — pruning
+    is an optimization, never a semantics change."""
+    for i in range(1, 13):
+        lab = ["alpha", "beta", "gamma"][i % 3]
+        log.append(lab, json.dumps({"ix": i}))
+    full = log.scan().collect()
+    for lab in ("alpha", "beta", "gamma", "absent"):
+        want = [r for r in full if r.label == lab]
+        got = log.scan(label=lab).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want], lab
+    # paging params compose: version bound, reverse, limit on MATCHES
+    got = log.scan(version=5, label="beta").collect()
+    want = [r for r in full if r.label == "beta" and r.version >= 5]
+    assert [r.version for r in got] == [r.version for r in want]
+    got = log.scan(reverse=True, label="alpha", limit=2).collect()
+    want = [r for r in full if r.label == "alpha"][::-1][:2]
+    assert [r.version for r in got] == [r.version for r in want]
+
+
+def test_label_pruning_binds_and_survives_compaction(spark, tmp_path):
+    """The file engine's label scan must actually SKIP fragments:
+    single-label interactive commits carry exact stats (bounds +
+    bloom), so candidates for one label exclude every other label's
+    fragments; an absent label prunes ALL fragments; a minor-compaction
+    fold keeps exact stats (bloom of the union); bulk label-batched
+    appends prune via footer bounds. Correctness is re-checked after
+    every mutation."""
+    path = str(tmp_path / "lblprune")
+    log = EventLog.create(spark, path)
+    log.MINOR_COMPACT_FRAGMENTS = 0  # manual folds only
+    for i in range(12):
+        lab = ["alpha", "beta", "gamma"][i % 3]
+        log.append(lab, json.dumps({"ix": i}))
+    total = log._manifest.count()
+    cand = log.label_candidate_files("alpha")
+    assert len(cand) == 4, (len(cand), total)  # exactly alpha's commits
+    assert log.label_candidate_files("absent") == []  # bloom prunes all
+    # fold: exact stats survive as the union bloom
+    assert log.minor_compact() == 12
+    assert len(log.label_candidate_files("alpha")) == 1
+    assert log.label_candidate_files("absent") == []
+    assert [r.label for r in log.scan(label="beta").collect()] == ["beta"] * 4
+    # bulk label-batched ingest: footer bounds prune per batch
+    for lab in ("delta", "epsilon"):
+        src = spark.createDataFrame(
+            [(lab, json.dumps({"b": j}), j) for j in range(5)],
+            "label string, payload string, event_id long",
+        )
+        log.append_dataframe(src, on_invalid="error", order_cols=["event_id"])
+    cand = log.label_candidate_files("delta")
+    assert cand and all("minor" not in f for f in cand)
+    assert not any(
+        f in cand for f in log.label_candidate_files("epsilon")
+    )
+    # absent label: the fold's bloom and the bulk bounds both prune
+    assert log.label_candidate_files("zeta") == []
+    # major compaction mixes labels into range-partitioned files, but
+    # the OPTIMIZE job reads back each output's label column for EXACT
+    # stats — an absent label still prunes every compacted fragment
+    log.compact()
+    assert [r.label for r in log.scan(label="delta").collect()] == ["delta"] * 5
+    assert log.scan(label="zeta").count() == 0
+    assert log.label_candidate_files("zeta") == []
+    assert log.label_candidate_files("delta")  # present labels still match

@@ -122,9 +122,50 @@ def probe(total_frags: int) -> list[dict]:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def probe_labels(total_frags: int, n_labels: int) -> dict:
+    """Label data-skipping probe (round 8): round-robin single-label
+    commits, then measure how many fragments a label scan would open
+    (``label_candidate_files`` — the exact pruning ``scan(label=...)``
+    applies) and what the candidate computation costs. Expected: each
+    label's candidates == total/n_labels (bounds+bloom are exact for
+    interactive commits), an absent label prunes to 0."""
+    root = tempfile.mkdtemp(prefix="manifest_lbl_probe_")
+    path = os.path.join(root, "log")
+    try:
+        log = EventLog.create(None, path)
+        log.MINOR_COMPACT_FRAGMENTS = 0
+        for i in range(total_frags):
+            log.append(f"label-{i % n_labels}", f'{{"i":{i}}}')
+        t0 = time.perf_counter()
+        cands = log.label_candidate_files(f"label-0")
+        cand_ms = 1e3 * (time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        absent = log.label_candidate_files("label-absent")
+        absent_ms = 1e3 * (time.perf_counter() - t0)
+        row = {
+            "probe": "label_skipping",
+            "fragments": total_frags,
+            "labels": n_labels,
+            "candidates_one_label": len(cands),
+            "candidates_absent_label": len(absent),
+            "prune_ratio": round(len(cands) / total_frags, 4),
+            "candidate_calc_ms": round(cand_ms, 2),
+            "absent_calc_ms": round(absent_ms, 2),
+        }
+        print(json.dumps(row), flush=True)
+        return row
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--frags", type=int, default=100_000)
+    ap.add_argument("--labels", type=int, default=0,
+                    help="run the label data-skipping probe with this many labels")
     args = ap.parse_args()
-    rows = probe(args.frags)
-    print(json.dumps({"probe": "manifest_scale", "rows": rows}))
+    if args.labels:
+        probe_labels(args.frags, args.labels)
+    else:
+        rows = probe(args.frags)
+        print(json.dumps({"probe": "manifest_scale", "rows": rows}))
