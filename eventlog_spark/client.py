@@ -267,13 +267,18 @@ class Client:
         reverse: bool = False,
         skip_first: bool = False,
         batch_hint: int = 0,
+        label: str | None = None,
     ) -> Iterator[ClientEvent]:
         """Iterate events from ``version`` (default: initial version
         forward / head version reverse), re-requesting from each page's
         last ``version-next``/``version-previous`` until the ``"0"``
         sentinel — the server's batch clamp is invisible to the caller
         (client/http.go:342-429). ``batch_hint`` caps the per-request
-        ``n`` (the server clamps it further)."""
+        ``n`` (the server clamps it further). ``label`` (extension)
+        restricts the scan server-side to one label — resuming from a
+        match's chain link stays correct because the next page's scan
+        re-applies the filter from that version on, and an empty page
+        means no matches remain."""
         if version is None:
             version = self.version() if reverse else self.version_initial()
         while True:
@@ -286,6 +291,10 @@ class Client:
                 q.append("skip_first")
                 if not self.strict_reference_pagination:
                     skip_first = False  # first page only — see module docstring
+            if label is not None:
+                from urllib.parse import quote
+
+                q.append("label=" + quote(label, safe=""))
             path = "/log/" + format(version, "x") + ("?" + "&".join(q) if q else "")
             page = json.loads(self._checked("GET", path))
             if not page:
@@ -461,6 +470,7 @@ class LocalClient:
         reverse: bool = False,
         skip_first: bool = False,
         batch_hint: int = 1000,
+        label: str | None = None,
     ) -> Iterator[ClientEvent]:
         """Same pagination contract as the HTTP client (resume from
         version-next/-previous until the 0 sentinel), batched through
@@ -474,6 +484,7 @@ class LocalClient:
                 reverse=reverse,
                 limit=batch_hint,
                 skip_first=skip_first,
+                label=label,
             ).collect()
             skip_first = False
             if not rows:

@@ -89,11 +89,17 @@ class InMemEventLog(EventLog):
             return None
         return self.spark.createDataFrame(self._rows, EVENT_SCHEMA)
 
-    def _rows_in_range(self, lo: int, hi: int) -> list[tuple]:
+    def _rows_in_range(
+        self, lo: int, hi: int, label: str | None = None
+    ) -> list[tuple]:
         # the inmem engine IS driver-side: a list slice serves the page
         # (rows are appended in version order, but don't assume it)
         with self._lock:
-            return [r for r in self._rows if lo <= r[0] <= hi]
+            return [
+                r
+                for r in self._rows
+                if lo <= r[0] <= hi and (label is None or r[3] == label)
+            ]
 
     # -- lifecycle/state: nothing persists ------------------------------------
 

@@ -1127,6 +1127,7 @@ class EventLog:
         reverse: bool = False,
         limit: int | None = None,
         skip_first: bool = False,
+        label: str | None = None,
     ) -> list[ScanRow]:
         """O5-O8 as a DRIVER-SIDE page read — the serving fast path.
 
@@ -1149,27 +1150,46 @@ class EventLog:
         mid-read. Dense versions give the completeness check: a page of
         [lo, hi] must yield exactly hi-lo+1 rows. Paging semantics come
         from the same ``_page_interval`` the Spark path uses, so the
-        two paths cannot drift."""
-        lo, hi, latest = self._page_interval(version, reverse, limit, skip_first)
+        two paths cannot drift.
+
+        ``label`` (extension, mirrors ``scan(label=...)``): serve a
+        label-filtered page driver-side — the manifest's per-column
+        stats skip fragments that cannot hold the label, matching rows
+        filter exactly, and ``limit`` counts MATCHING rows (so the
+        density completeness check does not apply; any read failure
+        falls back to the Spark path, and pruning itself is sound by
+        construction — entries without stats are always read)."""
+        if label is not None:
+            lo, hi, latest = self._page_interval(version, reverse, None, skip_first)
+        else:
+            lo, hi, latest = self._page_interval(version, reverse, limit, skip_first)
         if hi < lo:
             return []
-        rows = self._rows_in_range(lo, hi)
-        if rows is None or len(rows) != hi - lo + 1:
+        rows = self._rows_in_range(lo, hi, label=label)
+        if rows is None or (label is None and len(rows) != hi - lo + 1):
             collected = self.scan(
-                version=version, reverse=reverse, limit=limit, skip_first=skip_first
+                version=version,
+                reverse=reverse,
+                limit=limit,
+                skip_first=skip_first,
+                label=label,
             ).collect()
             return [ScanRow(*r) for r in collected]
         rows.sort(key=lambda r: r[0])
         out = [
             ScanRow(
-                ver, vp, 0 if ver == latest else ver + 1, ts, label, payload, ck
+                ver, vp, 0 if ver == latest else ver + 1, ts, lab, payload, ck
             )
-            for (ver, vp, ts, label, payload, ck) in rows
+            for (ver, vp, ts, lab, payload, ck) in rows
         ]
-        return out[::-1] if reverse else out
+        if reverse:
+            out = out[::-1]
+        if label is not None and limit is not None:
+            out = out[:limit]
+        return out
 
     def _rows_in_range(
-        self, lo: int, hi: int
+        self, lo: int, hi: int, label: str | None = None
     ) -> list[tuple[int, int, int, str, str, int]] | None:
         """Storage seam for ``scan_rows``: every committed event with
         lo <= version <= hi, as (version, version_prev, timestamp,
@@ -1178,7 +1198,10 @@ class EventLog:
         footer stats select the overlapping manifest fragments (range
         cache keyed by (name, mtime, size) — fragments are immutable
         once published, truncation rewrites change the key), pyarrow
-        reads just those."""
+        reads just those. With ``label``, the manifest's per-column
+        label stats additionally drop fragments that cannot hold the
+        label (bounds + bloom — the same data skipping scan(label=...)
+        applies) and rows are filtered exactly."""
         try:
             import pyarrow.parquet as pq
         except ImportError:  # pragma: no cover - pyarrow ships in Spark
@@ -1208,6 +1231,11 @@ class EventLog:
                 cand = self._manifest.overlapping(lo, hi)
         else:
             cand = [{"n": f} for f in self._data_files()]
+        if label is not None:
+            # per-column data skipping: entries without label stats are
+            # conservatively kept (_entry_may_contain_label), so this
+            # can only drop fragments that provably lack the label
+            cand = [e for e in cand if _entry_may_contain_label(e, label)]
         out: list[tuple] = []
         try:
             for entry in cand:
@@ -1313,7 +1341,11 @@ class EventLog:
                             ):
                                 _, old = self._frag_row_cache.popitem(last=False)
                                 self._frag_rows_total -= len(old)
-                out.extend(r for r in rows if lo <= r[0] <= hi)
+                out.extend(
+                    r
+                    for r in rows
+                    if lo <= r[0] <= hi and (label is None or r[3] == label)
+                )
         except (FileNotFoundError, OSError, ValueError):
             return None  # manifest/fragment race: Spark path re-snapshots
         return out

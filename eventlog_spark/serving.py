@@ -193,12 +193,20 @@ class _Handler(BaseHTTPRequestHandler):
         n = adjust_batch_size(n, self.server.max_read_batch_size)
         reverse = "reverse" in q
         skip_first = "skip_first" in q
+        # extension beyond the reference's version-only route: a label
+        # query param serves a label-filtered page through the same
+        # driver-side path, with manifest data skipping (log.py)
+        label = q["label"][0] if q.get("label") else None
         try:
             # driver-side page read (log.py:scan_rows): a ≤1000-event HTTP
             # page must not schedule a Spark job — same reasoning as the
             # reference's O(1) offset seek per scan (read_event.go:37)
             rows = log.scan_rows(
-                version=version, reverse=reverse, limit=n or None, skip_first=skip_first
+                version=version,
+                reverse=reverse,
+                limit=n or None,
+                skip_first=skip_first,
+                label=label,
             )
         except InvalidVersion:
             self._err("ErrInvalidVersion")

@@ -640,7 +640,9 @@ def test_scan_rows_falls_back_when_stats_unserveable(spark, tmp_path, monkeypatc
     log = EventLog.create(spark, str(tmp_path / "fb"))
     for i in range(1, 5):
         log.append(f"e{i}", json.dumps({"ix": i}))
-    monkeypatch.setattr(type(log), "_rows_in_range", lambda self, lo, hi: None)
+    monkeypatch.setattr(
+        type(log), "_rows_in_range", lambda self, lo, hi, label=None: None
+    )
     rows = log.scan_rows(version=2, limit=2)
     assert [r.version for r in rows] == [2, 3]
     assert [r.version_next for r in rows] == [3, 4]
@@ -767,3 +769,26 @@ def test_label_pruning_binds_and_survives_compaction(spark, tmp_path):
     assert log.scan(label="zeta").count() == 0
     assert log.label_candidate_files("zeta") == []
     assert log.label_candidate_files("delta")  # present labels still match
+
+
+def test_scan_rows_label_matches_scan_dataframe(log):
+    """The driver-side label page (scan_rows(label=...)) must agree with
+    the Spark label scan on both engines across paging params — same
+    rows, same order — including the absent-label and limit-on-matches
+    cases."""
+    for i in range(1, 10):
+        log.append(["red", "blue"][i % 2], json.dumps({"ix": i}))
+    cases = [
+        dict(label="red"),
+        dict(label="blue"),
+        dict(label="absent"),
+        dict(label="red", limit=2),
+        dict(label="red", reverse=True),
+        dict(label="blue", reverse=True, limit=1),
+        dict(label="blue", version=4),
+        dict(label="red", version=3, skip_first=True),
+    ]
+    for kw in cases:
+        fast = log.scan_rows(**kw)
+        slow = [tuple(r) for r in log.scan(**kw).collect()]
+        assert [tuple(r) for r in fast] == slow, kw

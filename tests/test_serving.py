@@ -295,3 +295,34 @@ def test_fanout_1k_subscribers_converge_no_leak(tmp_path):
         _t.sleep(0.2)
     assert threading.active_count() <= th0 + 2
     assert len(os.listdir("/proc/self/fd")) <= fd0 + 8
+
+
+def test_label_filtered_scan_http(server):
+    """Label-filtered pages over HTTP (extension): the scan route's
+    ``label`` query param serves only matching events through the
+    driver-side page path with manifest data skipping; the client's
+    ``scan(label=...)`` paginates across clamped batches and an absent
+    label yields nothing."""
+    from eventlog_spark.client import Client
+
+    base, log = server
+    for i in range(1, 10):
+        log.append(["red", "blue"][i % 2], json.dumps({"ix": i}))
+    status, body = _get(f"{base}/log/1?label=red")
+    assert status == 200
+    page = json.loads(body)
+    assert [int(d["version"], 16) for d in page] == [2, 4, 6, 8]
+    assert {d["label"] for d in page} == {"red"}
+    # limit counts MATCHING rows
+    status, body = _get(f"{base}/log/1?label=blue&n=2")
+    assert [int(d["version"], 16) for d in json.loads(body)] == [1, 3]
+    # absent label: empty page
+    status, body = _get(f"{base}/log/1?label=absent")
+    assert json.loads(body) == []
+    # client pagination across clamped batches sees every match once
+    client = Client("127.0.0.1", int(base.rsplit(":", 1)[1]))
+    got = [e.version for e in client.scan(label="red", batch_hint=2)]
+    assert got == [2, 4, 6, 8]
+    got = [e.version for e in client.scan(label="blue", reverse=True)]
+    assert got == [9, 7, 5, 3, 1]
+    assert list(client.scan(label="absent")) == []

@@ -142,6 +142,17 @@ def probe_labels(total_frags: int, n_labels: int) -> dict:
         t0 = time.perf_counter()
         absent = log.label_candidate_files("label-absent")
         absent_ms = 1e3 * (time.perf_counter() - t0)
+        # serving path: a 1000-row label page driver-side (scan_rows
+        # with label pruning — no Spark), and the absent-label page
+        # (zero fragments opened)
+        t0 = time.perf_counter()
+        page = log.scan_rows(label="label-0", limit=1000)
+        page_ms = 1e3 * (time.perf_counter() - t0)
+        assert len(page) == min(1000, total_frags // n_labels)
+        assert all(r.label == "label-0" for r in page)
+        t0 = time.perf_counter()
+        assert log.scan_rows(label="label-absent") == []
+        absent_page_ms = 1e3 * (time.perf_counter() - t0)
         row = {
             "probe": "label_skipping",
             "fragments": total_frags,
@@ -151,6 +162,8 @@ def probe_labels(total_frags: int, n_labels: int) -> dict:
             "prune_ratio": round(len(cands) / total_frags, 4),
             "candidate_calc_ms": round(cand_ms, 2),
             "absent_calc_ms": round(absent_ms, 2),
+            "scan_rows_label_page_1000_ms": round(page_ms, 2),
+            "scan_rows_absent_label_ms": round(absent_page_ms, 2),
         }
         print(json.dumps(row), flush=True)
         return row
