@@ -12,6 +12,7 @@
     python -m eventlog_spark.cli version http://host:port       (remote server)
     python -m eventlog_spark.cli append  /path/to/log label '{"x":1}'
     python -m eventlog_spark.cli scan    /path/to/log [--from HEX] [-n N] [--reverse]
+                                         [--label L]
 
 ``inmem`` serves a volatile in-memory eventlog that loses all data when
 the process terminates (cli.go:36-57); ``version`` with a URL connects
@@ -105,6 +106,10 @@ def main(argv: list[str] | None = None) -> int:
     p_scan.add_argument("--from", dest="from_", default=None, help="hex start version")
     p_scan.add_argument("-n", type=int, default=0)
     p_scan.add_argument("--reverse", action="store_true")
+    p_scan.add_argument(
+        "--label", default=None,
+        help="only events with this label (manifest data skipping)",
+    )
 
     p_compact = sub.add_parser(
         "compact", help="rewrite commit fragments into few large files"
@@ -210,7 +215,12 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "scan":
         start = int(args.from_, 16) if args.from_ else None
-        rows = log.scan(version=start, reverse=args.reverse, limit=args.n or None).collect()
+        rows = log.scan(
+            version=start,
+            reverse=args.reverse,
+            limit=args.n or None,
+            label=args.label,
+        ).collect()
         for e in rows:
             print(
                 json.dumps(

@@ -39,6 +39,14 @@ def test_cli_roundtrip(spark, tmp_path, capsys):
     (top,) = [json.loads(line) for line in out.strip().splitlines()]
     assert top["version"] == "2"
 
+    code, out = run(capsys, "append", path, "other", '{"msg":"x"}')
+    code, out = run(capsys, "scan", path, "--label", "greet")
+    lines = [json.loads(line) for line in out.strip().splitlines()]
+    assert [e["version"] for e in lines] == ["1", "2"]
+    assert {e["label"] for e in lines} == {"greet"}
+    code, out = run(capsys, "scan", path, "--label", "absent")
+    assert out.strip() == ""
+
     code, out = run(capsys, "check", path)
     assert code == 0
     assert all(v == 0 for v in json.loads(out).values())
