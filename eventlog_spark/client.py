@@ -374,6 +374,7 @@ class Client:
         version: int | None = None,
         timeout: float | None = None,
         batch_hint: int = 0,
+        label: str | None = None,
     ) -> Iterator[ClientEvent]:
         """The reference's canonical consumer pattern (SURVEY §3.3,
         client/http.go:507-585): one iterator yielding every event with
@@ -388,22 +389,38 @@ class Client:
         makes push delivery a LIVENESS hint only: a dropped or
         latest-wins-conflated frame never loses an event, the next
         wakeup's catch-up scan reads it from the log. Ends when
-        ``timeout`` elapses or the server closes the subscription."""
+        ``timeout`` elapses or the server closes the subscription.
+
+        ``label`` (extension): yield only matching events — the
+        topic-consumer shape, served by label-pruned scans. The resume
+        cursor advances to the pre-scan head even when a scan yields no
+        match, so a label that goes quiet never causes re-scans of an
+        ever-growing suffix (each catch-up covers at least up to the
+        head observed before it started; exactly-once is unaffected
+        because no unexamined version is ever skipped)."""
         last = self.version() if version is None else version
         deadline = None if timeout is None else _time.monotonic() + timeout
         with self.subscribe() as sub:
             while deadline is None or _time.monotonic() < deadline:
-                if self.version() > last:
+                head = self.version()
+                if head > last:
                     it = (
-                        self.scan(batch_hint=batch_hint)
+                        self.scan(batch_hint=batch_hint, label=label)
                         if last == 0
                         else self.scan(
-                            version=last, skip_first=True, batch_hint=batch_hint
+                            version=last,
+                            skip_first=True,
+                            batch_hint=batch_hint,
+                            label=label,
                         )
                     )
                     for ev in it:
                         last = ev.version
                         yield ev
+                    # the scan examined everything up to (at least) the
+                    # pre-scan head; a filtered scan's last MATCH may
+                    # trail it, so advance the cursor explicitly
+                    last = max(last, head)
                 try:
                     if deadline is not None:
                         sub.set_timeout(
@@ -550,12 +567,15 @@ class LocalClient:
         version: int | None = None,
         timeout: float | None = None,
         batch_hint: int = 1000,
+        label: str | None = None,
     ) -> Iterator[ClientEvent]:
         """Same contract as ``Client.follow`` (exactly-once ordered
         iterator over events after ``version``), bound to the in-process
         hub: subscribe first, catch-up scan from the last yielded
         version on entry and after every pushed head or poll wakeup —
-        latest-wins conflation in the hub never loses an event."""
+        latest-wins conflation in the hub never loses an event.
+        ``label`` filters to one label with the same quiet-label cursor
+        advance as ``Client.follow``."""
         import queue as _queue
 
         last = self.version() if version is None else version
@@ -563,17 +583,22 @@ class LocalClient:
         q, close = self._log.subscribe()
         try:
             while deadline is None or _time.monotonic() < deadline:
-                if self.version() > last:
+                head = self.version()
+                if head > last:
                     it = (
-                        self.scan(batch_hint=batch_hint)
+                        self.scan(batch_hint=batch_hint, label=label)
                         if last == 0
                         else self.scan(
-                            version=last, skip_first=True, batch_hint=batch_hint
+                            version=last,
+                            skip_first=True,
+                            batch_hint=batch_hint,
+                            label=label,
                         )
                     )
                     for ev in it:
                         last = ev.version
                         yield ev
+                    last = max(last, head)
                 remaining = None if deadline is None else deadline - _time.monotonic()
                 wait = 0.25 if remaining is None else max(0.01, min(0.25, remaining))
                 try:

@@ -348,6 +348,38 @@ def test_local_client_follow(spark):
     assert got == [1, 2, 3, 4]
 
 
+def test_local_client_follow_label(spark):
+    """LocalClient.follow(label=...) filters like the HTTP client and
+    advances past non-matching appends."""
+    import time
+
+    from eventlog_spark.client import LocalClient
+    from eventlog_spark.inmem import InMemEventLog
+
+    log = InMemEventLog.create(spark)
+    c = LocalClient(log)
+    for lab in ("red", "blue", "red"):
+        c.append(lab, '{"x":1}')
+    got: list[int] = []
+    done = threading.Event()
+
+    def run():
+        for ev in c.follow(version=0, timeout=20, label="red"):
+            assert ev.label == "red"
+            got.append(ev.version)
+            if len(got) >= 3:
+                break
+        done.set()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    time.sleep(0.3)
+    c.append("blue", '{"x":2}')
+    c.append("red", '{"x":3}')
+    assert done.wait(30), f"follow never completed; got={got}"
+    assert got == [1, 3, 5]
+
+
 class _ScriptedServer:
     """Raw-socket HTTP stand-in with per-request scripted behavior:
     'ok' answers, 'hang_up_before_reply' reads the request then closes
@@ -467,3 +499,54 @@ def test_transport_close_then_reuse_reapplies_nodelay():
         assert again.sock.getsockopt(_socket.IPPROTO_TCP, _socket.TCP_NODELAY) == 1
     finally:
         srv.close()
+
+
+def test_follow_label_filtered(clamped):
+    """follow(label=...) — the topic-consumer shape: only matching
+    events arrive, exactly once and in order, across clamped batches;
+    a burst of NON-matching appends advances the resume cursor (no
+    re-scan of an ever-growing suffix when the label goes quiet)."""
+    import json
+    import time
+
+    client, _ = clamped
+    client.timeout = 10.0
+    # catch-up corpus: v1..v6 alternating labels (odd=red, even=blue)
+    for i in range(1, 7):
+        client.append(["blue", "red"][i % 2], json.dumps({"i": i}))
+
+    scan_versions: list[int | None] = []
+    orig_scan = client.scan
+
+    def scan(*a, **kw):
+        scan_versions.append(kw.get("version"))
+        return orig_scan(*a, **kw)
+
+    client.scan = scan
+
+    got: list[int] = []
+    done = threading.Event()
+
+    def run():
+        for ev in client.follow(version=0, timeout=45, label="red"):
+            assert ev.label == "red"
+            got.append(ev.version)
+            if len(got) >= 5:
+                break
+        done.set()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    time.sleep(0.5)  # catch-up of 1,3,5 lands; follower blocks
+    # a non-matching burst, then two matches
+    for i in (7, 8, 9):
+        client.append("blue", json.dumps({"i": i}))
+    time.sleep(0.5)
+    client.append("red", json.dumps({"i": 10}))
+    client.append("red", json.dumps({"i": 11}))
+    assert done.wait(60), f"follow never completed; got={got}"
+    assert got == [1, 3, 5, 10, 11]
+    # cursor advanced past the quiet burst: the catch-up that found v10
+    # resumed from ≥ v9, not from the last match (v5)
+    assert any(v is not None and v >= 9 for v in scan_versions), scan_versions
+    t.join(timeout=10)
