@@ -123,6 +123,10 @@ def checksum_expr() -> Column:
 
 LABEL_BLOOM_BITS = 256
 LABEL_BLOOM_K = 4
+# beyond this many distinct labels a 256-bit/4-hash bloom saturates
+# (fp rate ≈ (1 − e^(−4·64/256))⁴ ≈ 39% and climbing) — store bounds
+# only instead of 64 dead hex chars per entry
+LABEL_BLOOM_MAX_LABELS = 64
 
 
 def _label_bloom_positions(label: str):
@@ -135,13 +139,17 @@ def _label_bloom_positions(label: str):
 
 def _label_stats_entry(labels) -> dict:
     """Manifest-entry stats for a fragment whose exact label set is
-    known driver-side: bounds + bloom."""
+    known driver-side: bounds always; bloom only while it still
+    discriminates (≤ LABEL_BLOOM_MAX_LABELS distinct labels)."""
     labs = sorted(labels)
-    bits = 0
-    for lab in labs:
-        for pos in _label_bloom_positions(lab):
-            bits |= 1 << pos
-    return {"lmin": labs[0], "lmax": labs[-1], "lb": f"{bits:064x}"}
+    out = {"lmin": labs[0], "lmax": labs[-1]}
+    if len(labs) <= LABEL_BLOOM_MAX_LABELS:
+        bits = 0
+        for lab in labs:
+            for pos in _label_bloom_positions(lab):
+                bits |= 1 << pos
+        out["lb"] = f"{bits:064x}"
+    return out
 
 
 def _entry_may_contain_label(e: dict, label: str) -> bool:

@@ -792,3 +792,32 @@ def test_scan_rows_label_matches_scan_dataframe(log):
         fast = log.scan_rows(**kw)
         slow = [tuple(r) for r in log.scan(**kw).collect()]
         assert [tuple(r) for r in fast] == slow, kw
+
+
+def test_label_bloom_caps_at_high_cardinality(spark, tmp_path):
+    """A fragment holding more distinct labels than the bloom can
+    discriminate (LABEL_BLOOM_MAX_LABELS) stores bounds only — no
+    saturated dead bytes — and pruning still works through the bounds
+    while never losing rows."""
+    from eventlog_spark.log import LABEL_BLOOM_MAX_LABELS, _label_stats_entry
+
+    few = _label_stats_entry({f"l{i:03d}" for i in range(5)})
+    assert "lb" in few and few["lmin"] == "l000"
+    many = _label_stats_entry({f"l{i:03d}" for i in range(LABEL_BLOOM_MAX_LABELS + 1)})
+    assert "lb" not in many
+    assert many["lmin"] == "l000" and many["lmax"] == f"l{LABEL_BLOOM_MAX_LABELS:03d}"
+    # end to end: a fold of >MAX distinct labels keeps exact bounds,
+    # drops the bloom, and label scans stay exact
+    path = str(tmp_path / "hc")
+    log = EventLog.create(spark, path)
+    log.MINOR_COMPACT_FRAGMENTS = 0
+    for i in range(LABEL_BLOOM_MAX_LABELS + 2):
+        log.append(f"m{i:03d}", json.dumps({"i": i}))
+    assert log.minor_compact() == LABEL_BLOOM_MAX_LABELS + 2
+    (entry,) = [
+        e for e in log._manifest.entries() if e["n"].endswith("-minor.parquet")
+    ]
+    assert "lb" not in entry and entry["lmin"] == "m000"
+    assert [r.label for r in log.scan(label="m005").collect()] == ["m005"]
+    # out-of-bounds label still prunes via lmin/lmax
+    assert log.label_candidate_files("zzz") == []
