@@ -821,3 +821,51 @@ def test_label_bloom_caps_at_high_cardinality(spark, tmp_path):
     assert [r.label for r in log.scan(label="m005").collect()] == ["m005"]
     # out-of-bounds label still prunes via lmin/lmax
     assert log.label_candidate_files("zzz") == []
+
+
+def test_label_scan_rows_races_compaction(spark, tmp_path):
+    """Snapshot isolation for the label read path: scan_rows(label=...)
+    hammered from threads while minor + major compaction rewrite the
+    fragment set must ALWAYS return exactly the matching rows (the log
+    is static during the race, so every correct snapshot gives the
+    same answer — a torn read, a vacuumed-file crash, or a pruning
+    mistake would all show up as a wrong result)."""
+    import threading
+
+    path = str(tmp_path / "lblrace")
+    log = EventLog.create(spark, path)
+    log.MINOR_COMPACT_FRAGMENTS = 0
+    for i in range(1, 61):
+        log.append(["red", "blue", "green"][i % 3], json.dumps({"i": i}))
+    want = {
+        lab: [v for v in range(1, 61) if ["red", "blue", "green"][v % 3] == lab]
+        for lab in ("red", "blue", "green")
+    }
+    errors: list[str] = []
+    stop = threading.Event()
+
+    def reader(lab: str):
+        while not stop.is_set():
+            got = [r.version for r in log.scan_rows(label=lab)]
+            if got != want[lab]:
+                errors.append(f"{lab}: {got[:5]}...{len(got)} != {len(want[lab])}")
+                return
+
+    threads = [
+        threading.Thread(target=reader, args=(lab,), daemon=True)
+        for lab in ("red", "blue", "green")
+    ]
+    for t in threads:
+        t.start()
+    try:
+        log.minor_compact()
+        log.compact()
+        log.vacuum(grace_seconds=0)  # reap retirees while readers run
+        log.minor_compact()
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=30)
+    assert not errors, errors
+    for lab in ("red", "blue", "green"):
+        assert [r.version for r in log.scan_rows(label=lab)] == want[lab]
