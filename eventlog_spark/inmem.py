@@ -90,8 +90,15 @@ class InMemEventLog(EventLog):
         return self.spark.createDataFrame(self._rows, EVENT_SCHEMA)
 
     def _rows_in_range(
-        self, lo: int, hi: int, label: str | None = None
+        self,
+        lo: int,
+        hi: int,
+        label: str | None = None,
+        limit: int | None = None,
+        reverse: bool = False,
     ) -> list[tuple]:
+        # limit/reverse are early-stop hints for the file engine's
+        # fragment walk; an in-memory list scan gains nothing from them
         # the inmem engine IS driver-side: a list slice serves the page
         # (rows are appended in version order, but don't assume it)
         with self._lock:

@@ -73,6 +73,30 @@ def _entry_overlaps(e: dict, lo: int, hi: int) -> bool:
     return not (e["hi"] < lo or elo > hi)
 
 
+def _page_label_meta(chunk: list[dict]) -> dict:
+    """Page-level label summaries rolled up from the entries a page
+    holds — the same Iceberg shape one level up (manifest-file column
+    bounds over its data-file entries): ``plmin``/``plmax`` when EVERY
+    entry carries label bounds, and ``plb`` (the union of the entries'
+    256-bit label blooms) when every entry carries a bloom. A page with
+    one stat-less entry gets no summary for that stat — the page is
+    then conservatively kept by any label probe, so summaries can only
+    SKIP pages that provably lack the label. This is what keeps the
+    per-label candidate pass O(pages matched), not O(manifest entries):
+    at 10^6 fragments / 4096-entry pages a label probe touches ~250
+    page metas instead of walking a million entry dicts."""
+    out: dict = {}
+    if chunk and all("lmin" in e for e in chunk):
+        out["plmin"] = min(e["lmin"] for e in chunk)
+        out["plmax"] = max(e["lmax"] for e in chunk)
+    if chunk and all("lb" in e for e in chunk):
+        bits = 0
+        for e in chunk:
+            bits |= int(e["lb"], 16)
+        out["plb"] = f"{bits:064x}"
+    return out
+
+
 class ManifestLog:
     """In-process mirror of one log's manifest chain.
 
@@ -242,13 +266,7 @@ class ManifestLog:
     def entries(self) -> list[dict]:
         """The full snapshot (forces every page resident) — the data
         plane's file set for a whole-log scan."""
-        out: list[dict] = []
-        for m in self._page_metas:
-            for e in self._load_page(m):
-                if e["n"] not in self._tombstones:
-                    out.append(e)
-        out.extend(self._tail)
-        return out
+        return self.candidates()
 
     def names(self) -> list[str]:
         return [e["n"] for e in self.entries()]
@@ -258,19 +276,48 @@ class ManifestLog:
         pages whose page-level range overlaps (plus range-less pages
         and the in-memory tail) — O(pages overlapped), the property
         that keeps a 1000-event page read flat at any fragment count."""
+        return self.candidates(lo, hi)
+
+    def candidates(
+        self,
+        lo: int | None = None,
+        hi: int | None = None,
+        page_ok=None,
+        entry_ok=None,
+    ) -> list[dict]:
+        """Entries passing the version-range overlap ([lo, hi] when
+        given) plus the caller's predicates — with ``page_ok(meta)``
+        consulted BEFORE a page is loaded, so a predicate that can
+        refute a whole page from its rolled-up summaries (label bounds
+        / bloom union, ``_page_label_meta``) skips the page file and
+        every entry in it. Both predicates must be conservative (True
+        when the page/entry lacks the stats to refute); the tail is
+        in-memory and gets only the entry predicate."""
         out: list[dict] = []
         for m in self._page_metas:
             mlo = m.get("lo")
-            if mlo is not None and (m["hi"] < lo or mlo > hi):
+            if (
+                lo is not None
+                and mlo is not None
+                and (m["hi"] < lo or mlo > hi)
+            ):
+                continue
+            if page_ok is not None and not page_ok(m):
                 continue
             for e in self._load_page(m):
                 if e["n"] in self._tombstones:
                     continue
-                if _entry_overlaps(e, lo, hi):
-                    out.append(e)
-        for e in self._tail:
-            if _entry_overlaps(e, lo, hi):
+                if lo is not None and not _entry_overlaps(e, lo, hi):
+                    continue
+                if entry_ok is not None and not entry_ok(e):
+                    continue
                 out.append(e)
+        for e in self._tail:
+            if lo is not None and not _entry_overlaps(e, lo, hi):
+                continue
+            if entry_ok is not None and not entry_ok(e):
+                continue
+            out.append(e)
         return out
 
     # -- commit -------------------------------------------------------------
@@ -359,12 +406,15 @@ class ManifestLog:
                 "hi": max(e["hi"] for e in chunk),
                 "count": len(chunk),
             }
+            meta.update(_page_label_meta(chunk))
             new_metas.append(meta)
             self._page_cache[pf] = chunk
         if unranged:
             pf = f"page-{uuid.uuid4().hex}.json"
             self._write_json(pf, unranged)
-            new_metas.append({"f": pf, "lo": None, "hi": None, "count": len(unranged)})
+            meta = {"f": pf, "lo": None, "hi": None, "count": len(unranged)}
+            meta.update(_page_label_meta(unranged))
+            new_metas.append(meta)
             self._page_cache[pf] = unranged
 
         metas = kept_metas + new_metas

@@ -196,7 +196,10 @@ class _Handler(BaseHTTPRequestHandler):
         # extension beyond the reference's version-only route: a label
         # query param serves a label-filtered page through the same
         # driver-side path, with manifest data skipping (log.py)
-        label = q["label"][0] if q.get("label") else None
+        # a blank ``?label=`` (parse_qs keeps blank values) means "no
+        # filter", not "the empty-string label" — '' is not a valid
+        # label anyway, so filtering on it would silently return []
+        label = (q["label"][0] or None) if q.get("label") else None
         try:
             # driver-side page read (log.py:scan_rows): a ≤1000-event HTTP
             # page must not schedule a Spark job — same reasoning as the

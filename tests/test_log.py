@@ -641,7 +641,7 @@ def test_scan_rows_falls_back_when_stats_unserveable(spark, tmp_path, monkeypatc
     for i in range(1, 5):
         log.append(f"e{i}", json.dumps({"ix": i}))
     monkeypatch.setattr(
-        type(log), "_rows_in_range", lambda self, lo, hi, label=None: None
+        type(log), "_rows_in_range", lambda self, lo, hi, **kw: None
     )
     rows = log.scan_rows(version=2, limit=2)
     assert [r.version for r in rows] == [2, 3]
@@ -769,6 +769,85 @@ def test_label_pruning_binds_and_survives_compaction(spark, tmp_path):
     assert log.scan(label="zeta").count() == 0
     assert log.label_candidate_files("zeta") == []
     assert log.label_candidate_files("delta")  # present labels still match
+
+
+def test_open_is_metadata_only_after_clean_commit(tmp_path, monkeypatch):
+    """Cold open must not pay a directory listing when the last commit
+    published cleanly: the commit-intent record proves the no-orphan
+    case from one tiny read (r9 — at 10^6 fragments the r8 listing was
+    the one O(dir) cost left on open). On a crash the intent NAMES the
+    only possible orphans, so the check stays O(orphans), still no
+    listing."""
+    import shutil
+
+    path = str(tmp_path / "cl")
+    log = EventLog.create(None, path)
+    log.MINOR_COMPACT_FRAGMENTS = 0
+    for i in range(5):
+        log.append("a", json.dumps({"i": i}))
+    state = os.path.join(path, "_state.json")
+    saved = str(tmp_path / "state_at_5.json")
+    shutil.copy(state, saved)
+
+    calls: list[int] = []
+    orig = EventLog._data_files
+    monkeypatch.setattr(
+        EventLog, "_data_files", lambda self: (calls.append(1), orig(self))[1]
+    )
+    reopened = EventLog.open(None, path)
+    assert reopened.version() == 5 and not calls
+    assert [r.version for r in reopened.scan_rows(limit=3)] == [1, 2, 3]
+    assert not calls
+
+    # crash between fragment write and publish: the intent names the
+    # orphan — it is truncated without listing the directory
+    log.append("orphan", '{"crash":true}')
+    shutil.copy(saved, state)
+    frags_before = {
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    }
+    calls.clear()
+    recovered = EventLog.open(None, path)
+    assert recovered.version() == 5 and not calls
+    frags_after = {f for f in os.listdir(path) if f.endswith(".parquet")}
+    assert len(frags_before - frags_after) == 1  # exactly the orphan died
+    r = recovered.append("next", '{"ok":true}')
+    assert r.version == 6
+
+
+def test_scan_rows_label_page_stops_early(tmp_path):
+    """A bounded label page must stop reading fragments once the page
+    is provably full — O(fragments holding the page), not O(all
+    matches to the head) per page (the r8 shape filtered the full
+    remaining interval, then sliced — a quadratic paginated tail).
+
+    Decisive probe: every fragment beyond the page (plus a margin) is
+    DELETED out from under the log, and the engine gets no Spark
+    session — only an early-stopping driver-side read can serve the
+    page; the old full-interval read (or the Spark fallback) would hit
+    the missing files and fail loudly."""
+    log = EventLog.create(None, str(tmp_path / "es"))
+    log.MINOR_COMPACT_FRAGMENTS = 0
+    for i in range(1, 61):
+        log.append("hot", json.dumps({"i": i}))
+    for e in log._manifest.entries():
+        if e["lo"] > 20:
+            os.remove(os.path.join(log.path, e["n"]))
+    rows = log.scan_rows(label="hot", limit=10)
+    assert [r.version for r in rows] == list(range(1, 11))
+    # reverse tail page: only the newest fragments may be touched
+    log2 = EventLog.create(None, str(tmp_path / "es2"))
+    log2.MINOR_COMPACT_FRAGMENTS = 0
+    for i in range(1, 61):
+        log2.append("hot", json.dumps({"i": i}))
+    for e in log2._manifest.entries():
+        if e["hi"] < 41:
+            os.remove(os.path.join(log2.path, e["n"]))
+    rows = log2.scan_rows(label="hot", reverse=True, limit=10)
+    assert [r.version for r in rows] == list(range(60, 50, -1))
+    # interior resume (pagination shape): version bound + early stop
+    rows = log2.scan_rows(label="hot", version=45, limit=5)
+    assert [r.version for r in rows] == list(range(45, 50))
 
 
 def test_scan_rows_label_matches_scan_dataframe(log):

@@ -128,6 +128,51 @@ def test_scan_rows_loads_only_overlapping_pages(spark, tmp_path, monkeypatch):
     assert len(reader._manifest._page_cache) == 4
 
 
+def test_label_candidates_prune_pages_before_loading(tmp_path, monkeypatch):
+    """Per-label candidate enumeration is O(pages matched), not
+    O(manifest entries): checkpoint pages carry rolled-up label
+    summaries (bounds + bloom union), so a label probe refutes whole
+    pages from their metas — an absent label answers without making a
+    single page resident, and a clustered label loads exactly the
+    pages that may hold it."""
+    monkeypatch.setattr(ManifestLog, "CHECKPOINT_EVERY", 32)
+    monkeypatch.setattr(ManifestLog, "PAGE_ENTRIES", 8)
+    log = EventLog.create(None, str(tmp_path / "lp"))
+    log.MINOR_COMPACT_FRAGMENTS = 0
+    # version-clustered labels: commits 0-15 are "aaa", 16-31 "zzz" →
+    # after the roll-up, two pages per label, disjoint summaries
+    for i in range(32):
+        log.append("aaa" if i < 16 else "zzz", f'{{"i":{i}}}')
+    metas = log._manifest._page_metas
+    assert len(metas) == 4 and all("plmin" in m and "plb" in m for m in metas)
+    reader = EventLog.open(None, log.path)
+    assert not reader._manifest._page_cache  # metas only, cold
+    # absent label: refuted by every page's bloom union — zero loads
+    assert reader.label_candidate_files("mmm") == []
+    assert not reader._manifest._page_cache
+    # clustered label: exactly its two pages load, the other two don't
+    cands = reader.label_candidate_files("aaa")
+    assert len(cands) == 16
+    assert len(reader._manifest._page_cache) == 2
+    # ground truth: page pruning loses nothing vs the entry-level pass
+    assert sorted(cands) == sorted(
+        e["n"]
+        for e in log._manifest.entries()
+        if e.get("lmin", "") <= "aaa" <= e.get("lmax", "\xff")
+    )
+    # a page holding a stat-less entry gets no summary → kept, not lost
+    from eventlog_spark.manifest import _page_label_meta
+
+    assert _page_label_meta([{"n": "x", "lmin": "a", "lmax": "b"}]) == {
+        "plmin": "a",
+        "plmax": "b",
+    }
+    assert _page_label_meta([{"n": "x"}]) == {}
+    # the driver-side label page path prunes pages too
+    rows = reader.scan_rows(label="zzz", limit=3)
+    assert [r.version for r in rows] == [17, 18, 19]
+
+
 def test_cross_instance_visibility_by_delta_replay(spark, tmp_path):
     """A second EventLog instance on the same path advances by replaying
     the writer's delta records off the published pointer — no reopen."""

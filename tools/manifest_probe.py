@@ -148,7 +148,8 @@ def probe_labels(total_frags: int, n_labels: int) -> dict:
         t0 = time.perf_counter()
         page = log.scan_rows(label="label-0", limit=1000)
         page_ms = 1e3 * (time.perf_counter() - t0)
-        assert len(page) == min(1000, total_frags // n_labels)
+        # round-robin gives label-0 ceil(total/n) commits
+        assert len(page) == min(1000, -(-total_frags // n_labels))
         assert all(r.label == "label-0" for r in page)
         t0 = time.perf_counter()
         assert log.scan_rows(label="label-absent") == []
@@ -171,13 +172,176 @@ def probe_labels(total_frags: int, n_labels: int) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def probe_label_pages(total_entries: int, n_labels: int) -> dict:
+    """Round-9 done-criterion: per-label candidate enumeration at 10^6
+    MANIFEST ENTRIES must be O(pages matched), not a linear walk over
+    every entry (the r8 shape: 8→40 ms at 10k→100k, ~0.4 s at 10^6).
+
+    Builds a synthetic manifest chain (batched commits of ranged,
+    label-stat-carrying entries — the exact dict shape interactive
+    commits stage) with version-CLUSTERED labels (the topic-log
+    reality: a label's fragments cluster in commit time), forces a
+    final roll-up, then measures on a COLD mirror (page metas only):
+
+    * a present label's candidate pass — expect time ∝ its pages, with
+      exactly those pages made resident,
+    * an absent label — expect sub-ms, ZERO pages resident (refuted by
+      every page meta's bloom union),
+    * the r8 entry-level walk over the same snapshot, for scale.
+    """
+    from eventlog_spark.log import (
+        _entry_may_contain_label,
+        _label_bloom_positions,
+        _label_stats_entry,
+        _page_may_contain_label,
+    )
+    from eventlog_spark.manifest import ManifestLog
+
+    root = tempfile.mkdtemp(prefix="manifest_pages_probe_")
+    try:
+        m = ManifestLog(root)
+        per = -(-total_entries // n_labels)
+        stats = {
+            k: _label_stats_entry({f"label-{k:06d}"}) for k in range(n_labels)
+        }
+        batch: list[dict] = []
+        for i in range(total_entries):
+            e = {"n": f"part-{i}.parquet", "lo": i + 1, "hi": i + 1}
+            e.update(stats[min(i // per, n_labels - 1)])
+            batch.append(e)
+            if len(batch) == 4096:
+                m.commit(batch, [])
+                batch = []
+        if batch:
+            m.commit(batch, [])
+        m._force_checkpoint = True
+        m.commit([], [])  # roll the tail up so the probe sees pages only
+        seq = m.seq
+
+        def cold_candidates(label: str):
+            mirror = ManifestLog(root)
+            mirror.load(seq)
+            positions = list(_label_bloom_positions(label))
+            t0 = time.perf_counter()
+            got = mirror.candidates(
+                page_ok=lambda pm: _page_may_contain_label(pm, label, positions),
+                entry_ok=lambda e: _entry_may_contain_label(e, label, positions),
+            )
+            ms = 1e3 * (time.perf_counter() - t0)
+            return got, ms, len(mirror._page_cache)
+
+        present, present_ms, present_pages = cold_candidates("label-000000")
+        mid, mid_ms, mid_pages = cold_candidates(
+            f"label-{n_labels // 2:06d}"
+        )
+        absent, absent_ms, absent_pages = cold_candidates("label-absent")
+        assert len(present) == per and len(mid) in (per, per - 1, total_entries - per * (n_labels - 1))
+        assert absent == [] and absent_pages == 0
+
+        # the r8 shape at the same scale: walk every entry
+        positions = list(_label_bloom_positions("label-000000"))
+        ents = m.entries()
+        t0 = time.perf_counter()
+        flat = [
+            e
+            for e in ents
+            if _entry_may_contain_label(e, "label-000000", positions)
+        ]
+        entry_walk_ms = 1e3 * (time.perf_counter() - t0)
+        assert len(flat) == len(present)
+
+        row = {
+            "probe": "label_page_index",
+            "entries": total_entries,
+            "labels": n_labels,
+            "pages": len(m._page_metas),
+            "present_label_ms": round(present_ms, 2),
+            "present_pages_loaded": present_pages,
+            "mid_label_ms": round(mid_ms, 2),
+            "mid_pages_loaded": mid_pages,
+            "absent_label_ms": round(absent_ms, 3),
+            "absent_pages_loaded": absent_pages,
+            "r8_entry_walk_ms": round(entry_walk_ms, 2),
+        }
+        print(json.dumps(row), flush=True)
+        return row
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def probe_open(total_frags: int) -> dict:
+    """Round-9 done-criterion: cold open flat to 10^6 fragments.
+
+    Synthesizes the on-disk shape of a clean log at ``total_frags``
+    fragments — real manifest chain (batched commits + forced roll-up),
+    pointer, clean commit-intent, and ``total_frags`` dummy fragment
+    files (open never reads fragment BYTES on the clean path, so empty
+    files measure exactly the control-plane cost) — then measures
+    EventLog.open plus the r8 shape it replaced (one os.listdir +
+    retirement-ledger parse)."""
+    from eventlog_spark.manifest import ManifestLog
+
+    root = tempfile.mkdtemp(prefix="open_probe_")
+    path = os.path.join(root, "log")
+    try:
+        log = EventLog.create(None, path)
+        m = log._manifest
+        batch: list[dict] = []
+        for i in range(total_frags):
+            name = f"part-{i:09d}.parquet"
+            with open(os.path.join(path, name), "wb"):
+                pass
+            batch.append({"n": name, "lo": i + 1, "hi": i + 1})
+            if len(batch) == 4096:
+                m.commit(batch, [])
+                batch = []
+        if batch:
+            m.commit(batch, [])
+        m._force_checkpoint = True
+        m.commit([], [])
+        log._latest, log._initial, log._last_ts = total_frags, 1, 1
+        log._write_state()
+        log._write_intent([], total_frags)
+
+        t0 = time.perf_counter()
+        cold = EventLog.open(None, path)
+        open_ms = 1e3 * (time.perf_counter() - t0)
+        assert cold.version() == total_frags
+        assert not cold._manifest._page_cache  # metas only — pages lazy
+
+        t0 = time.perf_counter()
+        listing = cold._data_files()  # the r8 per-open cost
+        listdir_ms = 1e3 * (time.perf_counter() - t0)
+        assert len(listing) == total_frags
+
+        row = {
+            "probe": "cold_open",
+            "fragments": total_frags,
+            "open_ms": round(open_ms, 2),
+            "r8_listing_ms": round(listdir_ms, 2),
+            "pointer_bytes": os.path.getsize(os.path.join(path, "_state.json")),
+        }
+        print(json.dumps(row), flush=True)
+        return row
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--frags", type=int, default=100_000)
     ap.add_argument("--labels", type=int, default=0,
                     help="run the label data-skipping probe with this many labels")
+    ap.add_argument("--label-pages", type=int, default=0,
+                    help="run the synthetic page-index probe at this many entries")
+    ap.add_argument("--open", type=int, default=0,
+                    help="run the cold-open probe at this many fragments")
     args = ap.parse_args()
-    if args.labels:
+    if args.open:
+        probe_open(args.open)
+    elif args.label_pages:
+        probe_label_pages(args.label_pages, max(args.labels, 2) if args.labels else 64)
+    elif args.labels:
         probe_labels(args.frags, args.labels)
     else:
         rows = probe(args.frags)
