@@ -53,6 +53,7 @@ class InMemEventLog(EventLog):
         self._legacy_files = None
         self._pending_add: list[dict] = []
         self._pending_remove: list[str] = []
+        self._arbiter = "flock"  # moot with path=None (thread lock only)
 
     @classmethod
     def create(

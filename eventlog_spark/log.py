@@ -47,6 +47,7 @@ import heapq
 import json
 import os
 import queue
+import random
 import shutil
 import threading
 import time
@@ -65,7 +66,7 @@ from pyspark.sql.types import (
 )
 
 from .errors import InvalidVersion, MismatchingVersions
-from .manifest import ManifestChainBroken, ManifestLog
+from .manifest import ManifestChainBroken, ManifestLog, ManifestSeqClaimed
 from .validation import (
     DEFAULT_MAX_PAYLOAD_LEN,
     minify_json,
@@ -281,9 +282,28 @@ class _Hub:
 
 
 class EventLog:
-    """A versioned append-only event log over a parquet directory."""
+    """A versioned append-only event log over a parquet directory.
 
-    def __init__(self, spark: SparkSession, path: str):
+    ``arbiter`` picks the cross-writer commit protocol (SCALE.md
+    "Multi-writer commits"): ``"flock"`` (default) serializes writers
+    with an advisory lock on ``_commit.lock`` — exact and crash-safe,
+    but only within ONE host's kernel; ``"cas"`` serializes through the
+    storage itself — each commit CLAIMS its manifest delta seq with an
+    atomic create-if-absent (put-if-absent, the primitive Delta-style
+    log stores require), losers discard their staged fragment and
+    retry on the winner's state — so writers on different hosts over a
+    shared store (NFS, FUSE-mounted object store with atomic link)
+    stay exactly-one-winner-per-version with no lock to leak. Under
+    CAS the manifest chain is the SOLE read truth (the pointer is a
+    cache healed by roll-forward; the directory listing is never
+    consulted) and open-time orphan truncation is disabled — an
+    unpublished crash fragment is invisible garbage for vacuum, never
+    a correctness hazard, because no reader lists the directory."""
+
+    def __init__(self, spark: SparkSession, path: str, arbiter: str = "flock"):
+        if arbiter not in ("flock", "cas"):
+            raise ValueError(f"unknown commit arbiter {arbiter!r}")
+        self._arbiter = arbiter
         self.spark = spark
         self.path = path
         self._lock = threading.RLock()
@@ -313,7 +333,19 @@ class EventLog:
         # instead of eating its fragment. Single-process opens pay one
         # uncontended flock.
         with self._commit_section():
-            self._truncate_orphans()
+            if self._arbiter != "cas":
+                self._truncate_orphans()
+            elif self._manifest is not None:
+                # CAS open: no physical truncation (another HOST may be
+                # mid-commit right now and no lock protects its
+                # in-flight fragment); instead roll the mirror forward
+                # past a possibly-lagging pointer — the delta chain is
+                # the commit truth (manifest.roll_forward)
+                head = self._manifest.roll_forward()
+                if head is not None and head["latest"] > self._latest:
+                    self._latest = head["latest"]
+                    self._initial = head["initial"]
+                    self._last_ts = head["ts"]
             if self.path is not None and self._manifest is None:
                 # Legacy log (file list embedded in its state file) or
                 # recovery (pointer lost): adopt the legacy list / the
@@ -357,14 +389,17 @@ class EventLog:
         return log
 
     @classmethod
-    def open(cls, spark: SparkSession, path: str) -> "EventLog":
+    def open(
+        cls, spark: SparkSession, path: str, arbiter: str = "flock"
+    ) -> "EventLog":
         """O21: open an existing log; if the state file is missing or
         stale (crash between fragment write and publish), recover the
         head from the data (reference recovers by scanning to the last
-        entry, file.go:67-125)."""
+        entry, file.go:67-125). ``arbiter="cas"`` opens for shared-store
+        multi-host writing (class docstring / SCALE.md)."""
         if not os.path.isdir(path):
             raise FileNotFoundError(path)
-        return cls(spark, path)
+        return cls(spark, path, arbiter)
 
     def _load_meta(self) -> None:
         meta_path = os.path.join(self.path, _META_FILE)
@@ -393,7 +428,7 @@ class EventLog:
             elif "manifest_seq" in st:
                 m = ManifestLog(self.path)
                 try:
-                    m.load(int(st["manifest_seq"]))
+                    m.load(int(st["manifest_seq"]), st.get("manifest_ckpt"))
                     self._manifest = m
                 except ManifestChainBroken:
                     # pointer names a vacuumed chain (crash between a
@@ -436,6 +471,11 @@ class EventLog:
         (2.6→169 ms at 1k→100k fragments, O(dir) at 10^6)."""
         if self.path is None:
             return  # in-memory engine: nothing persists, nothing orphans
+        if self._arbiter == "cas":
+            # concurrent writers would clobber each other's intents (no
+            # lock orders them) and CAS opens never truncate anyway —
+            # the manifest is the sole read truth there
+            return
         tmp = os.path.join(self.path, f"._intent.tmp.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump({"files": files, "hi": hi}, f)
@@ -588,6 +628,14 @@ class EventLog:
             if self.path is None:
                 yield
                 return
+            if self._arbiter == "cas":
+                # no lock to take: serialization happens at the delta
+                # claim (manifest.commit exclusive=True) — the thread
+                # RLock above still orders THIS process's threads, and
+                # cross-process/host order is decided by put-if-absent
+                self._refresh_published_state()
+                yield
+                return
             with open(os.path.join(self.path, _COMMIT_LOCK_FILE), "a") as fh:
                 import fcntl  # POSIX-only; fine for the lock's purpose
 
@@ -617,13 +665,28 @@ class EventLog:
                 self._manifest.replay_to(int(seq))
             except ManifestChainBroken:
                 pass  # readers fall back to the listing until re-adopted
-        if latest != self._latest:
+        if latest != self._latest and not (
+            self._arbiter == "cas" and latest < self._latest
+        ):
+            # (the guard: under CAS the pointer is a lagging CACHE — a
+            # writer that already rolled forward past it must never
+            # move its head backwards to a stale rename)
             self._latest = latest
             self._initial = int(st["version_initial"])
             self._last_ts = int(st["last_timestamp"])
             self._stream_commits = {
                 str(k): int(v) for k, v in st.get("stream_commits", {}).items()
             }
+        if self._arbiter == "cas" and self._manifest is not None:
+            # the pointer is only a cache under CAS (racing pointer
+            # renames can land out of order, and a writer may die after
+            # its claimed delta): the delta chain is the truth — roll
+            # past the pointer and adopt the newest delta's head
+            head = self._manifest.roll_forward()
+            if head is not None and head["latest"] > self._latest:
+                self._latest = head["latest"]
+                self._initial = head["initial"]
+                self._last_ts = head["ts"]
 
     def _write_state(self) -> None:
         """Publish: the staged manifest change goes out as ONE immutable
@@ -639,7 +702,27 @@ class EventLog:
         ):
             add, rm = self._pending_add, self._pending_remove
             self._pending_add, self._pending_remove = [], []
-            _, superseded = self._manifest.commit(add, rm)
+            if self._arbiter == "cas":
+                # the delta claim IS the commit point; head fields ride
+                # in the record so readers can roll past the pointer
+                try:
+                    _, superseded = self._manifest.commit(
+                        add,
+                        rm,
+                        exclusive=True,
+                        head={
+                            "latest": self._latest,
+                            "initial": self._initial,
+                            "ts": self._last_ts,
+                        },
+                    )
+                except ManifestSeqClaimed:
+                    # lost the race BEFORE anything published: re-stage
+                    # so the caller can undo its fragment and retry
+                    self._pending_add, self._pending_remove = add, rm
+                    raise
+            else:
+                _, superseded = self._manifest.commit(add, rm)
         tmp = self._state_path() + f".tmp.{uuid.uuid4().hex}"
         st = {
             "latest_version": self._latest,
@@ -649,6 +732,10 @@ class EventLog:
         }
         if self._manifest is not None:
             st["manifest_seq"] = self._manifest.seq
+            # base-checkpoint hint: lets a cold open jump straight to
+            # its checkpoint file instead of LISTING _manifest/ (which
+            # holds every delta still inside the vacuum grace window)
+            st["manifest_ckpt"] = self._manifest._ckpt_seq
         with open(tmp, "w") as f:
             json.dump(st, f)
         os.replace(tmp, self._state_path())  # atomic publish
@@ -734,15 +821,28 @@ class EventLog:
                 self._manifest.replay_to(int(seq))
             except ManifestChainBroken:
                 return False
+            if self._arbiter == "cas":
+                # the pointer is a cache under CAS — the delta chain is
+                # the truth; pick up claimed-but-not-yet-pointed commits
+                self._manifest.roll_forward()
         return True
 
     def _manifest_files(self) -> list[str]:
         """The committed data-file set at the freshest published
         pointer; directory listing (retirement-aware) when no manifest
-        chain is usable (legacy log mid-adoption, vacuumed chain)."""
+        chain is usable (legacy log mid-adoption, vacuumed chain).
+        Under the CAS arbiter the listing fallback is REFUSED: with no
+        lock ordering writers, a directory may hold a crashed loser's
+        fragment whose versions a winner re-assigned — only the
+        manifest names a consistent snapshot."""
         if self._sync_manifest_to_pointer():
             with self._lock:
                 return self._manifest.names()
+        if self._arbiter == "cas":
+            raise RuntimeError(
+                "manifest chain unusable; the cas arbiter has no safe "
+                "directory-listing fallback"
+            )
         return self._data_files()
 
     def _data_files(self) -> list[str]:
@@ -815,29 +915,56 @@ class EventLog:
             validate_payload(payload, self._max_payload_len)
             prepared.append((label, minify_json(payload)))
 
-        with self._commit_section():
-            if assumed_version is not None and assumed_version != self._latest:
-                raise MismatchingVersions(
-                    f"assumed version {assumed_version} != latest {self._latest}"
+        attempts = 0
+        while True:
+            with self._commit_section():
+                if assumed_version is not None and assumed_version != self._latest:
+                    raise MismatchingVersions(
+                        f"assumed version {assumed_version} != latest {self._latest}"
+                    )
+                base = self._latest
+                prior_initial = self._initial
+                # server-assigned, non-decreasing, whole seconds; one shared
+                # timestamp per batch (inmem.go:27, file.go:419-420)
+                ts = max(int(time.time()), self._last_ts)
+                rows = [
+                    (base + i + 1, base + i, ts, label, payload)
+                    for i, (label, payload) in enumerate(prepared)
+                ]
+                self._write_fragment(rows)
+                self._latest = base + len(rows)
+                if self._initial == 0:
+                    self._initial = 1
+                self._last_ts = ts
+                try:
+                    self._write_state()
+                except ManifestSeqClaimed:
+                    # CAS arbiter only: another writer took this seq.
+                    # Nothing published — drop our fragment (it squats
+                    # on versions the winner owns), roll back the
+                    # in-memory head, resync, retry. An OCC
+                    # assumed_version is re-validated against the
+                    # WINNER's head at the top of the loop, so two
+                    # hosts CAS-racing see exactly-one-winner, same as
+                    # two threads under the flock.
+                    self._discard_staged_fragments()
+                    self._latest, self._initial = base, prior_initial
+                    retry = True
+                else:
+                    retry = False
+                    # captured INSIDE the lock: after release another
+                    # commit may advance self._latest, and broadcasting/
+                    # returning that head would break
+                    # version == version_previous + len(events)
+                    new_head = self._latest
+            if not retry:
+                break
+            attempts += 1
+            if attempts >= 4096:  # pragma: no cover - storm backstop
+                raise RuntimeError(
+                    "commit lost the CAS race 4096 times in a row"
                 )
-            base = self._latest
-            # server-assigned, non-decreasing, whole seconds; one shared
-            # timestamp per batch (inmem.go:27, file.go:419-420)
-            ts = max(int(time.time()), self._last_ts)
-            rows = [
-                (base + i + 1, base + i, ts, label, payload)
-                for i, (label, payload) in enumerate(prepared)
-            ]
-            self._write_fragment(rows)
-            self._latest = base + len(rows)
-            if self._initial == 0:
-                self._initial = 1
-            self._last_ts = ts
-            self._write_state()
-            # captured INSIDE the lock: after release another commit may
-            # advance self._latest, and broadcasting/returning that head
-            # would break version == version_previous + len(events)
-            new_head = self._latest
+            time.sleep(random.uniform(0, 0.002) * min(attempts, 8))
         self._hub.broadcast(new_head)
         # LSM-style maintenance OUTSIDE the commit section: once enough
         # single-commit fragments accumulate, fold them into one file
@@ -867,6 +994,17 @@ class EventLog:
             version=new_head,
             timestamp=ts,
         )
+
+    def _discard_staged_fragments(self) -> None:
+        """CAS-loser cleanup: fragments staged for a failed delta claim
+        are unpublished and owned solely by this writer — unlink them
+        so the retried commit leaves no version-squatting garbage."""
+        for e in self._pending_add:
+            try:
+                os.remove(os.path.join(self.path, e["n"]))
+            except FileNotFoundError:  # pragma: no cover - defensive
+                pass
+        self._pending_add, self._pending_remove = [], []
 
     def _write_fragment(self, rows: list[tuple[int, int, int, str, str]]) -> None:
         """Interactive-commit write seam: a DRIVER-SIDE arrow parquet
@@ -1133,7 +1271,20 @@ class EventLog:
             if txn is not None:
                 # idempotence marker rides in the same atomic publish
                 self._stream_commits[txn[0]] = txn[1]
-            self._write_state()
+            try:
+                self._write_state()
+            except ManifestSeqClaimed:
+                # CAS arbiter: versions are baked into the Spark-written
+                # files, so a lost bulk race cannot be re-stamped in
+                # place — drop the staged files and surface the retry to
+                # the caller (the txn marker was never published, so a
+                # re-run is exactly-once safe)
+                self._discard_staged_fragments()
+                self._latest = base
+                raise MismatchingVersions(
+                    "bulk append lost the commit race to a concurrent "
+                    "writer; re-run the batch"
+                )
             new_head = self._latest  # see _commit: capture under the lock
         self._hub.broadcast(new_head)
         return AppendResult(
@@ -1705,7 +1856,14 @@ class EventLog:
             shutil.rmtree(tmp, ignore_errors=True)
             self._pending_remove.extend(old)
             self._interactive_frags = 0
-            self._write_state()  # atomic manifest swap — the publish point
+            try:
+                self._write_state()  # atomic manifest swap — the publish point
+            except ManifestSeqClaimed:
+                # CAS arbiter: lost the seq to a concurrent commit —
+                # abort the rewrite (outputs dropped, inputs intact);
+                # OPTIMIZE is maintenance and can simply run again
+                self._discard_staged_fragments()
+                return
             self._retire(old)
 
     # LSM-style minor-compaction trigger: once this many single-commit
@@ -1784,7 +1942,14 @@ class EventLog:
             )
             self._pending_add.append(entry)
             self._pending_remove.extend(small)
-            self._write_state()  # atomic manifest swap — the publish point
+            try:
+                self._write_state()  # atomic manifest swap — the publish point
+            except ManifestSeqClaimed:
+                # CAS arbiter: a concurrent commit took the seq mid-fold.
+                # Abort (drop the fold output, keep the inputs) — the
+                # fold is pure maintenance and re-runs on a later commit
+                self._discard_staged_fragments()
+                return 0
             self._retire(small)
             return len(small)
 

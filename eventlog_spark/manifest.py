@@ -64,6 +64,14 @@ class ManifestChainBroken(Exception):
     Callers fall back to the retirement-aware directory listing."""
 
 
+class ManifestSeqClaimed(Exception):
+    """Another writer already claimed this delta sequence number (CAS
+    commit arbiter: the exclusive hard-link create of
+    ``delta-<seq>.json`` found the name taken). The caller lost the
+    commit race — it must discard its staged fragment, resync to the
+    winner's state, and retry at the next seq."""
+
+
 def _entry_overlaps(e: dict, lo: int, hi: int) -> bool:
     """Whether an entry MAY hold versions in [lo, hi]. Entries without
     a recorded range (legacy adoption) always may."""
@@ -165,20 +173,37 @@ class ManifestLog:
 
     # -- positioning -------------------------------------------------------------
 
-    def load(self, seq: int) -> None:
+    def load(self, seq: int, ckpt_hint: int | None = None) -> None:
         """Cold-position at published ``seq``: newest checkpoint ≤ seq
         (page METAS only — pages load lazily on first touch) + replay of
         the delta records (checkpoint, seq]. Raises ManifestChainBroken
         if any link is missing — ATOMICALLY: the mirror keeps its prior
         state on failure (a re-adopted mirror must not be wiped by a
-        stale pointer naming a vacuumed chain)."""
+        stale pointer naming a vacuumed chain).
+
+        ``ckpt_hint`` (the pointer's ``manifest_ckpt`` field) names the
+        base checkpoint directly so the healthy path never LISTS
+        ``_manifest/`` — that directory holds every delta inside the
+        vacuum grace window, so the discovery scan it replaces was
+        O(commit rate × grace) on open (measured 49 ms at 100k
+        interactive commits). An unreadable/absent hint falls back to
+        the scan, which keeps every crash-window recovery exactly as
+        before."""
         fresh = ManifestLog.__new__(ManifestLog)
         fresh._dir = self._dir
         fresh.seq = fresh._ckpt_seq = 0
         fresh._page_metas, fresh._page_cache, fresh._tail = [], {}, []
         fresh._tombstones = set()
         fresh._force_checkpoint = False
-        ck = self._latest_checkpoint_at(seq)
+        ck = None
+        if ckpt_hint:
+            ckpt_hint = int(ckpt_hint)
+            if ckpt_hint <= seq and os.path.exists(
+                self._p(_CKPT.format(ckpt_hint))
+            ):
+                ck = ckpt_hint
+        if ck is None:
+            ck = self._latest_checkpoint_at(seq)
         if ck is not None:
             try:
                 with open(self._p(_CKPT.format(ck))) as f:
@@ -322,19 +347,37 @@ class ManifestLog:
 
     # -- commit -------------------------------------------------------------
 
-    def commit(self, add: list[dict], remove: list[str]) -> tuple[int, list[str]]:
+    def commit(
+        self,
+        add: list[dict],
+        remove: list[str],
+        exclusive: bool = False,
+        head: dict | None = None,
+    ) -> tuple[int, list[str]]:
         """Publish one commit's manifest change: ONE immutable delta
         record (O(1) — nothing is rewritten), then a paged checkpoint
-        roll-up every CHECKPOINT_EVERY commits. Caller holds the commit
-        flock and publishes the pointer AFTER this returns. Returns
+        roll-up every CHECKPOINT_EVERY commits. Under the flock arbiter
+        the caller holds the commit lock and publishes the pointer
+        AFTER this returns; ``os.replace`` also disposes of an orphan
+        delta left at this seq by a crash between a previous writer's
+        delta and pointer. Under the CAS arbiter (``exclusive=True``)
+        the delta write itself IS the commit point: an exclusive
+        hard-link create that raises ManifestSeqClaimed — atomically,
+        before the mirror mutates — when another writer took the seq;
+        ``head`` (the head fields this commit publishes) rides in the
+        record so a reader can roll past a lagging pointer. Returns
         (new seq, manifest files superseded by a roll-up) — the caller
         retires the latter into the vacuum ledger once the pointer is
         out (publish-before-delete, same as data fragments)."""
         os.makedirs(self._dir, exist_ok=True)
         s = self.seq + 1
-        # os.replace also disposes of an orphan delta left at this seq
-        # by a crash between a previous writer's delta and pointer
-        self._write_json(_DELTA.format(s), {"seq": s, "add": add, "remove": remove})
+        rec: dict = {"seq": s, "add": add, "remove": remove}
+        if head is not None:
+            rec["head"] = head
+        if exclusive:
+            self._write_json_exclusive(_DELTA.format(s), rec)
+        else:
+            self._write_json(_DELTA.format(s), rec)
         self._apply(add, remove)
         self.seq = s
         superseded: list[str] = []
@@ -342,11 +385,49 @@ class ManifestLog:
             superseded = self._checkpoint()
         return s, superseded
 
+    def roll_forward(self) -> dict | None:
+        """CAS-arbiter read path: under CAS the delta CHAIN, not the
+        pointer, is the commit truth (a writer may die — or merely lose
+        the pointer-publish race — between its claimed delta and its
+        pointer write, and pointer renames from racing writers can land
+        out of order). Advance the mirror past the published pointer to
+        the newest complete delta on disk — O(gap), sequential probes,
+        no directory listing — and return the last ``head`` fields
+        seen, which the caller adopts as the true head."""
+        head: dict | None = None
+        while True:
+            try:
+                with open(self._p(_DELTA.format(self.seq + 1))) as f:
+                    d = json.load(f)
+            except (FileNotFoundError, ValueError):
+                return head
+            self._apply(d.get("add", []), d.get("remove", []))
+            self.seq += 1
+            if d.get("head"):
+                head = d["head"]
+
     def _write_json(self, name: str, payload) -> None:
         tmp = self._p(f".{name}.tmp.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(payload, f)
         os.replace(tmp, self._p(name))
+
+    def _write_json_exclusive(self, name: str, payload) -> None:
+        """Atomic create-if-absent publish (put-if-absent, the CAS a
+        shared store must offer): the payload is fully written to a
+        temp name, then hard-linked to the final name — link(2) fails
+        with EEXIST if ANY writer already owns the name, and a reader
+        can never observe a torn record because the link only exists
+        once the bytes do."""
+        tmp = self._p(f".{name}.tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        try:
+            os.link(tmp, self._p(name))
+        except FileExistsError:
+            raise ManifestSeqClaimed(name)
+        finally:
+            os.unlink(tmp)
 
     def _checkpoint(self) -> list[str]:
         """Roll the live snapshot into pages. Clean pages (no entry

@@ -1,0 +1,179 @@
+"""Multi-HOST commit fencing (round-9 verdict item 5; SURVEY §7
+"OCC under concurrent drivers").
+
+The default flock arbiter serializes writers through ONE host's
+kernel; a 100 TB deployment has writers on different hosts sharing a
+store, where flock does not reach. The CAS arbiter
+(``EventLog.open(..., arbiter="cas")``) serializes through the storage
+itself: each commit CLAIMS its manifest delta seq with an atomic
+create-if-absent (hard link), losers discard their staged fragment and
+retry on the winner's state. These tests prove the fencing with the
+flock DELIBERATELY BYPASSED — in-process with flock monkeypatched to
+explode (so any accidental lock take fails loudly), and across OS
+processes that never coordinate except through the shared directory
+(the two-"host" simulation: nothing but the store orders them).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+from eventlog_spark.errors import MismatchingVersions
+from eventlog_spark.log import EventLog
+
+
+def _boom(*a, **k):  # a flock take under CAS is a test failure
+    raise AssertionError("flock must not be taken under the cas arbiter")
+
+
+def test_cas_two_writers_no_flock_exactly_one_winner(tmp_path, monkeypatch):
+    """Two writer INSTANCES on one log, flock disabled outright: every
+    append wins exactly one version, each sees the other's commits via
+    delta replay + roll-forward, and the final log is dense with a
+    clean manifest chain."""
+    import fcntl
+
+    path = str(tmp_path / "cas")
+    EventLog.create(None, path)
+    monkeypatch.setattr(fcntl, "flock", _boom)
+    a = EventLog.open(None, path, arbiter="cas")
+    b = EventLog.open(None, path, arbiter="cas")
+    acked = []
+    for i in range(10):
+        acked.append(a.append("from-a", json.dumps({"i": i})).version)
+        acked.append(b.append("from-b", json.dumps({"i": i})).version)
+    assert sorted(acked) == list(range(1, 21))
+    assert a.version() == 19  # a's own last ack; b's 20 not yet seen
+    a._refresh_published_state()
+    assert a.version() == 20  # ...until a refresh replays b's delta
+    rows = b.scan_rows()
+    assert [r.version for r in rows] == list(range(1, 21))
+    assert [r.label for r in rows] == ["from-a", "from-b"] * 10
+
+
+def test_cas_occ_semantics_survive_the_race(tmp_path, monkeypatch):
+    """append_check under CAS: an assumed_version that lost to another
+    writer raises MismatchingVersions (validated against the WINNER's
+    head inside the retry loop), and a correct assumed_version commits
+    exactly once."""
+    import fcntl
+
+    path = str(tmp_path / "occ")
+    EventLog.create(None, path)
+    monkeypatch.setattr(fcntl, "flock", _boom)
+    a = EventLog.open(None, path, arbiter="cas")
+    b = EventLog.open(None, path, arbiter="cas")
+    r = a.append_check(0, "first", '{"by":"a"}')
+    assert r.version == 1
+    with pytest.raises(MismatchingVersions):
+        b.append_check(0, "stale", '{"by":"b"}')  # head moved to 1
+    r = b.append_check(1, "second", '{"by":"b"}')
+    assert r.version == 2
+
+
+def test_cas_pointer_lag_rolls_forward(tmp_path, monkeypatch):
+    """Crash window unique to CAS: a writer dies (or merely loses the
+    pointer-publish race) AFTER its claimed delta, BEFORE its pointer
+    rename. The delta chain is the commit truth — a fresh CAS open
+    rolls past the stale pointer and serves the committed event; the
+    claimed seq is never reused."""
+    import fcntl
+
+    path = str(tmp_path / "lag")
+    EventLog.create(None, path)
+    monkeypatch.setattr(fcntl, "flock", _boom)
+    w = EventLog.open(None, path, arbiter="cas")
+    w.append("published", '{"n":1}')
+    state = os.path.join(path, "_state.json")
+    saved = str(tmp_path / "state_at_1.json")
+    shutil.copy(state, saved)
+    w.append("claimed-not-pointed", '{"n":2}')
+    shutil.copy(saved, state)  # "crash": pointer rolled back to seq 1
+
+    fresh = EventLog.open(None, path, arbiter="cas")
+    assert fresh.version() == 2  # recovered from the delta's head fields
+    assert [r.label for r in fresh.scan_rows()] == [
+        "published",
+        "claimed-not-pointed",
+    ]
+    r = fresh.append("next", '{"n":3}')
+    assert r.version == 3  # no seq/version reuse after roll-forward
+
+
+_CAS_WRITER = r"""
+import json, sys
+repo, path, wid, n = sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4])
+sys.path.insert(0, repo)
+from eventlog_spark.log import EventLog
+log = EventLog.open(None, path, arbiter="cas")
+wins = []
+for i in range(n):
+    r = log.append(f"writer{wid}", json.dumps({"writer": wid, "seq": i}))
+    wins.append(r.version)
+print("WINS:" + ",".join(map(str, wins)))
+"""
+
+
+def test_cas_cross_process_storm_two_hosts(tmp_path):
+    """Four OS processes (the multi-host stand-in: independent kernels'
+    worth of isolation minus the shared filesystem) hammer one log
+    through the CAS arbiter with NO flock taken anywhere. Must hold:
+    the union of acked versions is a permutation of 1..N (exactly one
+    winner per version — the fencing property), a fresh open sees a
+    dense log, every writer's every event survives exactly once, and
+    the manifest seq chain has no gaps or duplicates."""
+    path = str(tmp_path / "storm")
+    EventLog.create(None, path)
+    n_writers, n_each = 4, 12
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, SPARK_GRAFT_MANIFEST_CHECKPOINT="8")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _CAS_WRITER, repo, path, str(wid), str(n_each)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+        )
+        for wid in range(n_writers)
+    ]
+    wins = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"writer failed:\n{err[-2000:]}"
+        (line,) = [ln for ln in out.splitlines() if ln.startswith("WINS:")]
+        wins.extend(int(v) for v in line[5:].split(","))
+    total = n_writers * n_each
+    assert sorted(wins) == list(range(1, total + 1))
+
+    fresh = EventLog.open(None, path, arbiter="cas")
+    assert fresh.version() == total
+    rows = fresh.scan_rows()
+    assert [r.version for r in rows] == list(range(1, total + 1))
+    seen = [(json.loads(r.payload)["writer"], json.loads(r.payload)["seq"]) for r in rows]
+    assert sorted(seen) == [
+        (w, i) for w in range(n_writers) for i in range(n_each)
+    ]
+    # per-writer acks are in program order (its own seq i committed
+    # before its seq i+1): the retry loop never reorders one writer
+    by_writer: dict[int, list[int]] = {}
+    for v, (w, i) in zip(wins, [  # wins arrive grouped per process
+        (w, i) for w in range(n_writers) for i in range(n_each)
+    ]):
+        by_writer.setdefault(w, []).append(v)
+    for vs in by_writer.values():
+        assert vs == sorted(vs)
+    # manifest chain: one delta per commit + the create, no gaps
+    deltas = [
+        f
+        for f in os.listdir(os.path.join(path, "_manifest"))
+        if f.startswith("delta-")
+    ]
+    seqs = sorted(int(f[len("delta-") : -5]) for f in deltas)
+    assert seqs == sorted(set(seqs))  # no duplicate claims survived
