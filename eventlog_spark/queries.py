@@ -96,44 +96,39 @@ _loaded = False
 # goes dead LAST so a harness abort there cannot cost any other query
 # its row.
 #
-# ROUND-8 ROTATION (executes the registry's own round-8 note + the r7
-# verdict's item 6): every query is cumulatively green (183/183, zero
+# ROUND-9 ROTATION (executes the registry's own round-9 note + the r8
+# verdict's item 4): every query is cumulatively green (186/186, zero
 # latest-red), so the window is freshness-driven:
-# (a) the 2 stragglers whose latest driver check is still round 3
-#     (multimodal_manifest, sample_hash_stats — the oldest rows in the
-#     ledger);
-# (b) the 8 log-family queries — the STORAGE ENGINE changed this round
-#     (the flat _state.json file list became a log-structured manifest:
-#     per-commit delta records + paged checkpoints, manifest.py), so
-#     every query that appends/scans/audits through the engine re-proves
-#     against the driver on the new read/write paths;
-# (c) the NEW round-8 query (attribution_last_click — the
-#     bounded-output skew answer the sf1z rehearsal motivated);
-# (d) 36 of the 43 rows last checked in round 4 (the next-oldest
-#     cohort). The 7 deferred to round 9 — tfidf_top_terms, vocab_topk,
+# (a) the 7 rows deferred from the round-8 window, last checked round 4
+#     (the ledger's oldest): tfidf_top_terms, vocab_topk,
 #     zorder_layout_key, text_repetition_score, sketch_bloom_filter,
-#     sketch_count_min, scd2_user_state — stay green in the local
-#     sf0.001 oracle suite.
-# (e) the queries added mid-round-8: the NEW ann_ivf_pq_residual and
-#     log_scan_label_pruned, plus ann_recall_report, which CHANGED to
-#     measure the residual tier (its r5 green predates the change).
-# ROUND-9 NOTE: rotate in the 7 deferred r4 rows above, the remaining
-# r5 cohort (TPC-H q1-q3/q5/q9-q12/q18, subquery_*, window_*,
-# multimodal_decode/frame/header, pivot_returnflag, dedup_exact/simhash,
-# graph_pagerank, ann_pq_adc_topk, pipeline_curate, stream_real_*,
-# udaf/udtf), plus anything round 9 touches and any new queries.
+#     sketch_count_min, scd2_user_state;
+# (b) the ENTIRE round-5 cohort (30 rows — TPC-H q1-q3/q5/q9-q12/q18,
+#     subquery_*, window rank/range/sessionize, stream_real available/
+#     restart/stateful + sliding, multimodal decode/frame/header,
+#     pivot, full-outer join, dedup exact/simhash, pagerank, PQ-ADC,
+#     pipeline_curate, UDAF/UDTF);
+# (c) the 9 log-family queries — the storage layer changed AGAIN this
+#     round (page-level label summaries, bounded label pages,
+#     commit-intent O(1) opens, checkpoint-hint pointers, the CAS
+#     commit arbiter), so everything that appends/scans/audits through
+#     the engine re-proves on the new paths;
+# (d) 4 of the 49 round-6 rows (the next-oldest cohort) to fill the
+#     window: ann_hard_negatives, corpus_diversity_simpson,
+#     setop_union, timeseries_gapfill.
+# ROUND-10 NOTE: rotate in the remaining 45 r6 rows across rounds 10-11
+# (they are the oldest cohort once this window lands), plus anything
+# round 10 touches and any new queries.
 _FIRST_50 = [
-    # (a) round-3 stragglers
-    "multimodal_manifest",
-    "sample_hash_stats",
-    # (c) NEW round 8
-    "attribution_last_click",
-    # (e) NEW round 8: residual IVF-PQ + the recall report that now
-    #     measures it (the report query CHANGED, so its old green is
-    #     stale until this re-check)
-    "ann_ivf_pq_residual",
-    "ann_recall_report",
-    # (b) storage engine changed this round — whole log family
+    # (a) the 7 deferred round-4 rows — the ledger's oldest
+    "tfidf_top_terms",
+    "vocab_topk",
+    "zorder_layout_key",
+    "text_repetition_score",
+    "sketch_bloom_filter",
+    "sketch_count_min",
+    "scd2_user_state",
+    # (c) storage layer changed again — whole log family re-proves
     "eventlog_engine_roundtrip",
     "eventlog_inmem_roundtrip",
     "eventlog_binary_roundtrip",
@@ -143,43 +138,42 @@ _FIRST_50 = [
     "log_scan_reverse",
     "log_scan_skip_first",
     "log_version_bounds",
-    # (d) round-4 cohort (39 of 43)
-    "bm25_search",
-    "corpus_dataset_card",
-    "corpus_interleave_schedule",
-    "corpus_length_histogram",
-    "corpus_shard_assign",
-    "corpus_train_val_split",
-    "dedup_segments",
-    "dedup_semantic_cluster",
-    "dedup_winnowing",
-    "domain_quota_cap",
-    "embedding_centroid_assign",
-    "embedding_dim_stats",
-    "embedding_pq_codes",
-    "embedding_quantize_int8",
-    "embedding_whiten_apply",
-    "event_daily_ewma",
-    "event_funnel",
-    "event_retention",
-    "event_transition_matrix",
-    "event_type_lift",
-    "event_value_outliers",
-    "incremental_agg_merge",
-    "merge_upsert_orders",
-    "pack_token_budget",
-    "quality_gopher_rules",
-    "quality_model_scores",
-    "quality_relative_filter",
-    "sample_stratified",
-    "sample_temperature_mixture",
-    "source_overlap_matrix",
-    "stream_late_arrival_audit",
-    "text_bigram_surprisal",
-    "text_blocklist_filter",
-    "text_bpe_pair_counts",
-    "text_decontaminate",
-    "text_inverse_freq_score",
+    # (b) the full round-5 cohort (30)
+    "ann_pq_adc_topk",
+    "dedup_exact",
+    "dedup_simhash",
+    "graph_pagerank",
+    "join_full_outer",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "multimodal_header_probe",
+    "pipeline_curate",
+    "pivot_returnflag",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_shipping_priority",
+    "q18_large_volume_customer",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q9_product_type_profit",
+    "stream_real_availablenow",
+    "stream_real_restart",
+    "stream_real_stateful",
+    "stream_sliding_window",
+    "subquery_above_group_avg",
+    "subquery_argmin_per_group",
+    "udaf_pandas_weighted_avg",
+    "udtf_span_split",
+    "window_range_frame",
+    "window_rank_suite",
+    "window_sessionize",
+    # (d) round-6 fillers — the next-oldest cohort
+    "ann_hard_negatives",
+    "corpus_diversity_simpson",
+    "setop_union",
+    "timeseries_gapfill",
 ]
 
 # catalog side effects (SparkSQL bucketed-table DDL) — dead last in the
