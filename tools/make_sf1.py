@@ -58,7 +58,21 @@ def _arg(flag: str, default: str) -> str:
 
 REPLICAS = int(_arg("--replicas", "10"))
 ZIPF = "--zipf" in sys.argv
-DST = os.path.join(_BENCH, _arg("--name", "sf1z" if ZIPF else "sf1"))
+# --zipf-labels (r9): sf1z skews KEYS and shingles but the label
+# domain (events.event_type) stays uniform — real topic logs are
+# Zipfian in label too. The flag remaps event_type so ONE label
+# ("type-hot") carries ~90% of all events and the remaining 10% spread
+# uniformly over a 200-label tail — past the 64-label bloom cap, so
+# minor-compaction folds of mixed batches exercise the bounds-only
+# path while single-label batches keep exact blooms.
+ZIPF_LABELS = "--zipf-labels" in sys.argv
+DST = os.path.join(
+    _BENCH,
+    _arg(
+        "--name",
+        ("sf1zl" if ZIPF_LABELS else "sf1z") if (ZIPF or ZIPF_LABELS) else "sf1",
+    ),
+)
 
 # ~25% of documents open with this fixed block → every shingle in it has
 # document frequency ≈ corpus/4, far past any stop-shingle cap
@@ -190,6 +204,16 @@ def main() -> None:
                         f" ELSE {base} END"
                     )
                 return f"{base} AS text"
+            if ZIPF_LABELS and t == "events" and c == "event_type":
+                u = (
+                    f"((CAST(hash(event_id + r.i * {strides['events']} + 7)"
+                    f" AS HUGEINT) % 1000000 + 1000000) % 1000000) / 1000000.0"
+                )
+                return (
+                    f"CASE WHEN {u} < 0.9 THEN 'type-hot' ELSE 'type-' || "
+                    f"CAST(1 + CAST(floor(({u} - 0.9) * 10 * 200) AS BIGINT)"
+                    f" % 200 AS VARCHAR) END AS event_type"
+                )
             if t == "embeddings" and c == "embedding":
                 return (
                     "CASE WHEN r.i = 0 THEN embedding ELSE "

@@ -327,6 +327,84 @@ def probe_open(total_frags: int) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _zipf_label(i: int, n_labels: int) -> str:
+    """~90% of commits take the hot label, the rest spread uniformly
+    over a tail of n_labels-1 — past the 64-label bloom cap when
+    n_labels > 65, so mixed folds exercise the bounds-only path."""
+    if i % 10 < 9:
+        return "label-000"
+    return f"label-{1 + (i // 10) % (n_labels - 1):03d}"
+
+
+def probe_label_tail(total_frags: int, n_labels: int) -> list[dict]:
+    """Round-9 verdict item 7: a label-filtered FOLLOW (topic-consumer
+    tail) over a big log during an append burst must cost ∝ NEW MATCHES
+    per poll, never ∝ log age. Builds a Zipf-labeled log (~90% one hot
+    label, tail past the 64-label bloom cap) with default minor
+    compaction ON (the realistic mixed-fold shape), and at each decade
+    measures the exact driver-side calls the HTTP follow route serves:
+
+    * empty poll (cursor at head, nothing new) — metadata-only, flat,
+    * rare-label poll after a 1000-commit mixed burst — ∝ its ~10
+      matches in the burst window,
+    * hot-label poll with limit=100 over the same burst — the
+      early-stop bound, ∝ the page.
+    """
+    root = tempfile.mkdtemp(prefix="label_tail_probe_")
+    path = os.path.join(root, "log")
+    results: list[dict] = []
+    try:
+        log = EventLog.create(None, path)
+        decades = [d for d in (10_000, 100_000) if d <= total_frags]
+        done = 0
+        for target in decades:
+            while done < target:
+                log.append(_zipf_label(done, n_labels), f'{{"i":{done}}}')
+                done += 1
+            head = log.version()
+            rare = "label-007"
+
+            t0 = time.perf_counter()
+            empty = log.scan_rows(version=head, skip_first=True, label=rare)
+            empty_ms = 1e3 * (time.perf_counter() - t0)
+            assert empty == []
+
+            burst_tail: set[str] = set()
+            for k in range(1000):
+                lab = _zipf_label(done, n_labels)
+                if lab != "label-000":
+                    burst_tail.add(lab)
+                log.append(lab, f'{{"i":{done}}}')
+                done += 1
+            rare = min(burst_tail)  # a tail label this burst DID emit
+            t0 = time.perf_counter()
+            got = log.scan_rows(version=head, skip_first=True, label=rare)
+            rare_ms = 1e3 * (time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            hot = log.scan_rows(
+                version=head, skip_first=True, label="label-000", limit=100
+            )
+            hot_ms = 1e3 * (time.perf_counter() - t0)
+            assert len(hot) == 100 and all(r.version > head for r in hot)
+            assert all(r.label == rare for r in got) and got
+
+            results.append(
+                {
+                    "probe": "label_tail",
+                    "fragments_committed": done,
+                    "labels": n_labels,
+                    "empty_poll_ms": round(empty_ms, 3),
+                    "rare_poll_ms": round(rare_ms, 2),
+                    "rare_matches": len(got),
+                    "hot_poll_limit100_ms": round(hot_ms, 2),
+                }
+            )
+            print(json.dumps(results[-1]), flush=True)
+        return results
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--frags", type=int, default=100_000)
@@ -336,8 +414,12 @@ if __name__ == "__main__":
                     help="run the synthetic page-index probe at this many entries")
     ap.add_argument("--open", type=int, default=0,
                     help="run the cold-open probe at this many fragments")
+    ap.add_argument("--label-tail", type=int, default=0,
+                    help="run the zipf-label follow-tail probe to this many commits")
     args = ap.parse_args()
-    if args.open:
+    if args.label_tail:
+        probe_label_tail(args.label_tail, max(args.labels, 2) if args.labels else 200)
+    elif args.open:
         probe_open(args.open)
     elif args.label_pages:
         probe_label_pages(args.label_pages, max(args.labels, 2) if args.labels else 64)
