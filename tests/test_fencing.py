@@ -107,8 +107,9 @@ def test_cas_pointer_lag_rolls_forward(tmp_path, monkeypatch):
 
 
 _CAS_WRITER = r"""
-import json, sys
+import json, sys, time
 repo, path, wid, n = sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4])
+pace = float(sys.argv[5]) if len(sys.argv) > 5 else 0.0
 sys.path.insert(0, repo)
 from eventlog_spark.log import EventLog
 log = EventLog.open(None, path, arbiter="cas")
@@ -116,6 +117,8 @@ wins = []
 for i in range(n):
     r = log.append(f"writer{wid}", json.dumps({"writer": wid, "seq": i}))
     wins.append(r.version)
+    if pace:
+        time.sleep(pace)
 print("WINS:" + ",".join(map(str, wins)))
 """
 
@@ -177,3 +180,54 @@ def test_cas_cross_process_storm_two_hosts(tmp_path):
     ]
     seqs = sorted(int(f[len("delta-") : -5]) for f in deltas)
     assert seqs == sorted(set(seqs))  # no duplicate claims survived
+
+
+def test_cas_storm_survives_sigkill(tmp_path):
+    """The multi-host crash story: one of three CAS writers is SIGKILLed
+    mid-storm (no cleanup, no lock to release — exactly a host dying).
+    The survivors finish unimpeded (no stale lock can exist: the claim
+    either happened — then it IS a commit — or the seq stays free), and
+    a fresh open sees a DENSE log with every surviving writer's every
+    ack present and no (writer, seq) payload duplicated. The victim's
+    in-flight fragment, if any, is invisible garbage: readers never
+    consult the directory under CAS."""
+    import signal
+    import time as _t
+
+    path = str(tmp_path / "kill")
+    EventLog.create(None, path)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def spawn(wid: int, n: int, pace: float) -> subprocess.Popen:
+        return subprocess.Popen(
+            [
+                sys.executable, "-c", _CAS_WRITER,
+                repo, path, str(wid), str(n), str(pace),
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+
+    victim = spawn(0, 1_000_000, 0.002)  # paced so the kill lands mid-run
+    s1, s2 = spawn(1, 40, 0.0), spawn(2, 40, 0.0)
+    _t.sleep(1.0)
+    victim.send_signal(signal.SIGKILL)
+    victim.wait(timeout=30)
+    wins: list[int] = []
+    for p in (s1, s2):
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"survivor failed:\n{err[-2000:]}"
+        (line,) = [ln for ln in out.splitlines() if ln.startswith("WINS:")]
+        wins.extend(int(v) for v in line[5:].split(","))
+    assert len(wins) == 80 and len(set(wins)) == 80
+
+    fresh = EventLog.open(None, path, arbiter="cas")
+    head = fresh.version()
+    rows = fresh.scan_rows()
+    assert [r.version for r in rows] == list(range(1, head + 1))  # dense
+    assert set(wins) <= set(range(1, head + 1))  # every survivor ack lives
+    pay = [json.loads(r.payload) for r in rows]
+    assert len({(d["writer"], d["seq"]) for d in pay}) == len(pay)
+    # and the log still takes commits after the crash
+    assert fresh.append("after", '{"ok":true}').version == head + 1
