@@ -341,11 +341,7 @@ class EventLog:
                 # in-flight fragment); instead roll the mirror forward
                 # past a possibly-lagging pointer — the delta chain is
                 # the commit truth (manifest.roll_forward)
-                head = self._manifest.roll_forward()
-                if head is not None and head["latest"] > self._latest:
-                    self._latest = head["latest"]
-                    self._initial = head["initial"]
-                    self._last_ts = head["ts"]
+                self._adopt_cas_head(self._manifest.roll_forward())
             if self.path is not None and self._manifest is None:
                 # Legacy log (file list embedded in its state file) or
                 # recovery (pointer lost): adopt the legacy list / the
@@ -682,11 +678,23 @@ class EventLog:
             # renames can land out of order, and a writer may die after
             # its claimed delta): the delta chain is the truth — roll
             # past the pointer and adopt the newest delta's head
-            head = self._manifest.roll_forward()
-            if head is not None and head["latest"] > self._latest:
-                self._latest = head["latest"]
-                self._initial = head["initial"]
-                self._last_ts = head["ts"]
+            self._adopt_cas_head(self._manifest.roll_forward())
+
+    def _adopt_cas_head(self, head: dict | None) -> None:
+        """Adopt a rolled-forward CAS delta's head fields: the version
+        head (never backwards) AND the stream-sink idempotence markers
+        — a marker only in the lagging pointer cache would let a
+        replayed foreachBatch double-commit, so exactly-once rides the
+        delta chain like everything else."""
+        if head is None:
+            return
+        if head["latest"] > self._latest:
+            self._latest = head["latest"]
+            self._initial = head["initial"]
+            self._last_ts = head["ts"]
+        for k, v in head.get("sc", {}).items():
+            if int(v) > self._stream_commits.get(k, -1):
+                self._stream_commits[k] = int(v)
 
     def _write_state(self) -> None:
         """Publish: the staged manifest change goes out as ONE immutable
@@ -704,17 +712,21 @@ class EventLog:
             self._pending_add, self._pending_remove = [], []
             if self._arbiter == "cas":
                 # the delta claim IS the commit point; head fields ride
-                # in the record so readers can roll past the pointer
+                # in the record so readers can roll past the pointer —
+                # including the stream-sink idempotence markers, or a
+                # roll-forward would lose them and a replayed
+                # foreachBatch could double-commit (exactly-once must
+                # not depend on the pointer cache)
+                head = {
+                    "latest": self._latest,
+                    "initial": self._initial,
+                    "ts": self._last_ts,
+                }
+                if self._stream_commits:
+                    head["sc"] = dict(self._stream_commits)
                 try:
                     _, superseded = self._manifest.commit(
-                        add,
-                        rm,
-                        exclusive=True,
-                        head={
-                            "latest": self._latest,
-                            "initial": self._initial,
-                            "ts": self._last_ts,
-                        },
+                        add, rm, exclusive=True, head=head
                     )
                 except ManifestSeqClaimed:
                     # lost the race BEFORE anything published: re-stage

@@ -395,16 +395,24 @@ class ManifestLog:
         no directory listing — and return the last ``head`` fields
         seen, which the caller adopts as the true head."""
         head: dict | None = None
+        sc: dict = {}  # stream markers merge across ALL rolled deltas —
+        # the newest head may predate an older delta's marker
         while True:
             try:
                 with open(self._p(_DELTA.format(self.seq + 1))) as f:
                     d = json.load(f)
             except (FileNotFoundError, ValueError):
+                if head is not None and sc:
+                    head = dict(head)
+                    head["sc"] = sc
                 return head
             self._apply(d.get("add", []), d.get("remove", []))
             self.seq += 1
             if d.get("head"):
                 head = d["head"]
+                for k, v in d["head"].get("sc", {}).items():
+                    if int(v) > sc.get(k, -1):
+                        sc[k] = int(v)
 
     def _write_json(self, name: str, payload) -> None:
         tmp = self._p(f".{name}.tmp.{uuid.uuid4().hex}")

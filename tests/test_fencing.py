@@ -182,6 +182,43 @@ def test_cas_cross_process_storm_two_hosts(tmp_path):
     assert seqs == sorted(set(seqs))  # no duplicate claims survived
 
 
+def test_cas_txn_markers_ride_the_delta_chain(spark, tmp_path, monkeypatch):
+    """Exactly-once under CAS must not depend on the pointer cache: a
+    bulk append's stream-txn idempotence marker whose POINTER publish
+    is lost (crash / out-of-order rename) still refuses the replayed
+    batch — the marker rides the claimed delta's head fields and is
+    re-adopted by roll-forward."""
+    import fcntl
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "txn")
+    EventLog.create(None, path)
+    monkeypatch.setattr(fcntl, "flock", _boom)
+    w = EventLog.open(spark, path, arbiter="cas")
+    batch = spark.range(3).select(
+        F.lit("lbl").alias("label"),
+        F.format_string('{"i":%d}', F.col("id")).alias("payload"),
+        "id",
+    )
+    state = os.path.join(path, "_state.json")
+    saved = str(tmp_path / "state_at_0.json")
+    shutil.copy(state, saved)
+    r = w.append_dataframe(batch, order_cols=["id"], txn=("ckpt-a", 5))
+    assert r is not None and r.version == 3
+    shutil.copy(saved, state)  # pointer lost — the delta chain survives
+
+    fresh = EventLog.open(spark, path, arbiter="cas")
+    assert fresh.version() == 3  # rolled forward
+    # the replayed micro-batch (same txn epoch) must be refused
+    assert fresh.append_dataframe(batch, order_cols=["id"], txn=("ckpt-a", 5)) is None
+    assert fresh.version() == 3
+    # the NEXT epoch commits normally
+    r = fresh.append_dataframe(batch, order_cols=["id"], txn=("ckpt-a", 6))
+    assert r is not None and r.version == 6
+
+
 def test_cas_storm_survives_sigkill(tmp_path):
     """The multi-host crash story: one of three CAS writers is SIGKILLed
     mid-storm (no cleanup, no lock to release — exactly a host dying).
