@@ -1,0 +1,94 @@
+"""Commit-arbiter contention probe (round 9): what does the CAS
+arbiter COST relative to the flock under real multi-process contention?
+
+The flock serializes writers through the kernel (losers sleep, zero
+wasted work); CAS losers pay a written-then-discarded fragment plus a
+resync per lost claim. This probe races N writer processes × M commits
+each through BOTH arbiters on otherwise identical logs and reports
+wall-clock commit throughput, then verifies the fencing property on the
+result (dense versions, no duplicates). The uncontended single-writer
+row isolates the protocol's fixed overhead.
+
+Usage: python tools/fencing_probe.py [--procs 4] [--each 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from eventlog_spark.log import EventLog  # noqa: E402
+
+_WRITER = r"""
+import json, sys
+repo, path, wid, n, arb = sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4]), sys.argv[5]
+sys.path.insert(0, repo)
+from eventlog_spark.log import EventLog
+log = EventLog.open(None, path, arbiter=arb)
+wins = []
+for i in range(n):
+    r = log.append(f"w{wid}", json.dumps({"w": wid, "i": i}))
+    wins.append(r.version)
+print("WINS:" + ",".join(map(str, wins)))
+"""
+
+
+def run(arbiter: str, n_procs: int, n_each: int) -> dict:
+    root = tempfile.mkdtemp(prefix=f"fencing_probe_{arbiter}_")
+    path = os.path.join(root, "log")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        EventLog.create(None, path)
+        t0 = time.perf_counter()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", _WRITER, repo, path, str(w), str(n_each), arbiter],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+            )
+            for w in range(n_procs)
+        ]
+        wins: list[int] = []
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            assert p.returncode == 0, f"writer failed:\n{err[-2000:]}"
+            (line,) = [ln for ln in out.splitlines() if ln.startswith("WINS:")]
+            wins.extend(int(v) for v in line[5:].split(","))
+        wall = time.perf_counter() - t0
+        total = n_procs * n_each
+        assert sorted(wins) == list(range(1, total + 1)), "fencing violated"
+        check = EventLog.open(None, path, arbiter=arbiter)
+        assert check.version() == total
+        assert [r.version for r in check.scan_rows()] == list(range(1, total + 1))
+        return {
+            "arbiter": arbiter,
+            "procs": n_procs,
+            "commits": total,
+            "wall_s": round(wall, 2),
+            "commits_per_s": round(total / wall, 1),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--procs", type=int, default=4)
+    ap.add_argument("--each", type=int, default=50)
+    args = ap.parse_args()
+    rows = []
+    for arb in ("flock", "cas"):
+        rows.append(run(arb, 1, args.each))  # uncontended: protocol overhead
+        print(json.dumps(rows[-1]), flush=True)
+        rows.append(run(arb, args.procs, args.each))  # contended
+        print(json.dumps(rows[-1]), flush=True)
+    print(json.dumps({"probe": "fencing_contention", "rows": rows}))

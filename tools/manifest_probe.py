@@ -172,7 +172,9 @@ def probe_labels(total_frags: int, n_labels: int) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def probe_label_pages(total_entries: int, n_labels: int) -> dict:
+def probe_label_pages(
+    total_entries: int, n_labels: int, interleave: bool = False
+) -> dict:
     """Round-9 done-criterion: per-label candidate enumeration at 10^6
     MANIFEST ENTRIES must be O(pages matched), not a linear walk over
     every entry (the r8 shape: 8→40 ms at 10k→100k, ~0.4 s at 10^6).
@@ -188,6 +190,14 @@ def probe_label_pages(total_entries: int, n_labels: int) -> dict:
     * an absent label — expect sub-ms, ZERO pages resident (refuted by
       every page meta's bloom union),
     * the r8 entry-level walk over the same snapshot, for scale.
+
+    ``interleave=True`` is the adversarial layout: labels round-robin
+    across entries, so EVERY page holds every label — page summaries
+    cannot refute a present label (the pass degrades gracefully to the
+    entry-level cost) and an absent label survives only the page bloom
+    UNION's false-positive rate (~16% of pages load at 64 labels/page).
+    Real topic logs cluster labels in commit time (the clustered case);
+    this row bounds the worst case.
     """
     from eventlog_spark.log import (
         _entry_may_contain_label,
@@ -207,7 +217,9 @@ def probe_label_pages(total_entries: int, n_labels: int) -> dict:
         batch: list[dict] = []
         for i in range(total_entries):
             e = {"n": f"part-{i}.parquet", "lo": i + 1, "hi": i + 1}
-            e.update(stats[min(i // per, n_labels - 1)])
+            e.update(
+                stats[i % n_labels if interleave else min(i // per, n_labels - 1)]
+            )
             batch.append(e)
             if len(batch) == 4096:
                 m.commit(batch, [])
@@ -252,6 +264,7 @@ def probe_label_pages(total_entries: int, n_labels: int) -> dict:
 
         row = {
             "probe": "label_page_index",
+            "layout": "interleaved" if interleave else "clustered",
             "entries": total_entries,
             "labels": n_labels,
             "pages": len(m._page_metas),
@@ -416,13 +429,19 @@ if __name__ == "__main__":
                     help="run the cold-open probe at this many fragments")
     ap.add_argument("--label-tail", type=int, default=0,
                     help="run the zipf-label follow-tail probe to this many commits")
+    ap.add_argument("--interleave", action="store_true",
+                    help="label-pages: adversarial round-robin label layout")
     args = ap.parse_args()
     if args.label_tail:
         probe_label_tail(args.label_tail, max(args.labels, 2) if args.labels else 200)
     elif args.open:
         probe_open(args.open)
     elif args.label_pages:
-        probe_label_pages(args.label_pages, max(args.labels, 2) if args.labels else 64)
+        probe_label_pages(
+            args.label_pages,
+            max(args.labels, 2) if args.labels else 64,
+            interleave=args.interleave,
+        )
     elif args.labels:
         probe_labels(args.frags, args.labels)
     else:
