@@ -89,6 +89,13 @@ def main(argv: list[str] | None = None) -> int:
     p_run.add_argument("--host", default="127.0.0.1")
     p_run.add_argument("--port", type=int, default=8080)
     p_run.add_argument("-m", action="append", default=[], help="metadata (with --inmem)")
+    p_run.add_argument(
+        "--arbiter",
+        choices=("flock", "cas"),
+        default="flock",
+        help="commit arbiter: flock (single-host default) or cas "
+        "(shared-store multi-host writers — SCALE.md)",
+    )
 
     p_check = sub.add_parser("check", help="integrity audit (O20)")
     p_check.add_argument("path")
@@ -173,7 +180,7 @@ def main(argv: list[str] | None = None) -> int:
 
             log = InMemEventLog.create(spark, metadata=_parse_metadata(args.m))
         elif args.path:
-            log = EventLog.open(spark, args.path)
+            log = EventLog.open(spark, args.path, arbiter=args.arbiter)
         else:
             raise SystemExit("run requires a path or --inmem")
         # Foreground path: ONE accept loop on the main thread. (serve()

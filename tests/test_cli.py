@@ -77,3 +77,37 @@ def test_cli_compact_and_vacuum(spark, tmp_path, capsys):
     code, out = run(capsys, "scan", path)
     lines = [json.loads(line) for line in out.strip().splitlines()]
     assert [e["version"] for e in lines] == ["1", "2", "3", "4", "5"]
+
+
+def test_cli_run_arbiter_flag(spark, tmp_path, capsys, monkeypatch):
+    """`run --arbiter cas` opens the log with the CAS commit arbiter
+    (the shared-store multi-host mode) — wiring test; the arbiter's
+    semantics are proven in tests/test_fencing.py."""
+    from eventlog_spark import serving
+    from eventlog_spark.log import EventLog
+
+    path = str(tmp_path / "log")
+    run(capsys, "create", path)
+
+    opened = {}
+    real_open = EventLog.open.__func__
+
+    def spy(cls, spark_, p, arbiter="flock"):
+        opened["arbiter"] = arbiter
+        return real_open(cls, spark_, p, arbiter)
+
+    monkeypatch.setattr(EventLog, "open", classmethod(spy))
+
+    class FakeSrv:
+        def __init__(self, addr, log):
+            pass
+
+        def serve_forever(self):
+            raise KeyboardInterrupt  # the CLI's clean-exit path
+
+        def shutdown(self):
+            pass
+
+    monkeypatch.setattr(serving, "EventLogHTTPServer", FakeSrv)
+    code, _ = run(capsys, "run", path, "--arbiter", "cas", "--port", "0")
+    assert code == 0 and opened["arbiter"] == "cas"
