@@ -123,6 +123,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_compact.add_argument("path")
     p_compact.add_argument("--partitions", type=int, default=None)
+    p_compact.add_argument(
+        "--cluster-by",
+        choices=("label",),
+        default=None,
+        help="ZORDER-style layout: cluster output files by label "
+        "(label scans prune to matching files; version pages then "
+        "lean on row-group stats)",
+    )
 
     p_vacuum = sub.add_parser(
         "vacuum", help="delete compaction-retired files past the grace window"
@@ -242,7 +250,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "compact":
-        log.compact(target_partitions=args.partitions)
+        log.compact(target_partitions=args.partitions, cluster_by=args.cluster_by)
         manifest = [f for f in log._manifest_files() if f.endswith(".parquet")]
         print(json.dumps({"files": len(manifest)}))
         return 0

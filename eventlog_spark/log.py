@@ -1786,12 +1786,30 @@ class EventLog:
 
     # -- maintenance -------------------------------------------------------------
 
-    def compact(self, target_partitions: int | None = None) -> None:
+    def compact(
+        self,
+        target_partitions: int | None = None,
+        cluster_by: str | None = None,
+    ) -> None:
         """Rewrite the accumulated per-commit fragments into few large
         files. Interactive appends create one small parquet file per
         commit (the analog of the reference's per-entry disk write);
         compaction restores scan efficiency. At scale this is the
         OPTIMIZE/bin-packing job, run out-of-band.
+
+        ``cluster_by="label"`` orders the rewrite by (label, version)
+        instead of version — the Z-ORDER-style layout choice for
+        label-heavy read patterns: each output file then holds a
+        contiguous LABEL range (manifest bounds + bloom prune label
+        scans to exactly the matching files, even when ingest
+        interleaved labels arbitrarily) and row groups inside a file
+        are label-tight (the pushed-down ``label == X`` predicate
+        prunes row groups JVM-side too). The documented trade: each
+        file's VERSION range then spans the whole log, so version-keyed
+        page reads consider every compacted file and lean on row-group
+        version stats instead of file-level pruning — pick the layout
+        that matches the dominant read, exactly as a table format's
+        OPTIMIZE ZORDER does.
 
         Takes the CROSS-PROCESS commit section, not just the thread
         lock: compaction deletes and rewrites fragment files, so a
@@ -1825,8 +1843,12 @@ class EventLog:
             # the pruning unit of the scan_rows page path — a page read
             # inside a compacted fragment costs one row group, and at
             # the default size that is ~10^6 rows for a 1000-row page
+            if cluster_by not in (None, "label"):
+                raise ValueError(f"unknown cluster_by {cluster_by!r}")
+            cols = ["label", "version"] if cluster_by == "label" else ["version"]
             (
-                df.repartitionByRange(n, "version")
+                df.repartitionByRange(n, *cols)
+                .sortWithinPartitions(*cols)
                 .write.option("parquet.block.size", 8 * 1024 * 1024)
                 .mode("overwrite")
                 .parquet(tmp)

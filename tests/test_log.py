@@ -948,3 +948,38 @@ def test_label_scan_rows_races_compaction(spark, tmp_path):
     assert not errors, errors
     for lab in ("red", "blue", "green"):
         assert [r.version for r in log.scan_rows(label=lab)] == want[lab]
+
+
+def test_compact_cluster_by_label_makes_interleaved_logs_prunable(spark, tmp_path):
+    """OPTIMIZE ZORDER-style layout choice: a log whose ingest
+    interleaved labels arbitrarily (worst case for label skipping —
+    every fragment and every version-clustered compaction output holds
+    every label) becomes exactly label-prunable after
+    compact(cluster_by="label"): each output file holds a contiguous
+    label range, label scans open only matching files, version scans
+    stay correct on the wide-range files."""
+    log = EventLog.create(spark, str(tmp_path / "zl"))
+    log.MINOR_COMPACT_FRAGMENTS = 0
+    labels = [f"t{i:02d}" for i in range(8)]
+    for i in range(64):  # round-robin: maximal interleave
+        log.append(labels[i % 8], json.dumps({"i": i}))
+    log.compact(target_partitions=4, cluster_by="label")
+    files = [f for f in log._manifest_files() if f.endswith(".parquet")]
+    assert 1 < len(files) <= 4
+    # each label's candidates are a strict subset of the files, and the
+    # union over disjoint label ranges covers without overlap waste
+    sizes = {lab: len(log.label_candidate_files(lab)) for lab in labels}
+    assert all(1 <= s < len(files) for s in sizes.values()), sizes
+    assert log.label_candidate_files("absent-label") == []
+    # correctness on both read paths, label and version keyed
+    for lab in ("t00", "t07"):
+        got = [r.payload for r in log.scan(label=lab).collect()]
+        want = [f'{{"i":{i}}}' for i in range(64) if labels[i % 8] == lab]
+        assert got == want
+    assert [r.version for r in log.scan_rows(version=30, limit=5)] == [30, 31, 32, 33, 34]
+    assert [r.version for r in log.scan_rows()] == list(range(1, 65))
+    audit = log.check_integrity().collect()[0]
+    assert audit.density_violation == 0 and audit.chain_violations == 0
+    # appends continue on top of the label-clustered layout
+    assert log.append("t00", '{"i":64}').version == 65
+    assert len(log.scan(label="t00").collect()) == 9
