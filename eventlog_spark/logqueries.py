@@ -364,6 +364,61 @@ def integrity_adjacent_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "log_compact_label_clustered",
+    oracle="""
+SELECT version, label, payload FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY event_id) AS version,
+           event_type AS label,
+           REGEXP_REPLACE(props, ': ', ':') AS payload
+    FROM (SELECT * FROM events ORDER BY event_id LIMIT 5000)
+) WHERE label = 'purchase'
+ORDER BY version
+""",
+    doc="OPTIMIZE-ZORDER analog: arrival-order (maximally label-"
+    "interleaved) ingest, then compact(cluster_by='label') rewrites "
+    "the log into contiguous label ranges so a label scan opens only "
+    "the matching files.",
+)
+def log_compact_label_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-clustered compaction end-to-end (r9; the layout repair for
+    ingest that interleaves labels arbitrarily — the one shape page-
+    level label summaries cannot prune). Events ingest in ARRIVAL order
+    (event_id), so every fragment holds every label; then
+    ``compact(cluster_by="label")`` — the OPTIMIZE ZORDER analog —
+    rewrites the log in (label, version) order and the label scan's
+    manifest bounds+bloom prune to exactly the files holding the label
+    (binding asserted in tests/test_log.py; correctness never depends
+    on it — the exact filter stays in the plan). Bounded to the first
+    5000 events so the demo costs the same at every SF; the oracle
+    replays arrival-order version assignment and the label slice."""
+    import shutil
+    import tempfile
+
+    from .log import EventLog
+
+    ev = load_table(spark, sf_dir, "events")
+    src = (
+        ev.orderBy("event_id")
+        .limit(5000)
+        .select(
+            F.col("event_type").alias("label"),
+            F.regexp_replace("props", ": ", ":").alias("payload"),
+            "event_id",
+        )
+    )
+    path = tempfile.mkdtemp(prefix="eventlog_zl_")
+    shutil.rmtree(path)
+    log = EventLog.create(spark, path)
+    log.append_dataframe(src, on_invalid="error", order_cols=["event_id"])
+    log.compact(target_partitions=4, cluster_by="label")
+    return (
+        log.scan(label="purchase")
+        .select("version", "label", "payload")
+        .orderBy("version")
+    )
+
+
+@register(
     "log_scan_label_pruned",
     oracle="""
 SELECT version, label, payload FROM (

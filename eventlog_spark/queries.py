@@ -113,9 +113,12 @@ _loaded = False
 #     commit-intent O(1) opens, checkpoint-hint pointers, the CAS
 #     commit arbiter), so everything that appends/scans/audits through
 #     the engine re-proves on the new paths;
-# (d) 4 of the 49 round-6 rows (the next-oldest cohort) to fill the
-#     window: ann_hard_negatives, corpus_diversity_simpson,
-#     setop_union, timeseries_gapfill.
+# (d) 3 of the 49 round-6 rows (the next-oldest cohort) to fill the
+#     window: ann_hard_negatives, corpus_diversity_simpson, setop_union
+#     (timeseries_gapfill deferred to round 10 — its slot went to the
+#     NEW query below);
+# (e) the NEW round-9 query log_compact_label_clustered (the
+#     OPTIMIZE-ZORDER layout demo — new queries always front).
 # ROUND-10 NOTE: rotate in the remaining 45 r6 rows across rounds 10-11
 # (they are the oldest cohort once this window lands), plus anything
 # round 10 touches and any new queries.
@@ -169,11 +172,12 @@ _FIRST_50 = [
     "window_range_frame",
     "window_rank_suite",
     "window_sessionize",
+    # (e) NEW round 9: the label-clustered-compaction layout demo
+    "log_compact_label_clustered",
     # (d) round-6 fillers — the next-oldest cohort
     "ann_hard_negatives",
     "corpus_diversity_simpson",
     "setop_union",
-    "timeseries_gapfill",
 ]
 
 # catalog side effects (SparkSQL bucketed-table DDL) — dead last in the
