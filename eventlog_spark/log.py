@@ -300,9 +300,32 @@ class EventLog:
     unpublished crash fragment is invisible garbage for vacuum, never
     a correctness hazard, because no reader lists the directory."""
 
-    def __init__(self, spark: SparkSession, path: str, arbiter: str = "flock"):
-        if arbiter not in ("flock", "cas"):
+    def __init__(
+        self, spark: SparkSession, path: str, arbiter: str | None = None
+    ):
+        if arbiter not in (None, "flock", "cas"):
             raise ValueError(f"unknown commit arbiter {arbiter!r}")
+        # The arbiter is a property of the LOG, not of one open: a
+        # flock-mode open of a CAS-operated log bypasses the claim
+        # protocol and its orphan truncation would eat another host's
+        # claimed-but-not-yet-pointed fragment (round-9 advice). The
+        # choice persists in _eventlog_meta.json at create time;
+        # arbiter=None adopts it, an explicit mismatch is refused, and
+        # an explicit choice on a legacy log (no recorded arbiter) is
+        # recorded so every later default open agrees.
+        persisted = self._persisted_arbiter(path)
+        if arbiter is None:
+            arbiter = persisted or "flock"
+        elif persisted is not None and arbiter != persisted:
+            raise ValueError(
+                f"log at {path} is operated under the {persisted!r} commit "
+                f"arbiter; refusing to open it as {arbiter!r} — a flock-mode "
+                "open of a cas-operated log truncates other hosts' in-flight "
+                "commits as orphans. Edit the 'arbiter' field in "
+                f"{_META_FILE} only when no writer anywhere is live."
+            )
+        elif persisted is None and path is not None:
+            self._persist_arbiter(path, arbiter)
         self._arbiter = arbiter
         self.spark = spark
         self.path = path
@@ -368,31 +391,81 @@ class EventLog:
 
     # -- lifecycle (O21/O22) ------------------------------------------------
 
+    @staticmethod
+    def _persisted_arbiter(path: str | None) -> str | None:
+        """The commit arbiter recorded in the log's meta file, or None
+        for legacy logs created before the field existed."""
+        if path is None:
+            return None
+        try:
+            with open(os.path.join(path, _META_FILE)) as f:
+                a = json.load(f).get("arbiter")
+        except (FileNotFoundError, ValueError):
+            return None
+        return a if a in ("flock", "cas") else None
+
+    @staticmethod
+    def _persist_arbiter(path: str, arbiter: str) -> None:
+        """Record an explicitly chosen arbiter into a legacy log's meta
+        file (atomic rename; racing explicit opens write identical
+        bytes). Best-effort: a read-only mount just leaves the log
+        legacy, exactly as before."""
+        meta_path = os.path.join(path, _META_FILE)
+        try:
+            with open(meta_path) as f:
+                meta = json.load(f)
+        except (FileNotFoundError, ValueError):
+            return
+        meta["arbiter"] = arbiter
+        tmp = meta_path + f".tmp.{uuid.uuid4().hex}"
+        try:
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, meta_path)
+        except OSError:
+            pass
+
     @classmethod
     def create(
         cls,
         spark: SparkSession,
         path: str,
         metadata: dict[str, str] | None = None,
+        arbiter: str = "flock",
     ) -> "EventLog":
         """O22: create a new empty log with immutable metadata
-        (reference: file.go:127-161 + metadata pseudo-event header)."""
+        (reference: file.go:127-161 + metadata pseudo-event header).
+        ``arbiter`` is recorded in the meta file — every subsequent
+        default open adopts it and mismatched explicit opens are
+        refused (the two protocols must never run concurrently on one
+        log)."""
+        if arbiter not in ("flock", "cas"):
+            raise ValueError(f"unknown commit arbiter {arbiter!r}")
         os.makedirs(path, exist_ok=False)
         with open(os.path.join(path, _META_FILE), "w") as f:
             json.dump({"metadata": metadata or {}, "format_version": 1}, f)
+        # Bootstrap open runs flock-mode regardless of the target
+        # arbiter: the empty log has no state file yet, and a CAS open
+        # refuses the directory-listing recovery that bootstrapping
+        # needs. Safe — makedirs(exist_ok=False) arbitrates create
+        # races, so no other writer can exist before this returns.
         log = cls(spark, path)
         log._write_state()
+        cls._persist_arbiter(path, arbiter)
+        log._arbiter = arbiter
         return log
 
     @classmethod
     def open(
-        cls, spark: SparkSession, path: str, arbiter: str = "flock"
+        cls, spark: SparkSession, path: str, arbiter: str | None = None
     ) -> "EventLog":
         """O21: open an existing log; if the state file is missing or
         stale (crash between fragment write and publish), recover the
         head from the data (reference recovers by scanning to the last
-        entry, file.go:67-125). ``arbiter="cas"`` opens for shared-store
-        multi-host writing (class docstring / SCALE.md)."""
+        entry, file.go:67-125). ``arbiter=None`` (default) adopts the
+        arbiter recorded at create time; ``"cas"`` opens for
+        shared-store multi-host writing (class docstring / SCALE.md) —
+        an explicit value that contradicts the recorded one raises."""
         if not os.path.isdir(path):
             raise FileNotFoundError(path)
         return cls(spark, path, arbiter)
@@ -1075,33 +1148,55 @@ class EventLog:
         """Bulk-commit seam: persist an already-versioned, checksummed
         frame. The storage engines differ only here and in ``_read_raw``
         + the state/lifecycle hooks (the reference's engine seam,
-        eventlog/eventlog.go EventLogger interface)."""
+        eventlog/eventlog.go EventLogger interface).
+
+        Spark writes into a PRIVATE sibling staging dir; the driver then
+        renames the part files into the log dir under a fresh uuid tag
+        (same filesystem — pure renames). The commit's file set is
+        therefore known EXACTLY and owned solely by this writer. The
+        previous shape — write straight into the log dir and discover
+        names by directory diff — was only safe under the flock: with
+        the CAS arbiter nothing orders writers, so a concurrent commit's
+        fragment landing inside the diff window would be swept into THIS
+        writer's delta (doubled rows if we win, and ``
+        _discard_staged_fragments`` would DELETE the other writer's
+        committed file if we lose). Version ranges come from the staged
+        footers — one metadata read per file, so scan_rows/page pruning
+        works on bulk fragments too. ``part-<tag>-…`` names keep the
+        tail stream's ``part-*`` glob (streaming/streams.py) and
+        minor-compact eligibility. When every staged footer carries
+        version stats the commit-intent record is refreshed with the
+        exact names BEFORE anything becomes visible, closing the
+        bulk-crash window that used to pay a full directory listing on
+        the next open."""
+        tmp = self.path + f".bulk.{uuid.uuid4().hex}"
         try:
-            before = set(os.listdir(self.path))
-        except FileNotFoundError:
-            before = set()
-        out.write.mode("append").parquet(self.path)
-        # name discovery by directory diff: safe because every writer
-        # (this one included) holds the cross-process commit flock, so
-        # nothing else adds files during the window. Version ranges come
-        # from the footers Spark just wrote — one metadata read per new
-        # file, so scan_rows/page pruning works on bulk fragments too.
-        try:
-            listing = os.listdir(self.path)
-        except FileNotFoundError:
-            listing = []
-        for f in sorted(listing):
-            if f.startswith(("_", ".")) or f in before:
-                continue
-            full = os.path.join(self.path, f)
-            rng = self._parquet_version_range(full)
-            entry: dict = {"n": f}
-            if rng is not None:
-                entry["lo"], entry["hi"] = rng
-            lrng = self._parquet_label_range(full)
-            if lrng is not None:
-                entry["lmin"], entry["lmax"] = lrng
-            self._pending_add.append(entry)
+            out.write.mode("overwrite").parquet(tmp)
+            tag = uuid.uuid4().hex[:8]
+            staged: list[tuple[str, str, dict]] = []
+            for f in sorted(os.listdir(tmp)):
+                if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                    continue
+                name = f"part-{tag}-{f}"
+                src = os.path.join(tmp, f)
+                entry: dict = {"n": name}
+                rng = self._parquet_version_range(src)
+                if rng is not None:
+                    entry["lo"], entry["hi"] = rng
+                lrng = self._parquet_label_range(src)
+                if lrng is not None:
+                    entry["lmin"], entry["lmax"] = lrng
+                staged.append((src, name, entry))
+            if staged and all("hi" in e for _, _, e in staged):
+                self._write_intent(
+                    [name for _, name, _ in staged],
+                    max(e["hi"] for _, _, e in staged),
+                )
+            for src, name, entry in staged:
+                os.rename(src, os.path.join(self.path, name))
+                self._pending_add.append(entry)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     @staticmethod
     def _parquet_version_range(full: str) -> tuple[int, int] | None:
@@ -1260,9 +1355,11 @@ class EventLog:
                     "label",
                     "payload",
                 ).withColumn("checksum", checksum_expr())
-                # bulk intent: Spark assigns the file names, so only the
-                # head bound is known — a crash in this window is the one
-                # case the next open still pays a directory listing for
+                # bulk intent: conservative head-bound-only record that
+                # covers a crash DURING the Spark job; _write_out
+                # refreshes it with the exact staged names before any
+                # file becomes visible, so only a crash mid-job (nothing
+                # visible yet) ever pays the listing on the next open
                 self._write_intent(None, base + total)
                 self._write_out(out)
             finally:
@@ -1276,6 +1373,10 @@ class EventLog:
             # sources should checkpoint upstream or verify post-write
             # (max(version) == head). The reference's analog is its
             # mid-batch rollback (file.go:343-360).
+            prev_initial, prev_last_ts = self._initial, self._last_ts
+            prev_marker = (
+                self._stream_commits.get(txn[0], None) if txn is not None else None
+            )
             self._latest = base + total
             if self._initial == 0 and self._latest > 0:
                 self._initial = 1
@@ -1289,10 +1390,20 @@ class EventLog:
                 # CAS arbiter: versions are baked into the Spark-written
                 # files, so a lost bulk race cannot be re-stamped in
                 # place — drop the staged files and surface the retry to
-                # the caller (the txn marker was never published, so a
-                # re-run is exactly-once safe)
+                # the caller. EVERY in-memory mutation above must unwind,
+                # the txn marker most of all: _refresh_published_state
+                # only heals _stream_commits when the winner's pointer
+                # already moved the head, so a stale marker would make
+                # the advertised re-run hit the replay check and silently
+                # drop the acked batch.
                 self._discard_staged_fragments()
                 self._latest = base
+                self._initial, self._last_ts = prev_initial, prev_last_ts
+                if txn is not None:
+                    if prev_marker is None:
+                        self._stream_commits.pop(txn[0], None)
+                    else:
+                        self._stream_commits[txn[0]] = prev_marker
                 raise MismatchingVersions(
                     "bulk append lost the commit race to a concurrent "
                     "writer; re-run the batch"
@@ -1834,7 +1945,32 @@ class EventLog:
         subscriber is not re-delivered compacted rows as new files."""
         with self._commit_section():
             self.vacuum()  # reap files retired by PREVIOUS compactions
-            df = self.dataframe()
+            # SNAPSHOT FIRST (round-9 advice): capture the file set, the
+            # manifest mirror seq, and the head in ONE sync BEFORE the
+            # long Spark rewrite — and never re-sync afterwards. Under
+            # the CAS arbiter _commit_section holds no cross-process
+            # lock, so commits can land DURING the rewrite; a
+            # post-rewrite _manifest_files() would roll the mirror
+            # forward past them, the exclusive seq claim in
+            # _write_state would then succeed at the ADVANCED seq (the
+            # abort fence never fires), and their fragments — swept
+            # into `old` — would be retired while the compacted output
+            # holds only pre-rewrite rows: committed events vanish.
+            # With the mirror seq pinned here, any interleaved commit
+            # collides on the claim and compaction aborts as designed.
+            old = self._manifest_files()
+            with self._lock:
+                snap_latest = self._latest
+            files = [
+                os.path.join(self.path, f)
+                for f in old
+                if f.endswith(".parquet")
+            ]
+            if not files:
+                return
+            df = self.spark.read.schema(EVENT_SCHEMA).parquet(*files).where(
+                F.col("version") <= snap_latest
+            )
             if df.isEmpty():
                 return
             n = target_partitions or max(1, self.spark.sparkContext.defaultParallelism // 4)
@@ -1853,7 +1989,6 @@ class EventLog:
                 .mode("overwrite")
                 .parquet(tmp)
             )
-            old = self._manifest_files()
             tag = uuid.uuid4().hex[:8]
             for f in sorted(os.listdir(tmp)):
                 if f.startswith(("_", ".")):

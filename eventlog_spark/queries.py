@@ -96,42 +96,25 @@ _loaded = False
 # goes dead LAST so a harness abort there cannot cost any other query
 # its row.
 #
-# ROUND-9 ROTATION (executes the registry's own round-9 note + the r8
-# verdict's item 4): every query is cumulatively green (186/186, zero
-# latest-red), so the window is freshness-driven:
-# (a) the 7 rows deferred from the round-8 window, last checked round 4
-#     (the ledger's oldest): tfidf_top_terms, vocab_topk,
-#     zorder_layout_key, text_repetition_score, sketch_bloom_filter,
-#     sketch_count_min, scd2_user_state;
-# (b) the ENTIRE round-5 cohort (30 rows — TPC-H q1-q3/q5/q9-q12/q18,
-#     subquery_*, window rank/range/sessionize, stream_real available/
-#     restart/stateful + sliding, multimodal decode/frame/header,
-#     pivot, full-outer join, dedup exact/simhash, pagerank, PQ-ADC,
-#     pipeline_curate, UDAF/UDTF);
-# (c) the 9 log-family queries — the storage layer changed AGAIN this
-#     round (page-level label summaries, bounded label pages,
-#     commit-intent O(1) opens, checkpoint-hint pointers, the CAS
-#     commit arbiter), so everything that appends/scans/audits through
-#     the engine re-proves on the new paths;
-# (d) 3 of the 49 round-6 rows (the next-oldest cohort) to fill the
-#     window: ann_hard_negatives, corpus_diversity_simpson, setop_union
-#     (timeseries_gapfill deferred to round 10 — its slot went to the
-#     NEW query below);
-# (e) the NEW round-9 query log_compact_label_clustered (the
-#     OPTIMIZE-ZORDER layout demo — new queries always front).
-# ROUND-10 NOTE: rotate in the remaining 45 r6 rows across rounds 10-11
-# (they are the oldest cohort once this window lands), plus anything
-# round 10 touches and any new queries.
+# ROUND-10 ROTATION (executes the registry's round-10 note + the r9
+# verdict's item 1): every query is cumulatively green (187/187, zero
+# latest-red), so the window is freshness- and touch-driven:
+# (a) the 10 log-family queries — the storage layer changed AGAIN this
+#     round (compact snapshot-first fence under CAS, bulk _write_out
+#     staging-dir rewrite with exact-name intents, bulk-loser in-memory
+#     unwind incl. stream-txn markers, arbiter persisted in the meta
+#     file at create), so everything that creates/appends/scans/
+#     compacts through the engine re-proves on the new paths;
+# (b) 40 of the 45 rotatable round-6 rows (the oldest cohort),
+#     including twice-deferred timeseries_gapfill; deferred to round 11
+#     (simple relational ops, lowest regression surface): setop_except,
+#     setop_intersect, topk_orders, unpivot_lineitem_metrics,
+#     window_topk_per_group. join_bucketed_colocated stays pinned in
+#     _LAST (side-effectful) and is checked by its own suite tests.
+# ROUND-11 NOTE: rotate in the 5 deferred r6 rows above plus the
+# round-7 cohort's oldest, plus anything round 11 touches.
 _FIRST_50 = [
-    # (a) the 7 deferred round-4 rows — the ledger's oldest
-    "tfidf_top_terms",
-    "vocab_topk",
-    "zorder_layout_key",
-    "text_repetition_score",
-    "sketch_bloom_filter",
-    "sketch_count_min",
-    "scd2_user_state",
-    # (c) storage layer changed again — whole log family re-proves
+    # (a) storage layer changed again - whole log family re-proves
     "eventlog_engine_roundtrip",
     "eventlog_inmem_roundtrip",
     "eventlog_binary_roundtrip",
@@ -141,43 +124,48 @@ _FIRST_50 = [
     "log_scan_reverse",
     "log_scan_skip_first",
     "log_version_bounds",
-    # (b) the full round-5 cohort (30)
-    "ann_pq_adc_topk",
-    "dedup_exact",
-    "dedup_simhash",
-    "graph_pagerank",
-    "join_full_outer",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "multimodal_header_probe",
-    "pipeline_curate",
-    "pivot_returnflag",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_shipping_priority",
-    "q18_large_volume_customer",
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q9_product_type_profit",
-    "stream_real_availablenow",
-    "stream_real_restart",
-    "stream_real_stateful",
-    "stream_sliding_window",
-    "subquery_above_group_avg",
-    "subquery_argmin_per_group",
-    "udaf_pandas_weighted_avg",
-    "udtf_span_split",
-    "window_range_frame",
-    "window_rank_suite",
-    "window_sessionize",
-    # (e) NEW round 9: the label-clustered-compaction layout demo
     "log_compact_label_clustered",
-    # (d) round-6 fillers — the next-oldest cohort
-    "ann_hard_negatives",
-    "corpus_diversity_simpson",
-    "setop_union",
+    # (b) the 40 oldest round-6 rows
+    "ann_ivf_pq",
+    "ann_ivf_probed",
+    "ann_lsh_bucketed",
+    "ann_lsh_multiprobe",
+    "ann_matryoshka_probe",
+    "ann_range_search",
+    "ann_topk_bruteforce",
+    "corpus_epoch_plan",
+    "corpus_ngram_novelty",
+    "corpus_padding_waste",
+    "decontaminate_semantic",
+    "dedup_connected_components",
+    "dedup_incremental_minhash",
+    "dedup_keep_best",
+    "dedup_lsh_verified",
+    "dedup_minhash_calibration",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_substring_exact",
+    "embedding_cluster_resample",
+    "embedding_isolation_audit",
+    "graph_triangle_count",
+    "hybrid_rrf_fusion",
+    "integrity_adjacent_skewed",
+    "mixture_reweight_excess",
+    "multimodal_audio_decode",
+    "multimodal_image_decode",
+    "q21_waiting_suppliers",
+    "quality_probe_eval",
+    "quality_probe_train",
+    "sample_importance_dsir",
+    "split_leakage_audit",
+    "stream_real_join",
+    "stream_real_watermark_drop",
+    "text_bpe_encode",
+    "text_bpe_roundtrip",
+    "text_bpe_train",
+    "text_pii_redact",
+    "text_tokenizer_fertility",
+    "timeseries_gapfill",
 ]
 
 # catalog side effects (SparkSQL bucketed-table DDL) — dead last in the

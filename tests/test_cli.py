@@ -87,12 +87,12 @@ def test_cli_run_arbiter_flag(spark, tmp_path, capsys, monkeypatch):
     from eventlog_spark.log import EventLog
 
     path = str(tmp_path / "log")
-    run(capsys, "create", path)
+    run(capsys, "create", path, "--arbiter", "cas")
 
     opened = {}
     real_open = EventLog.open.__func__
 
-    def spy(cls, spark_, p, arbiter="flock"):
+    def spy(cls, spark_, p, arbiter=None):
         opened["arbiter"] = arbiter
         return real_open(cls, spark_, p, arbiter)
 
@@ -111,3 +111,37 @@ def test_cli_run_arbiter_flag(spark, tmp_path, capsys, monkeypatch):
     monkeypatch.setattr(serving, "EventLogHTTPServer", FakeSrv)
     code, _ = run(capsys, "run", path, "--arbiter", "cas", "--port", "0")
     assert code == 0 and opened["arbiter"] == "cas"
+
+
+def test_cli_persisted_arbiter_adopted_by_all_subcommands(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """Path-taking subcommands WITHOUT --arbiter adopt the arbiter
+    recorded at create time (round-9 advice: a default flock-mode open
+    of a CAS-operated log would run orphan truncation against a
+    possibly-lagging pointer and destroy committed fragments). With
+    flock exploded, these opens succeed only if the cas record was
+    honored."""
+    import fcntl
+
+    path = str(tmp_path / "caslog")
+    code, _ = run(capsys, "create", path, "--arbiter", "cas")
+    assert code == 0
+    code, _ = run(capsys, "append", path, "e", '{"i":1}')
+    assert code == 0
+
+    def boom(*a, **k):
+        raise AssertionError("flock taken despite the persisted cas arbiter")
+
+    monkeypatch.setattr(fcntl, "flock", boom)
+    code, out = run(capsys, "version", path)
+    assert code == 0 and json.loads(out)["version"] == "1"
+    code, out = run(capsys, "scan", path)
+    assert code == 0 and len(out.strip().splitlines()) == 1
+    code, out = run(capsys, "check", path)
+    assert code == 0
+    code, out = run(capsys, "vacuum", path, "--grace", "0")
+    assert code == 0
+    # an explicit mismatch is refused end-to-end
+    with pytest.raises(ValueError, match="refusing"):
+        run(capsys, "version", path, "--arbiter", "flock")

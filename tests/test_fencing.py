@@ -40,7 +40,7 @@ def test_cas_two_writers_no_flock_exactly_one_winner(tmp_path, monkeypatch):
     import fcntl
 
     path = str(tmp_path / "cas")
-    EventLog.create(None, path)
+    EventLog.create(None, path, arbiter="cas")
     monkeypatch.setattr(fcntl, "flock", _boom)
     a = EventLog.open(None, path, arbiter="cas")
     b = EventLog.open(None, path, arbiter="cas")
@@ -65,7 +65,7 @@ def test_cas_occ_semantics_survive_the_race(tmp_path, monkeypatch):
     import fcntl
 
     path = str(tmp_path / "occ")
-    EventLog.create(None, path)
+    EventLog.create(None, path, arbiter="cas")
     monkeypatch.setattr(fcntl, "flock", _boom)
     a = EventLog.open(None, path, arbiter="cas")
     b = EventLog.open(None, path, arbiter="cas")
@@ -86,7 +86,7 @@ def test_cas_pointer_lag_rolls_forward(tmp_path, monkeypatch):
     import fcntl
 
     path = str(tmp_path / "lag")
-    EventLog.create(None, path)
+    EventLog.create(None, path, arbiter="cas")
     monkeypatch.setattr(fcntl, "flock", _boom)
     w = EventLog.open(None, path, arbiter="cas")
     w.append("published", '{"n":1}')
@@ -132,7 +132,7 @@ def test_cas_cross_process_storm_two_hosts(tmp_path):
     dense log, every writer's every event survives exactly once, and
     the manifest seq chain has no gaps or duplicates."""
     path = str(tmp_path / "storm")
-    EventLog.create(None, path)
+    EventLog.create(None, path, arbiter="cas")
     n_writers, n_each = 4, 12
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ, SPARK_GRAFT_MANIFEST_CHECKPOINT="8")
@@ -194,7 +194,7 @@ def test_cas_txn_markers_ride_the_delta_chain(spark, tmp_path, monkeypatch):
     from pyspark.sql import functions as F
 
     path = str(tmp_path / "txn")
-    EventLog.create(None, path)
+    EventLog.create(None, path, arbiter="cas")
     monkeypatch.setattr(fcntl, "flock", _boom)
     w = EventLog.open(spark, path, arbiter="cas")
     batch = spark.range(3).select(
@@ -232,7 +232,7 @@ def test_cas_storm_survives_sigkill(tmp_path):
     import time as _t
 
     path = str(tmp_path / "kill")
-    EventLog.create(None, path)
+    EventLog.create(None, path, arbiter="cas")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     def spawn(wid: int, n: int, pace: float) -> subprocess.Popen:
@@ -268,3 +268,126 @@ def test_cas_storm_survives_sigkill(tmp_path):
     assert len({(d["writer"], d["seq"]) for d in pay}) == len(pay)
     # and the log still takes commits after the crash
     assert fresh.append("after", '{"ok":true}').version == head + 1
+
+
+def test_arbiter_persisted_at_create_and_mismatch_refused(tmp_path):
+    """The arbiter is a property of the LOG (round-9 advice): create
+    records it in the meta file, a default open adopts it, and an
+    explicit mismatched open is refused — a flock-mode open of a
+    CAS-operated log would run orphan truncation against a possibly
+    lagging pointer and destroy another host's committed fragment."""
+    path = str(tmp_path / "plog")
+    EventLog.create(None, path, arbiter="cas")
+    meta_path = os.path.join(path, "_eventlog_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    assert meta["arbiter"] == "cas"
+    assert EventLog.open(None, path)._arbiter == "cas"  # default adopts
+    with pytest.raises(ValueError, match="refusing"):
+        EventLog.open(None, path, arbiter="flock")
+    # legacy log (no recorded arbiter): an explicit choice is recorded
+    # so every later default open agrees with it
+    del meta["arbiter"]
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    EventLog.open(None, path, arbiter="cas")
+    assert EventLog._persisted_arbiter(path) == "cas"
+    assert EventLog.open(None, path)._arbiter == "cas"
+
+
+def test_cas_bulk_loser_restores_txn_marker_and_interloper_survives(
+    spark, tmp_path, monkeypatch
+):
+    """Round-9 advice (high): a bulk append that LOSES the CAS claim
+    must unwind every in-memory mutation — the stream-txn idempotence
+    marker above all. Pre-fix, the stale marker made the advertised
+    re-run hit the replay check and silently drop the acked-as-
+    retriable batch. Also covers the staging fix: the interloper's
+    fragment, committed inside the loser's write window, must neither
+    be swept into the loser's delta nor deleted by its discard."""
+    import fcntl
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "bulkloss")
+    EventLog.create(None, path, arbiter="cas")
+    monkeypatch.setattr(fcntl, "flock", _boom)
+    w = EventLog.open(spark, path, arbiter="cas")
+    b = EventLog.open(None, path, arbiter="cas")
+    batch = spark.range(3).select(
+        F.lit("bulk").alias("label"),
+        F.format_string('{"i":%d}', F.col("id")).alias("payload"),
+        "id",
+    )
+    assert w.append_dataframe(batch, order_cols=["id"], txn=("s", 1)).version == 3
+
+    orig = EventLog._write_out
+
+    def sabotaged(out):
+        # lands a whole commit inside w's write window: claims the seq
+        # w's _write_state is about to take
+        b.append("interloper", '{"landed":"mid-bulk"}')
+        return orig(w, out)
+
+    w._write_out = sabotaged
+    with pytest.raises(MismatchingVersions):
+        w.append_dataframe(batch, order_cols=["id"], txn=("s", 2))
+    del w.__dict__["_write_out"]
+
+    # marker unwound -> the advertised re-run COMMITS (pre-fix: the
+    # replay check returned None and the batch silently vanished)
+    r = w.append_dataframe(batch, order_cols=["id"], txn=("s", 2))
+    assert r is not None and r.version == 7  # 3 bulk + interloper + 3
+
+    fresh = EventLog.open(None, path, arbiter="cas")
+    rows = fresh.scan_rows()
+    assert [x.version for x in rows] == list(range(1, 8))
+    assert [x.label for x in rows].count("interloper") == 1
+    # and a replay of the committed epoch is still refused
+    assert w.append_dataframe(batch, order_cols=["id"], txn=("s", 2)) is None
+
+
+def test_cas_compact_aborts_on_interleaved_commit(spark, tmp_path, monkeypatch):
+    """Round-9 advice (high): a commit landing DURING a CAS-mode
+    compaction's long Spark rewrite must abort the compaction via the
+    seq-claim collision, never vanish. Pre-fix, compact re-synced the
+    manifest mirror AFTER the rewrite, so the exclusive claim succeeded
+    at the advanced seq and the interleaved fragment was retired while
+    the compacted output lacked its rows."""
+    import fcntl
+
+    path = str(tmp_path / "clog")
+    EventLog.create(None, path, arbiter="cas")
+    monkeypatch.setattr(fcntl, "flock", _boom)
+    a = EventLog.open(spark, path, arbiter="cas")
+    b = EventLog.open(None, path, arbiter="cas")
+    for i in range(4):
+        a.append("pre", json.dumps({"i": i}))
+
+    fired = {}
+    orig = EventLog._parquet_version_range
+
+    def interleave(full):
+        # runs while compact registers its rewritten output — after the
+        # snapshot + Spark job, before the manifest publish
+        if not fired:
+            fired["x"] = True
+            b.append("mid-rewrite", '{"landed":"during"}')
+        return orig(full)
+
+    a._parquet_version_range = interleave
+    a.compact(target_partitions=1)
+    del a.__dict__["_parquet_version_range"]
+    assert fired, "interleave hook never ran"
+
+    fresh = EventLog.open(None, path, arbiter="cas")
+    rows = fresh.scan_rows()
+    assert [r.version for r in rows] == [1, 2, 3, 4, 5]
+    assert rows[-1].label == "mid-rewrite"  # the interleaved commit lives
+    # the compaction aborted: no compact- output entered the manifest
+    assert not any(f.startswith("compact-") for f in fresh._manifest_files())
+    # and compaction still lands when re-run without contention
+    a.compact(target_partitions=1)
+    fresh2 = EventLog.open(None, path, arbiter="cas")
+    assert [r.version for r in fresh2.scan_rows()] == [1, 2, 3, 4, 5]
+    assert any(f.startswith("compact-") for f in fresh2._manifest_files())

@@ -46,7 +46,7 @@ def run(arbiter: str, n_procs: int, n_each: int) -> dict:
     path = os.path.join(root, "log")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     try:
-        EventLog.create(None, path)
+        EventLog.create(None, path, arbiter=arbiter)
         t0 = time.perf_counter()
         procs = [
             subprocess.Popen(
