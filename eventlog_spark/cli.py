@@ -156,6 +156,22 @@ def main(argv: list[str] | None = None) -> int:
     )
     _add_arbiter_flag(p_compact)
 
+    p_stats = sub.add_parser(
+        "stats",
+        help="label-layout health report: page-summary pruning "
+        "effectiveness per label, with a compact --cluster-by label "
+        "recommendation when interleaved ingest degraded it",
+    )
+    p_stats.add_argument("path")
+    p_stats.add_argument(
+        "--label",
+        action="append",
+        default=None,
+        help="probe this label (repeatable); default: a sample drawn "
+        "from the manifest's own label bounds",
+    )
+    _add_arbiter_flag(p_stats)
+
     p_vacuum = sub.add_parser(
         "vacuum", help="delete compaction-retired files past the grace window"
     )
@@ -281,6 +297,10 @@ def main(argv: list[str] | None = None) -> int:
         log.compact(target_partitions=args.partitions, cluster_by=args.cluster_by)
         manifest = [f for f in log._manifest_files() if f.endswith(".parquet")]
         print(json.dumps({"files": len(manifest)}))
+        return 0
+
+    if args.cmd == "stats":
+        print(json.dumps(log.label_layout_report(labels=args.label)))
         return 0
 
     if args.cmd == "vacuum":

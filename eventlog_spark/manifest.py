@@ -52,10 +52,95 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import uuid
 
 _DELTA = "delta-{:020d}.json"
 _CKPT = "checkpoint-{:020d}.json"
+
+
+class PosixClaimStore:
+    """Directory-backed claim store (the default). ``put`` is an atomic
+    rename publish; ``put_if_absent`` is a hard-link create — link(2)
+    fails with EEXIST when ANY writer already owns the name, and a
+    reader can never observe a torn record because the name only exists
+    once the bytes do. Correct on any filesystem with POSIX link
+    semantics (local disk, NFS)."""
+
+    def __init__(self, root: str):
+        self._root = root
+
+    def _p(self, name: str) -> str:
+        return os.path.join(self._root, name)
+
+    def put(self, name: str, data: bytes) -> None:
+        os.makedirs(self._root, exist_ok=True)
+        tmp = self._p(f".{name}.tmp.{uuid.uuid4().hex}")
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, self._p(name))
+
+    def put_if_absent(self, name: str, data: bytes) -> bool:
+        os.makedirs(self._root, exist_ok=True)
+        tmp = self._p(f".{name}.tmp.{uuid.uuid4().hex}")
+        with open(tmp, "wb") as f:
+            f.write(data)
+        try:
+            os.link(tmp, self._p(name))
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+        return True
+
+    def get(self, name: str) -> bytes | None:
+        try:
+            with open(self._p(name), "rb") as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
+
+    def names(self) -> list[str]:
+        try:
+            return [n for n in os.listdir(self._root) if not n.startswith(".")]
+        except FileNotFoundError:
+            return []
+
+
+class MemoryClaimStore:
+    """Object-store-semantics fake (SCALE.md §1, round-9 verdict gap):
+    models the primitives a 100 TB deployment's manifest store actually
+    offers — S3/GCS-style atomic whole-object PUT, conditional PUT
+    (``If-None-Match: *``), strong read-after-write, and list-after-
+    write — with NO rename, NO hard link, NO flock anywhere. Shared
+    between EventLog instances, it stands in for the bucket in the
+    multi-writer fencing tests, proving the commit arbiter depends on
+    nothing beyond the 4-method ClaimStore contract. In-process only
+    (a dict under one lock); the cross-process storms keep exercising
+    the POSIX store."""
+
+    def __init__(self):
+        self._objs: dict[str, bytes] = {}
+        self._lock = threading.Lock()
+
+    def put(self, name: str, data: bytes) -> None:
+        with self._lock:
+            self._objs[name] = bytes(data)
+
+    def put_if_absent(self, name: str, data: bytes) -> bool:
+        with self._lock:
+            if name in self._objs:
+                return False
+            self._objs[name] = bytes(data)
+            return True
+
+    def get(self, name: str) -> bytes | None:
+        with self._lock:
+            return self._objs.get(name)
+
+    def names(self) -> list[str]:
+        with self._lock:
+            return list(self._objs)
 
 
 class ManifestChainBroken(Exception):
@@ -118,8 +203,16 @@ class ManifestLog:
     CHECKPOINT_EVERY = int(os.environ.get("SPARK_GRAFT_MANIFEST_CHECKPOINT", 64))
     PAGE_ENTRIES = int(os.environ.get("SPARK_GRAFT_MANIFEST_PAGE", 4096))
 
-    def __init__(self, log_dir: str):
+    def __init__(self, log_dir: str, store=None):
         self._dir = os.path.join(log_dir, "_manifest")
+        # Every manifest read and write goes through the claim store —
+        # the 4-method seam (put / put_if_absent / get / names) a
+        # shared store must offer. Default: the POSIX directory store;
+        # MemoryClaimStore models an object store for the fencing
+        # tests. The put_if_absent of the delta seq IS the CAS commit
+        # point, so swapping the store swaps the whole commit arbiter's
+        # substrate (SCALE.md §1: S3 If-None-Match PUT slots in here).
+        self._store = store if store is not None else PosixClaimStore(self._dir)
         self.seq = 0  # the snapshot this mirror currently reflects
         self._ckpt_seq = 0  # seq of the checkpoint the mirror is based on
         # page metas from the base checkpoint: {"f", "lo", "hi", "count"}
@@ -132,21 +225,14 @@ class ManifestLog:
         self._tombstones: set[str] = set()
         self._force_checkpoint = False
 
-    # -- paths / discovery -----------------------------------------------------
-
-    def _p(self, name: str) -> str:
-        return os.path.join(self._dir, name)
+    # -- discovery ---------------------------------------------------------------
 
     def max_seq_on_disk(self) -> int:
-        """Highest sequence number any manifest file on disk claims —
-        the recovery floor for re-adoption, so a rebuilt chain never
+        """Highest sequence number any manifest file in the store claims
+        — the recovery floor for re-adoption, so a rebuilt chain never
         reuses a seq an old pointer might still name."""
         best = 0
-        try:
-            names = os.listdir(self._dir)
-        except FileNotFoundError:
-            return 0
-        for f in names:
+        for f in self._store.names():
             for prefix in ("delta-", "checkpoint-"):
                 if f.startswith(prefix) and f.endswith(".json"):
                     try:
@@ -157,11 +243,7 @@ class ManifestLog:
 
     def _latest_checkpoint_at(self, seq: int) -> int | None:
         best = None
-        try:
-            names = os.listdir(self._dir)
-        except FileNotFoundError:
-            return None
-        for f in names:
+        for f in self._store.names():
             if f.startswith("checkpoint-") and f.endswith(".json"):
                 try:
                     s = int(f[len("checkpoint-") : -5])
@@ -190,24 +272,27 @@ class ManifestLog:
         the scan, which keeps every crash-window recovery exactly as
         before."""
         fresh = ManifestLog.__new__(ManifestLog)
-        fresh._dir = self._dir
+        fresh._dir, fresh._store = self._dir, self._store
         fresh.seq = fresh._ckpt_seq = 0
         fresh._page_metas, fresh._page_cache, fresh._tail = [], {}, []
         fresh._tombstones = set()
         fresh._force_checkpoint = False
-        ck = None
+        ck, raw = None, None
         if ckpt_hint:
             ckpt_hint = int(ckpt_hint)
-            if ckpt_hint <= seq and os.path.exists(
-                self._p(_CKPT.format(ckpt_hint))
-            ):
-                ck = ckpt_hint
+            if ckpt_hint <= seq:
+                raw = self._store.get(_CKPT.format(ckpt_hint))
+                if raw is not None:
+                    ck = ckpt_hint
         if ck is None:
             ck = self._latest_checkpoint_at(seq)
+            if ck is not None:
+                raw = self._store.get(_CKPT.format(ck))
         if ck is not None:
             try:
-                with open(self._p(_CKPT.format(ck))) as f:
-                    data = json.load(f)
+                if raw is None:
+                    raise FileNotFoundError(_CKPT.format(ck))
+                data = json.loads(raw)
                 fresh._page_metas = list(data["pages"])
             except (FileNotFoundError, ValueError, KeyError) as e:
                 raise ManifestChainBroken(f"checkpoint {ck} unreadable") from e
@@ -237,8 +322,10 @@ class ManifestLog:
             self.load(seq)
 
     def _apply_delta_file(self, s: int) -> None:
-        with open(self._p(_DELTA.format(s))) as f:
-            d = json.load(f)
+        raw = self._store.get(_DELTA.format(s))
+        if raw is None:
+            raise FileNotFoundError(_DELTA.format(s))
+        d = json.loads(raw)
         self._apply(d.get("add", []), d.get("remove", []))
 
     def _apply(self, add: list[dict], remove: list[str]) -> None:
@@ -272,8 +359,10 @@ class ManifestLog:
         pf = meta["f"]
         got = self._page_cache.get(pf)
         if got is None:
-            with open(self._p(pf)) as f:
-                got = json.load(f)
+            raw = self._store.get(pf)
+            if raw is None:
+                raise FileNotFoundError(pf)
+            got = json.loads(raw)
             self._page_cache[pf] = got
         return got
 
@@ -345,6 +434,27 @@ class ManifestLog:
             out.append(e)
         return out
 
+    def page_survey(self, page_ok, entry_ok) -> dict:
+        """Pruning-health survey for one predicate pair: per page,
+        whether the page-level summary refuted it (page skipped — zero
+        page I/O) and, for kept pages, how many of the page's live
+        entries the entry-level predicate keeps. Feeds the label-layout
+        report (log.py ``label_layout_report``) that detects
+        adversarially interleaved ingest — a kept page whose entries
+        mostly refuse the label means the summaries stopped pruning."""
+        pages = []
+        for m in self._page_metas:
+            if not page_ok(m):
+                pages.append({"kept": False, "count": m["count"]})
+                continue
+            ents = [
+                e for e in self._load_page(m) if e["n"] not in self._tombstones
+            ]
+            hits = sum(1 for e in ents if entry_ok(e))
+            pages.append({"kept": True, "count": len(ents), "hits": hits})
+        tail_hits = sum(1 for e in self._tail if entry_ok(e))
+        return {"pages": pages, "tail": len(self._tail), "tail_hits": tail_hits}
+
     # -- commit -------------------------------------------------------------
 
     def commit(
@@ -369,7 +479,6 @@ class ManifestLog:
         (new seq, manifest files superseded by a roll-up) — the caller
         retires the latter into the vacuum ledger once the pointer is
         out (publish-before-delete, same as data fragments)."""
-        os.makedirs(self._dir, exist_ok=True)
         s = self.seq + 1
         rec: dict = {"seq": s, "add": add, "remove": remove}
         if head is not None:
@@ -398,9 +507,11 @@ class ManifestLog:
         sc: dict = {}  # stream markers merge across ALL rolled deltas —
         # the newest head may predate an older delta's marker
         while True:
+            raw = self._store.get(_DELTA.format(self.seq + 1))
             try:
-                with open(self._p(_DELTA.format(self.seq + 1))) as f:
-                    d = json.load(f)
+                if raw is None:
+                    raise FileNotFoundError
+                d = json.loads(raw)
             except (FileNotFoundError, ValueError):
                 if head is not None and sc:
                     head = dict(head)
@@ -415,27 +526,17 @@ class ManifestLog:
                         sc[k] = int(v)
 
     def _write_json(self, name: str, payload) -> None:
-        tmp = self._p(f".{name}.tmp.{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump(payload, f)
-        os.replace(tmp, self._p(name))
+        self._store.put(name, json.dumps(payload).encode())
 
     def _write_json_exclusive(self, name: str, payload) -> None:
-        """Atomic create-if-absent publish (put-if-absent, the CAS a
-        shared store must offer): the payload is fully written to a
-        temp name, then hard-linked to the final name — link(2) fails
-        with EEXIST if ANY writer already owns the name, and a reader
-        can never observe a torn record because the link only exists
-        once the bytes do."""
-        tmp = self._p(f".{name}.tmp.{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump(payload, f)
-        try:
-            os.link(tmp, self._p(name))
-        except FileExistsError:
+        """Atomic create-if-absent publish through the claim store's
+        put_if_absent (hard link on POSIX, ``If-None-Match: *`` PUT on
+        an object store): fails — atomically, before the mirror mutates
+        — when ANY writer already owns the name, and a reader can never
+        observe a torn record because the store only publishes whole
+        objects."""
+        if not self._store.put_if_absent(name, json.dumps(payload).encode()):
             raise ManifestSeqClaimed(name)
-        finally:
-            os.unlink(tmp)
 
     def _checkpoint(self) -> list[str]:
         """Roll the live snapshot into pages. Clean pages (no entry

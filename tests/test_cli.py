@@ -145,3 +145,34 @@ def test_cli_persisted_arbiter_adopted_by_all_subcommands(
     # an explicit mismatch is refused end-to-end
     with pytest.raises(ValueError, match="refusing"):
         run(capsys, "version", path, "--arbiter", "flock")
+
+
+def test_cli_stats_layout_report(spark, tmp_path, capsys):
+    """`stats` surfaces the label-layout health report: degraded
+    (interleaved) layout recommends `compact --cluster-by label`; after
+    running exactly that command the report flips to healthy."""
+    from eventlog_spark.manifest import ManifestLog
+
+    path = str(tmp_path / "slog")
+    run(capsys, "create", path)
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    mp.setattr(ManifestLog, "PAGE_ENTRIES", 8)
+    mp.setattr(ManifestLog, "CHECKPOINT_EVERY", 8)
+    try:
+        for i in range(32):
+            run(capsys, "append", path, ["a", "b", "c", "d"][i % 4], f'{{"i":{i}}}')
+        code, out = run(capsys, "stats", path)
+        rep = json.loads(out)
+        assert code == 0 and rep["recommend_cluster_by_label"] is True
+
+        code, _ = run(capsys, "compact", path, "--cluster-by", "label",
+                      "--partitions", "4")
+        assert code == 0
+        code, out = run(capsys, "stats", path, "--label", "a", "--label", "b")
+        rep = json.loads(out)
+        assert code == 0 and rep["recommend_cluster_by_label"] is False
+        assert set(rep["labels_probed"]) == {"a", "b"}
+    finally:
+        mp.undo()

@@ -32,18 +32,50 @@ def _boom(*a, **k):  # a flock take under CAS is a test failure
     raise AssertionError("flock must not be taken under the cas arbiter")
 
 
-def test_cas_two_writers_no_flock_exactly_one_winner(tmp_path, monkeypatch):
+@pytest.fixture(params=["posix", "memory"])
+def cas_env(request):
+    """(create, open) factory pair running the CAS protocol over a
+    given claim store (round-9 verdict gap: the fencing proof must not
+    depend on POSIX link). 'posix' is the default directory store;
+    'memory' shares ONE MemoryClaimStore across every instance — the
+    object-store simulation (atomic conditional PUT, no rename, no
+    link, no flock). The cross-OS-process storms stay posix-only (an
+    in-memory store cannot span processes); everything else proves the
+    arbiter against both substrates."""
+    if request.param == "posix":
+        yield (
+            lambda path: EventLog.create(None, path, arbiter="cas"),
+            lambda path, spark=None: EventLog.open(spark, path, arbiter="cas"),
+        )
+    else:
+        from eventlog_spark.manifest import MemoryClaimStore
+
+        shared = MemoryClaimStore()
+        yield (
+            lambda path: EventLog.create(
+                None, path, arbiter="cas", claim_store=shared
+            ),
+            lambda path, spark=None: EventLog.open(
+                spark, path, arbiter="cas", claim_store=shared
+            ),
+        )
+
+
+def test_cas_two_writers_no_flock_exactly_one_winner(
+    tmp_path, monkeypatch, cas_env
+):
     """Two writer INSTANCES on one log, flock disabled outright: every
     append wins exactly one version, each sees the other's commits via
     delta replay + roll-forward, and the final log is dense with a
     clean manifest chain."""
     import fcntl
 
+    create, cas_open = cas_env
     path = str(tmp_path / "cas")
-    EventLog.create(None, path, arbiter="cas")
+    create(path)
     monkeypatch.setattr(fcntl, "flock", _boom)
-    a = EventLog.open(None, path, arbiter="cas")
-    b = EventLog.open(None, path, arbiter="cas")
+    a = cas_open(path)
+    b = cas_open(path)
     acked = []
     for i in range(10):
         acked.append(a.append("from-a", json.dumps({"i": i})).version)
@@ -57,18 +89,19 @@ def test_cas_two_writers_no_flock_exactly_one_winner(tmp_path, monkeypatch):
     assert [r.label for r in rows] == ["from-a", "from-b"] * 10
 
 
-def test_cas_occ_semantics_survive_the_race(tmp_path, monkeypatch):
+def test_cas_occ_semantics_survive_the_race(tmp_path, monkeypatch, cas_env):
     """append_check under CAS: an assumed_version that lost to another
     writer raises MismatchingVersions (validated against the WINNER's
     head inside the retry loop), and a correct assumed_version commits
     exactly once."""
     import fcntl
 
+    create, cas_open = cas_env
     path = str(tmp_path / "occ")
-    EventLog.create(None, path, arbiter="cas")
+    create(path)
     monkeypatch.setattr(fcntl, "flock", _boom)
-    a = EventLog.open(None, path, arbiter="cas")
-    b = EventLog.open(None, path, arbiter="cas")
+    a = cas_open(path)
+    b = cas_open(path)
     r = a.append_check(0, "first", '{"by":"a"}')
     assert r.version == 1
     with pytest.raises(MismatchingVersions):
@@ -77,7 +110,7 @@ def test_cas_occ_semantics_survive_the_race(tmp_path, monkeypatch):
     assert r.version == 2
 
 
-def test_cas_pointer_lag_rolls_forward(tmp_path, monkeypatch):
+def test_cas_pointer_lag_rolls_forward(tmp_path, monkeypatch, cas_env):
     """Crash window unique to CAS: a writer dies (or merely loses the
     pointer-publish race) AFTER its claimed delta, BEFORE its pointer
     rename. The delta chain is the commit truth — a fresh CAS open
@@ -85,10 +118,11 @@ def test_cas_pointer_lag_rolls_forward(tmp_path, monkeypatch):
     claimed seq is never reused."""
     import fcntl
 
+    create, cas_open = cas_env
     path = str(tmp_path / "lag")
-    EventLog.create(None, path, arbiter="cas")
+    create(path)
     monkeypatch.setattr(fcntl, "flock", _boom)
-    w = EventLog.open(None, path, arbiter="cas")
+    w = cas_open(path)
     w.append("published", '{"n":1}')
     state = os.path.join(path, "_state.json")
     saved = str(tmp_path / "state_at_1.json")
@@ -96,7 +130,7 @@ def test_cas_pointer_lag_rolls_forward(tmp_path, monkeypatch):
     w.append("claimed-not-pointed", '{"n":2}')
     shutil.copy(saved, state)  # "crash": pointer rolled back to seq 1
 
-    fresh = EventLog.open(None, path, arbiter="cas")
+    fresh = cas_open(path)
     assert fresh.version() == 2  # recovered from the delta's head fields
     assert [r.label for r in fresh.scan_rows()] == [
         "published",
@@ -182,7 +216,9 @@ def test_cas_cross_process_storm_two_hosts(tmp_path):
     assert seqs == sorted(set(seqs))  # no duplicate claims survived
 
 
-def test_cas_txn_markers_ride_the_delta_chain(spark, tmp_path, monkeypatch):
+def test_cas_txn_markers_ride_the_delta_chain(
+    spark, tmp_path, monkeypatch, cas_env
+):
     """Exactly-once under CAS must not depend on the pointer cache: a
     bulk append's stream-txn idempotence marker whose POINTER publish
     is lost (crash / out-of-order rename) still refuses the replayed
@@ -193,10 +229,11 @@ def test_cas_txn_markers_ride_the_delta_chain(spark, tmp_path, monkeypatch):
 
     from pyspark.sql import functions as F
 
+    create, cas_open = cas_env
     path = str(tmp_path / "txn")
-    EventLog.create(None, path, arbiter="cas")
+    create(path)
     monkeypatch.setattr(fcntl, "flock", _boom)
-    w = EventLog.open(spark, path, arbiter="cas")
+    w = cas_open(path, spark)
     batch = spark.range(3).select(
         F.lit("lbl").alias("label"),
         F.format_string('{"i":%d}', F.col("id")).alias("payload"),
@@ -209,7 +246,7 @@ def test_cas_txn_markers_ride_the_delta_chain(spark, tmp_path, monkeypatch):
     assert r is not None and r.version == 3
     shutil.copy(saved, state)  # pointer lost — the delta chain survives
 
-    fresh = EventLog.open(spark, path, arbiter="cas")
+    fresh = cas_open(path, spark)
     assert fresh.version() == 3  # rolled forward
     # the replayed micro-batch (same txn epoch) must be refused
     assert fresh.append_dataframe(batch, order_cols=["id"], txn=("ckpt-a", 5)) is None
@@ -296,7 +333,7 @@ def test_arbiter_persisted_at_create_and_mismatch_refused(tmp_path):
 
 
 def test_cas_bulk_loser_restores_txn_marker_and_interloper_survives(
-    spark, tmp_path, monkeypatch
+    spark, tmp_path, monkeypatch, cas_env
 ):
     """Round-9 advice (high): a bulk append that LOSES the CAS claim
     must unwind every in-memory mutation — the stream-txn idempotence
@@ -309,11 +346,12 @@ def test_cas_bulk_loser_restores_txn_marker_and_interloper_survives(
 
     from pyspark.sql import functions as F
 
+    create, cas_open = cas_env
     path = str(tmp_path / "bulkloss")
-    EventLog.create(None, path, arbiter="cas")
+    create(path)
     monkeypatch.setattr(fcntl, "flock", _boom)
-    w = EventLog.open(spark, path, arbiter="cas")
-    b = EventLog.open(None, path, arbiter="cas")
+    w = cas_open(path, spark)
+    b = cas_open(path)
     batch = spark.range(3).select(
         F.lit("bulk").alias("label"),
         F.format_string('{"i":%d}', F.col("id")).alias("payload"),
@@ -339,7 +377,7 @@ def test_cas_bulk_loser_restores_txn_marker_and_interloper_survives(
     r = w.append_dataframe(batch, order_cols=["id"], txn=("s", 2))
     assert r is not None and r.version == 7  # 3 bulk + interloper + 3
 
-    fresh = EventLog.open(None, path, arbiter="cas")
+    fresh = cas_open(path)
     rows = fresh.scan_rows()
     assert [x.version for x in rows] == list(range(1, 8))
     assert [x.label for x in rows].count("interloper") == 1
@@ -347,20 +385,26 @@ def test_cas_bulk_loser_restores_txn_marker_and_interloper_survives(
     assert w.append_dataframe(batch, order_cols=["id"], txn=("s", 2)) is None
 
 
-def test_cas_compact_aborts_on_interleaved_commit(spark, tmp_path, monkeypatch):
+def test_cas_compact_rebases_over_interleaved_commit(
+    spark, tmp_path, monkeypatch, cas_env
+):
     """Round-9 advice (high): a commit landing DURING a CAS-mode
-    compaction's long Spark rewrite must abort the compaction via the
-    seq-claim collision, never vanish. Pre-fix, compact re-synced the
-    manifest mirror AFTER the rewrite, so the exclusive claim succeeded
-    at the advanced seq and the interleaved fragment was retired while
-    the compacted output lacked its rows."""
+    compaction's long Spark rewrite must never vanish. Pre-fix, compact
+    re-synced the manifest mirror AFTER the rewrite, so the exclusive
+    claim succeeded at the advanced seq and the interleaved fragment
+    was retired while the compacted output lacked its rows. Post-fix
+    the claim collides and the publish RE-BASES (Delta-style OPTIMIZE
+    conflict resolution): the interleaved fragment is adopted, the
+    compaction still lands, and nothing is lost — the starvation-free
+    maintenance story."""
     import fcntl
 
+    create, cas_open = cas_env
     path = str(tmp_path / "clog")
-    EventLog.create(None, path, arbiter="cas")
+    create(path)
     monkeypatch.setattr(fcntl, "flock", _boom)
-    a = EventLog.open(spark, path, arbiter="cas")
-    b = EventLog.open(None, path, arbiter="cas")
+    a = cas_open(path, spark)
+    b = cas_open(path)
     for i in range(4):
         a.append("pre", json.dumps({"i": i}))
 
@@ -380,14 +424,195 @@ def test_cas_compact_aborts_on_interleaved_commit(spark, tmp_path, monkeypatch):
     del a.__dict__["_parquet_version_range"]
     assert fired, "interleave hook never ran"
 
-    fresh = EventLog.open(None, path, arbiter="cas")
+    fresh = cas_open(path)
     rows = fresh.scan_rows()
     assert [r.version for r in rows] == [1, 2, 3, 4, 5]
     assert rows[-1].label == "mid-rewrite"  # the interleaved commit lives
-    # the compaction aborted: no compact- output entered the manifest
-    assert not any(f.startswith("compact-") for f in fresh._manifest_files())
-    # and compaction still lands when re-run without contention
-    a.compact(target_partitions=1)
-    fresh2 = EventLog.open(None, path, arbiter="cas")
-    assert [r.version for r in fresh2.scan_rows()] == [1, 2, 3, 4, 5]
-    assert any(f.startswith("compact-") for f in fresh2._manifest_files())
+    # the re-based compaction LANDED despite the interleaved commit:
+    # compacted output + the interleaved fragment, nothing lost
+    names = fresh._manifest_files()
+    assert any(f.startswith("compact-") for f in names)
+    assert any(not f.startswith("compact-") for f in names)
+    # and the interleaved writer's next commit proceeds normally
+    assert b.append("after", '{"ok":1}').version == 6
+
+
+def test_memory_store_thread_storm_exactly_one_winner(tmp_path, monkeypatch):
+    """The object-store simulation under real concurrency: 4 writer
+    instances sharing ONE MemoryClaimStore (conditional PUT only — no
+    link, no rename, no flock), hammered from 8 threads. Exactly one
+    winner per version, dense log, every ack alive — the same fencing
+    property the POSIX cross-process storm proves, now shown to rest
+    on nothing beyond the ClaimStore contract."""
+    import fcntl
+    import threading
+
+    from eventlog_spark.manifest import MemoryClaimStore
+
+    path = str(tmp_path / "memstorm")
+    shared = MemoryClaimStore()
+    EventLog.create(None, path, arbiter="cas", claim_store=shared)
+    monkeypatch.setattr(fcntl, "flock", _boom)
+    writers = [
+        EventLog.open(None, path, arbiter="cas", claim_store=shared)
+        for _ in range(4)
+    ]
+    n_threads, n_each = 8, 12
+    acked: list[list[int]] = [[] for _ in range(n_threads)]
+    errors: list[BaseException] = []
+
+    def work(tid: int) -> None:
+        try:
+            w = writers[tid % len(writers)]
+            for i in range(n_each):
+                r = w.append(f"t{tid}", json.dumps({"t": tid, "i": i}))
+                acked[tid].append(r.version)
+        except BaseException as e:  # surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=work, args=(t,)) for t in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    wins = [v for per in acked for v in per]
+    total = n_threads * n_each
+    assert sorted(wins) == list(range(1, total + 1))
+    for per in acked:  # per-thread program order preserved
+        assert per == sorted(per)
+    fresh = EventLog.open(None, path, arbiter="cas", claim_store=shared)
+    rows = fresh.scan_rows()
+    assert [r.version for r in rows] == list(range(1, total + 1))
+    pay = [json.loads(r.payload) for r in rows]
+    assert sorted((d["t"], d["i"]) for d in pay) == [
+        (t, i) for t in range(n_threads) for i in range(n_each)
+    ]
+
+
+def test_cas_maintenance_lands_under_writer_storm(spark, tmp_path, monkeypatch):
+    """Starvation-freedom (round-9 verdict item 3): compaction must
+    eventually LAND under sustained writer contention, not abort
+    forever. A background thread appends continuously (no pauses)
+    while compact() runs; the re-base publish adopts every interleaved
+    commit. Afterwards: all events present and dense, compacted output
+    plus the interleaved fragments in the manifest, nothing lost."""
+    import fcntl
+    import threading
+
+    path = str(tmp_path / "maint")
+    EventLog.create(None, path, arbiter="cas")
+    monkeypatch.setattr(fcntl, "flock", _boom)
+    a = EventLog.open(spark, path, arbiter="cas")
+    b = EventLog.open(None, path, arbiter="cas")
+    for i in range(8):
+        a.append("pre", json.dumps({"i": i}))
+
+    stop = threading.Event()
+    landed: list[int] = []
+
+    def hammer() -> None:
+        while not stop.is_set():
+            landed.append(b.append("storm", '{"x":1}').version)
+
+    t = threading.Thread(target=hammer)
+    t.start()
+    try:
+        a.compact(target_partitions=1)  # must land despite the storm
+    finally:
+        stop.set()
+        t.join(timeout=60)
+
+    fresh = EventLog.open(None, path, arbiter="cas")
+    head = fresh.version()
+    rows = fresh.scan_rows()
+    assert [r.version for r in rows] == list(range(1, head + 1))  # dense
+    assert head >= 8 + len(landed) - 1  # every acked storm commit counted
+    assert set(landed) <= set(range(9, head + 2))
+    labels = [r.label for r in rows]
+    assert labels[:8] == ["pre"] * 8 and labels.count("storm") >= len(landed) - 1
+    assert any(f.startswith("compact-") for f in fresh._manifest_files())
+
+
+def test_vacuum_grace_protects_lagging_reader_plan(spark, tmp_path, monkeypatch):
+    """Round-9 verdict item 6: a DataFrame built against the
+    pre-compaction manifest (a straggler reader / an executing plan on
+    another host) must stay servable for the whole vacuum grace window
+    even while CAS writers keep committing. compact retires the files
+    it replaced into the ledger; vacuum inside the grace reaps NOTHING;
+    only an expired window (grace=0) removes them."""
+    import fcntl
+
+    path = str(tmp_path / "grace")
+    EventLog.create(None, path, arbiter="cas")
+    monkeypatch.setattr(fcntl, "flock", _boom)
+    w = EventLog.open(spark, path, arbiter="cas")
+    for i in range(6):
+        w.append("e", json.dumps({"i": i}))
+    reader = EventLog.open(spark, path, arbiter="cas")
+    pinned = reader.dataframe()  # plan pinned to the pre-compaction files
+    pre_files = [f for f in reader._manifest_files() if f.endswith(".parquet")]
+    assert pre_files
+    w.compact(target_partitions=1)  # retires pre_files into the ledger
+    w.append("post", '{"i":6}')  # writers keep going
+    assert w.vacuum() == 0  # inside the grace window: reap nothing
+    for f in pre_files:
+        assert os.path.exists(os.path.join(path, f))  # straggler-readable
+    assert pinned.count() == 6  # the lagging plan still serves fully
+    # window expired: the retirees (pre files + superseded manifest
+    # records) are reaped and the current snapshot is unaffected
+    assert w.vacuum(grace_seconds=0) >= len(pre_files)
+    fresh = EventLog.open(None, path, arbiter="cas")
+    assert [r.version for r in fresh.scan_rows()] == list(range(1, 8))
+
+
+def test_vacuum_grace_protects_pinned_manifest_snapshot(tmp_path, monkeypatch):
+    """The manifest-chain side of the same guarantee: a reader that
+    pinned an OLD manifest snapshot (pointer read just before a
+    roll-up) can still lazily load that snapshot's checkpoint PAGES and
+    data files for the whole grace window, because roll-ups retire
+    superseded manifest records into the same ledger. After the window
+    expires (grace=0) the pinned chain is genuinely gone."""
+    import fcntl
+
+    from eventlog_spark.manifest import ManifestChainBroken, ManifestLog
+
+    path = str(tmp_path / "pin")
+    EventLog.create(None, path, arbiter="cas")
+    monkeypatch.setattr(fcntl, "flock", _boom)
+    monkeypatch.setattr(ManifestLog, "CHECKPOINT_EVERY", 4)
+    w = EventLog.open(None, path, arbiter="cas")
+    for i in range(6):
+        w.append("e", json.dumps({"i": i}))
+    with open(os.path.join(path, "_state.json")) as f:
+        st = json.load(f)
+    pinned_seq, pinned_ckpt = int(st["manifest_seq"]), st.get("manifest_ckpt")
+
+    # pin the snapshot NOW (page metas only — pages load lazily later)
+    pinned = ManifestLog(path)
+    pinned.load(pinned_seq, pinned_ckpt)
+
+    # the writer compacts (tombstones every pre-file) and keeps
+    # committing across a checkpoint roll-up, retiring the pinned
+    # snapshot's checkpoint, pages, and deltas
+    from eventlog_spark.session import get_spark
+
+    w2 = EventLog.open(get_spark(), path, arbiter="cas")
+    w2.compact(target_partitions=1)
+    for i in range(6, 12):
+        w2.append("e", json.dumps({"i": i}))
+
+    assert w2.vacuum() == 0  # grace window: nothing reaped
+    names = pinned.names()  # forces the retired page files to load — must work
+    assert len(names) >= 6
+    for f in names:
+        if f.endswith(".parquet"):
+            assert os.path.exists(os.path.join(path, f))
+
+    assert w2.vacuum(grace_seconds=0) > 0  # window expired
+    stale = ManifestLog(path)
+    with pytest.raises(ManifestChainBroken):
+        stale.load(pinned_seq, pinned_ckpt)  # the old chain is gone
+    # the CURRENT snapshot is intact
+    fresh = EventLog.open(None, path, arbiter="cas")
+    assert [r.version for r in fresh.scan_rows()] == list(range(1, 13))

@@ -80,11 +80,79 @@ def run(arbiter: str, n_procs: int, n_each: int) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def run_maintenance(n_procs: int, n_each: int) -> dict:
+    """Starvation-freedom probe (round-10): N full-speed CAS writer
+    processes storm the log while THIS process runs minor compactions
+    in a loop. Every fold publish that loses its seq claim re-bases
+    (O(1), no re-rewrite) and retries; the probe reports how many folds
+    LANDED during the storm and the worst-case attempts one publish
+    needed — the evidence that maintenance completes under sustained
+    writer contention instead of aborting forever."""
+    root = tempfile.mkdtemp(prefix="fencing_probe_maint_")
+    path = os.path.join(root, "log")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        EventLog.create(None, path, arbiter="cas")
+        log = EventLog.open(None, path, arbiter="cas")
+        for i in range(64):  # seed fragments so folds have work
+            log.append("seed", json.dumps({"i": i}))
+        t0 = time.perf_counter()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", _WRITER, repo, path, str(w), str(n_each), "cas"],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+            )
+            for w in range(n_procs)
+        ]
+        folds, attempts = 0, []
+        while any(p.poll() is None for p in procs):
+            n = log.minor_compact()
+            if n:
+                folds += 1
+                attempts.append(getattr(log, "_last_publish_attempts", 1))
+            time.sleep(0.02)
+        wall = time.perf_counter() - t0
+        wins: list[int] = []
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            assert p.returncode == 0, f"writer failed:\n{err[-2000:]}"
+            (line,) = [ln for ln in out.splitlines() if ln.startswith("WINS:")]
+            wins.extend(int(v) for v in line[5:].split(","))
+        total = 64 + n_procs * n_each
+        assert sorted(wins) == list(range(65, total + 1)), "fencing violated"
+        check = EventLog.open(None, path, arbiter="cas")
+        assert check.version() == total
+        assert [r.version for r in check.scan_rows()] == list(range(1, total + 1))
+        return {
+            "probe": "maintenance_liveness",
+            "procs": n_procs,
+            "commits": total,
+            "wall_s": round(wall, 2),
+            "folds_landed": folds,
+            "fold_attempts_max": max(attempts) if attempts else 0,
+            "fold_attempts_mean": (
+                round(sum(attempts) / len(attempts), 2) if attempts else 0
+            ),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--procs", type=int, default=4)
     ap.add_argument("--each", type=int, default=50)
+    ap.add_argument(
+        "--maintenance",
+        action="store_true",
+        help="run the maintenance-under-storm liveness probe instead",
+    )
     args = ap.parse_args()
+    if args.maintenance:
+        print(json.dumps(run_maintenance(args.procs, args.each)))
+        raise SystemExit(0)
     rows = []
     for arb in ("flock", "cas"):
         rows.append(run(arb, 1, args.each))  # uncontended: protocol overhead
