@@ -384,6 +384,12 @@ class EventLog:
                 # no delta); until then readers fall back to the same
                 # listing. Seq resumes past anything on disk so a stale
                 # pointer can never name the rebuilt chain.
+                if self._arbiter == "cas" and self._legacy_files is None:
+                    # unreachable after _recover_state_cas, kept as a
+                    # fence: listing adoption is never safe under CAS
+                    raise RuntimeError(
+                        "cas open refuses directory-listing adoption"
+                    )
                 m = ManifestLog(self.path, store=self._claim_store)
                 names = (
                     self._legacy_files
@@ -518,6 +524,11 @@ class EventLog:
                     m.load(int(st["manifest_seq"]), st.get("manifest_ckpt"))
                     self._manifest = m
                 except ManifestChainBroken:
+                    if self._arbiter == "cas":
+                        # under CAS the listing re-adoption below is
+                        # forbidden; re-position on the chain itself
+                        self._recover_state_cas()
+                        return
                     # pointer names a vacuumed chain (crash between a
                     # roll-up and its pointer publish, then a vacuum):
                     # head fields are still good; re-adopt the listing.
@@ -526,7 +537,57 @@ class EventLog:
                     self._stale_manifest_seq = int(st["manifest_seq"])
                     self._manifest = None
         except (FileNotFoundError, KeyError, ValueError):
-            self._recover_state()
+            if self._arbiter == "cas":
+                self._recover_state_cas()
+            else:
+                self._recover_state()
+
+    def _recover_state_cas(self) -> None:
+        """O21 recovery for the CAS arbiter when the POINTER is lost,
+        corrupt, or names a vacuumed chain — the crash windows the
+        flock engine answers with a directory scan, which CAS refuses
+        (an unpublished loser's fragment may alias committed versions,
+        so only the manifest names a consistent snapshot). The delta
+        chain is the commit truth: cold-position at the newest
+        checkpoint in the claim store, roll forward to the newest
+        complete delta, and adopt its head fields (every CAS commit
+        rides them in its delta). Recovery — unlike the hot path — may
+        consult the store's LISTING to find that checkpoint; eventual
+        list visibility only costs recovery freshness, and roll_forward
+        walks GET probes past whatever the listing knew. A non-empty
+        log whose chain is gone entirely is unrecoverable by design:
+        raising beats silently serving an empty or doubled log."""
+        m = ManifestLog(self.path, store=self._claim_store)
+        ck = m._latest_checkpoint_at(m.max_seq_on_disk()) or 0
+        try:
+            m.load(ck)
+        except ManifestChainBroken:
+            m = None
+        if m is not None:
+            head = m.roll_forward()
+            self._manifest = m
+            if head is not None:
+                self._adopt_cas_head(head)
+            if self._latest == 0 and m.count() > 0:
+                # chain exists but no head-carrying delta survived
+                # (adoption checkpoint only): recover the head from the
+                # manifest-listed data — needs a session
+                if self.spark is None:
+                    raise RuntimeError(
+                        "cas pointer recovery needs a spark session to "
+                        "re-derive the head from the manifest-listed data"
+                    )
+                self._recover_state()
+            if self._latest > 0 or m.count() > 0 or not any(
+                f.endswith(".parquet") for f in self._data_files()
+            ):
+                return
+        raise RuntimeError(
+            "cas log unrecoverable: pointer lost and no usable manifest "
+            "chain; the directory-listing fallback is refused under the "
+            "cas arbiter (an unpublished loser's fragment may alias "
+            "committed versions)"
+        )
 
     def _recover_state(self) -> None:
         df = self._read_raw()

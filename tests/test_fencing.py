@@ -616,3 +616,125 @@ def test_vacuum_grace_protects_pinned_manifest_snapshot(tmp_path, monkeypatch):
     # the CURRENT snapshot is intact
     fresh = EventLog.open(None, path, arbiter="cas")
     assert [r.version for r in fresh.scan_rows()] == list(range(1, 13))
+
+
+def test_cas_correct_under_eventual_list_visibility(tmp_path, monkeypatch):
+    """Object-store reality check: LIST visibility may lag writes (the
+    classic S3 caveat), while GET/conditional-PUT are strong. The CAS
+    hot path must never depend on listing — commits claim by name
+    (put_if_absent), readers roll forward by sequential GET probes, and
+    cold opens position via the pointer's checkpoint HINT. This store
+    serves names() as of 8 puts AGO; everything must still be
+    exactly-one-winner and dense, including a fresh open and a
+    pointer-lag recovery."""
+    import fcntl
+
+    from eventlog_spark.manifest import MemoryClaimStore
+
+    class EventualListStore(MemoryClaimStore):
+        LAG = 8
+
+        def __init__(self):
+            super().__init__()
+            self._history: list[list[str]] = [[]]
+
+        def _snap(self) -> None:
+            with self._lock:
+                self._history.append(list(self._objs))
+
+        def put(self, name, data):
+            super().put(name, data)
+            self._snap()
+
+        def put_if_absent(self, name, data):
+            ok = super().put_if_absent(name, data)
+            self._snap()
+            return ok
+
+        def names(self):
+            idx = max(0, len(self._history) - 1 - self.LAG)
+            return list(self._history[idx])
+
+    path = str(tmp_path / "eventual")
+    store = EventualListStore()
+    EventLog.create(None, path, arbiter="cas", claim_store=store)
+    monkeypatch.setattr(fcntl, "flock", _boom)
+    a = EventLog.open(None, path, arbiter="cas", claim_store=store)
+    b = EventLog.open(None, path, arbiter="cas", claim_store=store)
+    for i in range(10):
+        a.append("a", json.dumps({"i": i}))
+        b.append("b", json.dumps({"i": i}))
+    # the listing is genuinely stale right now — and nothing cared
+    assert len(store.names()) < len(MemoryClaimStore.names(store))
+
+    fresh = EventLog.open(None, path, arbiter="cas", claim_store=store)
+    assert fresh.version() == 20
+    assert [r.version for r in fresh.scan_rows()] == list(range(1, 21))
+
+    # pointer-lag recovery is GET-probe-based too: roll past a stale
+    # pointer with the listing still lagging
+    state = os.path.join(path, "_state.json")
+    saved = str(tmp_path / "state.json")
+    shutil.copy(state, saved)
+    fresh.append("claimed-not-pointed", '{"n":21}')
+    shutil.copy(saved, state)
+    again = EventLog.open(None, path, arbiter="cas", claim_store=store)
+    assert again.version() == 21
+    assert again.append("next", '{"n":22}').version == 22
+
+
+def test_cas_pointer_loss_recovers_from_chain(tmp_path, monkeypatch, cas_env):
+    """O21 under CAS with the POINTER FILE GONE (not just lagging):
+    the flock engine answers this crash with a directory scan, which
+    CAS refuses — recovery must instead re-position on the delta chain
+    (newest checkpoint + roll-forward) and adopt the newest delta's
+    head fields. Committed events, stream markers, and subsequent
+    appends must all survive; a corrupt pointer recovers the same
+    way."""
+    import fcntl
+
+    create, cas_open = cas_env
+    path = str(tmp_path / "ptrloss")
+    create(path)
+    monkeypatch.setattr(fcntl, "flock", _boom)
+    w = cas_open(path)
+    for i in range(7):
+        w.append("e", json.dumps({"i": i}))
+
+    state = os.path.join(path, "_state.json")
+    os.remove(state)  # the pointer is GONE, not merely stale
+    fresh = cas_open(path)
+    assert fresh.version() == 7
+    assert [r.version for r in fresh.scan_rows()] == list(range(1, 8))
+    assert fresh.append("after-loss", '{"ok":1}').version == 8
+
+    # corrupt pointer: same recovery
+    with open(state, "w") as f:
+        f.write("{not json")
+    again = cas_open(path)
+    assert again.version() == 8
+    assert again.scan_rows()[-1].label == "after-loss"
+
+
+def test_cas_pointer_loss_across_checkpoint_rollup(tmp_path, monkeypatch):
+    """Pointer loss AFTER checkpoint roll-ups (deltas partially
+    retired): recovery positions at the newest checkpoint the store
+    lists and GET-probes forward past it. Run across enough commits
+    that at least two roll-ups happened."""
+    import fcntl
+
+    from eventlog_spark.manifest import ManifestLog
+
+    path = str(tmp_path / "ptrckpt")
+    EventLog.create(None, path, arbiter="cas")
+    monkeypatch.setattr(fcntl, "flock", _boom)
+    monkeypatch.setattr(ManifestLog, "CHECKPOINT_EVERY", 4)
+    w = EventLog.open(None, path, arbiter="cas")
+    for i in range(11):
+        w.append("e", json.dumps({"i": i}))
+    os.remove(os.path.join(path, "_state.json"))
+
+    fresh = EventLog.open(None, path, arbiter="cas")
+    assert fresh.version() == 11
+    assert [r.version for r in fresh.scan_rows()] == list(range(1, 12))
+    assert fresh.append("tail", '{"ok":1}').version == 12
