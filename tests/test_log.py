@@ -1026,3 +1026,62 @@ def test_label_layout_report_detects_interleave_and_repair(
     for lab in labels:
         cand = log.label_candidate_files(lab)
         assert cand is not None and 0 < len(cand) < files_total
+
+
+def test_bulk_crash_truncates_named_orphans_without_listing(
+    spark, tmp_path, monkeypatch
+):
+    """Round-10 _write_out upgrade: bulk commits stage in a private dir
+    and refresh the commit-intent with their EXACT file names before
+    anything becomes visible. A crash between staging and the state
+    publish therefore leaves orphans the next open truncates by NAME —
+    the directory-listing recovery (previously the one remaining
+    bulk-crash cost) must not run at all."""
+    import pytest as _p
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "bulkcrash")
+    log = EventLog.create(spark, path)
+    log.append("pre", '{"i":0}')
+
+    batch = spark.range(4).select(
+        F.lit("bulk").alias("label"),
+        F.format_string('{"i":%d}', F.col("id")).alias("payload"),
+        "id",
+    )
+
+    class Crash(RuntimeError):
+        pass
+
+    def die():
+        raise Crash("simulated crash before the state publish")
+
+    log._write_state = die  # instance hook: files staged, never published
+    with _p.raises(Crash):
+        log.append_dataframe(batch, order_cols=["id"])
+    del log.__dict__["_write_state"]
+    orphans = [
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and "-part-" in f
+    ]
+    assert orphans, "the staged bulk fragments should be on disk"
+
+    # the reopen must take the NAMED fast path: a listing would explode
+    real_listdir = os.listdir
+
+    def no_data_listing(p=None):
+        if p is not None and os.path.abspath(str(p)) == os.path.abspath(path):
+            raise AssertionError("bulk-crash recovery listed the log dir")
+        return real_listdir(p) if p is not None else real_listdir()
+
+    monkeypatch.setattr(os, "listdir", no_data_listing)
+    fresh = EventLog.open(spark, path)
+    monkeypatch.undo()
+
+    assert fresh.version() == 1  # the crashed bulk never published
+    for f in orphans:
+        assert not os.path.exists(os.path.join(path, f))  # truncated by name
+    r = fresh.append_dataframe(batch, order_cols=["id"])
+    assert r is not None and r.version == 5  # versions were never burned
+    assert [x.version for x in fresh.scan_rows()] == [1, 2, 3, 4, 5]
