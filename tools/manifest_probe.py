@@ -172,6 +172,105 @@ def probe_labels(total_frags: int, n_labels: int) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _build_label_chain(root, total_entries: int, n_labels: int, interleave: bool):
+    """Synthetic manifest chain of ranged, label-stat-carrying entries
+    (the exact dict shape interactive commits stage), rolled up so a
+    cold mirror sees pages only. Returns (mirror, seq, entries/label)."""
+    from eventlog_spark.log import _label_stats_entry
+    from eventlog_spark.manifest import ManifestLog
+
+    m = ManifestLog(root)
+    per = -(-total_entries // n_labels)
+    stats = {
+        k: _label_stats_entry({f"label-{k:06d}"}) for k in range(n_labels)
+    }
+    batch: list[dict] = []
+    for i in range(total_entries):
+        e = {"n": f"part-{i}.parquet", "lo": i + 1, "hi": i + 1}
+        e.update(
+            stats[i % n_labels if interleave else min(i // per, n_labels - 1)]
+        )
+        batch.append(e)
+        if len(batch) == 4096:
+            m.commit(batch, [])
+            batch = []
+    if batch:
+        m.commit(batch, [])
+    m._force_checkpoint = True
+    m.commit([], [])  # roll the tail up so probes see pages only
+    return m, m.seq, per
+
+
+def probe_layout_report(total_entries: int, n_labels: int) -> list[dict]:
+    """Round-10 diagnostic scale check: the label-layout report
+    (EventLog.label_layout_report / CLI ``stats``) must itself be
+    usable at 10^6 manifest entries. Its cost is one page_survey per
+    probed label — O(pages + kept-page entries), with the page cache
+    shared across labels — so the CLUSTERED layout answers from page
+    metas plus only the matching pages, while the INTERLEAVED layout
+    (nothing refutable) pays one full page sweep for the first label
+    and cache-resident walks after. Reports wall time, pages loaded,
+    and the recommendation each layout earns."""
+    from eventlog_spark.log import (
+        EventLog,
+        _entry_may_contain_label,
+        _label_bloom_positions,
+        _page_may_contain_label,
+    )
+    from eventlog_spark.manifest import ManifestLog
+
+    rows = []
+    for interleave in (False, True):
+        root = tempfile.mkdtemp(prefix="layout_report_probe_")
+        try:
+            _, seq, _ = _build_label_chain(
+                root, total_entries, n_labels, interleave
+            )
+            mirror = ManifestLog(root)
+            mirror.load(seq)
+            step = max(1, n_labels // 8)
+            probe = [f"label-{k:06d}" for k in range(0, n_labels, step)][:8]
+            t0 = time.perf_counter()
+            rates = []
+            for label in probe:
+                positions = list(_label_bloom_positions(label))
+                sv = mirror.page_survey(
+                    page_ok=lambda pm: _page_may_contain_label(
+                        pm, label, positions
+                    ),
+                    entry_ok=lambda e: _entry_may_contain_label(
+                        e, label, positions
+                    ),
+                )
+                kept = [p for p in sv["pages"] if p["kept"]]
+                degraded = sum(
+                    1 for p in kept if p["count"] and p["hits"] * 2 < p["count"]
+                )
+                rates.append(degraded / len(kept) if kept else 0.0)
+            ms = 1e3 * (time.perf_counter() - t0)
+            mean = sum(rates) / len(rates) if rates else 0.0
+            row = {
+                "probe": "layout_report",
+                "layout": "interleaved" if interleave else "clustered",
+                "entries": total_entries,
+                "labels": n_labels,
+                "labels_probed": len(probe),
+                "report_ms": round(ms, 1),
+                "pages_loaded": len(mirror._page_cache),
+                "mean_degraded_page_rate": round(mean, 3),
+                "recommend_cluster_by_label": mean
+                > EventLog.LAYOUT_DEGRADED_PAGE_RATE,
+            }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    # the detector must fire exactly on the interleaved layout
+    assert rows[0]["recommend_cluster_by_label"] is False
+    assert rows[1]["recommend_cluster_by_label"] is True
+    return rows
+
+
 def probe_label_pages(
     total_entries: int, n_labels: int, interleave: bool = False
 ) -> dict:
@@ -209,26 +308,7 @@ def probe_label_pages(
 
     root = tempfile.mkdtemp(prefix="manifest_pages_probe_")
     try:
-        m = ManifestLog(root)
-        per = -(-total_entries // n_labels)
-        stats = {
-            k: _label_stats_entry({f"label-{k:06d}"}) for k in range(n_labels)
-        }
-        batch: list[dict] = []
-        for i in range(total_entries):
-            e = {"n": f"part-{i}.parquet", "lo": i + 1, "hi": i + 1}
-            e.update(
-                stats[i % n_labels if interleave else min(i // per, n_labels - 1)]
-            )
-            batch.append(e)
-            if len(batch) == 4096:
-                m.commit(batch, [])
-                batch = []
-        if batch:
-            m.commit(batch, [])
-        m._force_checkpoint = True
-        m.commit([], [])  # roll the tail up so the probe sees pages only
-        seq = m.seq
+        m, seq, per = _build_label_chain(root, total_entries, n_labels, interleave)
 
         def cold_candidates(label: str):
             mirror = ManifestLog(root)
@@ -431,8 +511,15 @@ if __name__ == "__main__":
                     help="run the zipf-label follow-tail probe to this many commits")
     ap.add_argument("--interleave", action="store_true",
                     help="label-pages: adversarial round-robin label layout")
+    ap.add_argument("--layout-report", type=int, default=0,
+                    help="time the label-layout diagnostic at N manifest "
+                    "entries, both layouts (round-10)")
     args = ap.parse_args()
-    if args.label_tail:
+    if args.layout_report:
+        probe_layout_report(
+            args.layout_report, max(args.labels, 2) if args.labels else 64
+        )
+    elif args.label_tail:
         probe_label_tail(args.label_tail, max(args.labels, 2) if args.labels else 200)
     elif args.open:
         probe_open(args.open)
