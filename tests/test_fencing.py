@@ -738,3 +738,59 @@ def test_cas_pointer_loss_across_checkpoint_rollup(tmp_path, monkeypatch):
     assert fresh.version() == 11
     assert [r.version for r in fresh.scan_rows()] == list(range(1, 12))
     assert fresh.append("tail", '{"ok":1}').version == 12
+
+
+def test_cas_pointer_loss_flock_era_chain_recovers_via_scan(
+    spark, tmp_path, monkeypatch
+):
+    """Migration edge: a log written under FLOCK (its deltas carry no
+    head fields) is later operated under CAS and loses its pointer.
+    Roll-forward finds no head to adopt, so recovery re-derives the
+    head by scanning the manifest-listed data — which requires a
+    session, and never the directory listing."""
+    import fcntl
+
+    path = str(tmp_path / "flockera")
+    log = EventLog.create(spark, path)  # flock-mode history
+    for i in range(5):
+        log.append("e", json.dumps({"i": i}))
+    # migrate the log to cas, then lose the pointer
+    meta_path = os.path.join(path, "_eventlog_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["arbiter"] = "cas"
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    os.remove(os.path.join(path, "_state.json"))
+    monkeypatch.setattr(fcntl, "flock", _boom)
+
+    with pytest.raises(RuntimeError, match="spark session"):
+        EventLog.open(None, path)  # head scan needs a session
+
+    fresh = EventLog.open(spark, path)
+    assert fresh._arbiter == "cas"
+    assert fresh.version() == 5
+    assert [r.version for r in fresh.scan_rows()] == [1, 2, 3, 4, 5]
+    assert fresh.append("after", '{"ok":1}').version == 6
+
+
+def test_cas_pointer_and_chain_loss_refuses_silent_truncation(
+    tmp_path, monkeypatch
+):
+    """A non-empty CAS log whose pointer AND manifest chain are both
+    gone is unrecoverable BY DESIGN: the flock engine's directory-scan
+    answer is unsafe here (an unpublished loser's fragment may alias
+    committed versions), so the open must raise loudly rather than
+    serve an empty or doubled log."""
+    import fcntl
+
+    path = str(tmp_path / "gone")
+    EventLog.create(None, path, arbiter="cas")
+    monkeypatch.setattr(fcntl, "flock", _boom)
+    w = EventLog.open(None, path, arbiter="cas")
+    for i in range(3):
+        w.append("e", json.dumps({"i": i}))
+    os.remove(os.path.join(path, "_state.json"))
+    shutil.rmtree(os.path.join(path, "_manifest"))
+    with pytest.raises(RuntimeError, match="unrecoverable"):
+        EventLog.open(None, path, arbiter="cas")
