@@ -796,35 +796,44 @@ class EventLog:
 
     def _refresh_published_state(self) -> None:
         """Adopt the published state if another process advanced it.
-        No fallback scan here: a missing/corrupt state file just means
-        nobody published since we loaded — keep the in-memory view."""
+        No fallback scan on a missing/corrupt state file — under flock
+        that just means nobody published since we loaded. Under CAS the
+        pointer is only a CACHE, so the delta-chain roll-forward at the
+        bottom runs REGARDLESS of the pointer's condition: the stateful
+        model test (tests/test_cas_model.py) found that an early return
+        on a deleted pointer froze a stale writer's mirror, and its
+        commit retry loop — whose resync is exactly this method — then
+        lost the same already-claimed seq forever."""
+        st = None
         try:
             with open(self._state_path()) as f:
                 st = json.load(f)
             latest = int(st["latest_version"])
         except (FileNotFoundError, KeyError, ValueError):
-            return
-        seq = st.get("manifest_seq")
-        if seq is not None and self._manifest is not None:
-            # replay the other writer's delta records — O(their commits),
-            # covers compactions (a delta carries removes) without
-            # moving the head
-            try:
-                self._manifest.replay_to(int(seq))
-            except ManifestChainBroken:
-                pass  # readers fall back to the listing until re-adopted
-        if latest != self._latest and not (
-            self._arbiter == "cas" and latest < self._latest
-        ):
-            # (the guard: under CAS the pointer is a lagging CACHE — a
-            # writer that already rolled forward past it must never
-            # move its head backwards to a stale rename)
-            self._latest = latest
-            self._initial = int(st["version_initial"])
-            self._last_ts = int(st["last_timestamp"])
-            self._stream_commits = {
-                str(k): int(v) for k, v in st.get("stream_commits", {}).items()
-            }
+            st = None
+        if st is not None:
+            seq = st.get("manifest_seq")
+            if seq is not None and self._manifest is not None:
+                # replay the other writer's delta records — O(their
+                # commits), covers compactions (a delta carries removes)
+                # without moving the head
+                try:
+                    self._manifest.replay_to(int(seq))
+                except ManifestChainBroken:
+                    pass  # readers fall back to the listing until re-adopted
+            if latest != self._latest and not (
+                self._arbiter == "cas" and latest < self._latest
+            ):
+                # (the guard: under CAS the pointer is a lagging CACHE —
+                # a writer that already rolled forward past it must
+                # never move its head backwards to a stale rename)
+                self._latest = latest
+                self._initial = int(st["version_initial"])
+                self._last_ts = int(st["last_timestamp"])
+                self._stream_commits = {
+                    str(k): int(v)
+                    for k, v in st.get("stream_commits", {}).items()
+                }
         if self._arbiter == "cas" and self._manifest is not None:
             # the pointer is only a cache under CAS (racing pointer
             # renames can land out of order, and a writer may die after

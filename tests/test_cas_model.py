@@ -1,0 +1,136 @@
+"""Model-based stateful test of the CAS commit protocol.
+
+Hypothesis drives random interleavings of the operations two writer
+instances can perform against ONE log over the object-store fake
+(``MemoryClaimStore`` — conditional PUT only, flock exploded), checking
+every step against a trivially-correct model: the Python list of events
+in commit order. This is the property the whole multi-host design
+promises — whatever the interleaving of appends, OCC appends, minor
+folds, vacuums, pointer crashes, and reopens, the log IS the model:
+dense versions 1..N, every acked event present exactly once, in ack
+order. The example-based fencing tests pin known-dangerous schedules;
+this machine searches for unknown ones.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from hypothesis import settings
+from hypothesis import strategies as st
+from hypothesis.stateful import (
+    RuleBasedStateMachine,
+    initialize,
+    invariant,
+    rule,
+)
+
+from eventlog_spark.errors import MismatchingVersions
+from eventlog_spark.log import EventLog
+from eventlog_spark.manifest import MemoryClaimStore
+
+
+def _boom(*a, **k):  # pragma: no cover - trips only on a protocol bug
+    raise AssertionError("flock must not be taken under the cas arbiter")
+
+
+class CasProtocol(RuleBasedStateMachine):
+    def __init__(self):
+        super().__init__()
+        self._fcntl_patch = pytest.MonkeyPatch()
+        self._root = None
+
+    @initialize()
+    def fresh_log(self):
+        import fcntl
+
+        self._root = tempfile.mkdtemp(prefix="cas_model_")
+        self.path = os.path.join(self._root, "log")
+        self.store = MemoryClaimStore()
+        # create() bootstraps flock-mode by design (empty dir, no racers
+        # can exist); the flock ban starts at the first CAS open
+        EventLog.create(None, self.path, arbiter="cas", claim_store=self.store)
+        self._fcntl_patch.setattr(fcntl, "flock", _boom)
+        self.writers = [self._open(), self._open()]
+        self.model: list[tuple[str, str]] = []  # (label, payload) by version
+
+    def _open(self) -> EventLog:
+        return EventLog.open(
+            None, self.path, arbiter="cas", claim_store=self.store
+        )
+
+    # -- operations ------------------------------------------------------------
+
+    @rule(w=st.integers(0, 1), i=st.integers(0, 999))
+    def append(self, w, i):
+        payload = json.dumps({"w": w, "i": i}, separators=(",", ":"))
+        r = self.writers[w].append(f"w{w}", payload)
+        self.model.append((f"w{w}", payload))
+        assert r.version == len(self.model)  # exactly the next version
+
+    @rule(w=st.integers(0, 1), stale=st.booleans())
+    def append_check(self, w, stale):
+        payload = json.dumps({"occ": w}, separators=(",", ":"))
+        if stale and self.model:
+            # a wrong assumed head must be refused and commit NOTHING
+            with pytest.raises(MismatchingVersions):
+                self.writers[w].append_check(
+                    len(self.model) + 7, "occ", payload
+                )
+        else:
+            r = self.writers[w].append_check(len(self.model), "occ", payload)
+            self.model.append(("occ", payload))
+            assert r.version == len(self.model)
+
+    @rule(w=st.integers(0, 1))
+    def minor_compact(self, w):
+        self.writers[w].minor_compact()  # pure maintenance: model unchanged
+
+    @rule(w=st.integers(0, 1), now=st.booleans())
+    def vacuum(self, w, now):
+        self.writers[w].vacuum(grace_seconds=0 if now else None)
+
+    @rule(w=st.integers(0, 1))
+    def reopen(self, w):
+        self.writers[w] = self._open()
+
+    @rule()
+    def crash_pointer(self):
+        # the pointer file is a CACHE under CAS: losing it entirely must
+        # cost nothing once a fresh open re-positions on the chain
+        try:
+            os.remove(os.path.join(self.path, "_state.json"))
+        except FileNotFoundError:
+            pass
+        self.writers[0] = self._open()
+
+    # -- the property ------------------------------------------------------------
+
+    @invariant()
+    def log_is_the_model(self):
+        if self._root is None:  # before @initialize
+            return
+        # the documented visibility contract: a handle serves its last
+        # KNOWN head (read-your-own-writes) until it refreshes — so the
+        # property is stated over a refreshed view, exactly what a
+        # fresh reader (or the next commit's resync) sees
+        self.writers[0]._refresh_published_state()
+        rows = self.writers[0].scan_rows() if self.model else []
+        assert [r.version for r in rows] == list(range(1, len(self.model) + 1))
+        assert [(r.label, r.payload) for r in rows] == self.model
+        assert self.writers[0].version() == len(self.model)
+
+    def teardown(self):
+        self._fcntl_patch.undo()
+        if self._root is not None:
+            shutil.rmtree(self._root, ignore_errors=True)
+
+
+TestCasProtocol = CasProtocol.TestCase
+TestCasProtocol.settings = settings(
+    max_examples=15, stateful_step_count=25, deadline=None
+)
