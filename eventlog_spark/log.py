@@ -336,7 +336,7 @@ class EventLog:
         # deployment passes the store matching its substrate (object
         # store conditional PUT); the fencing tests pass
         # MemoryClaimStore to prove the CAS arbiter needs nothing
-        # beyond the 4-method contract.
+        # beyond the 5-method contract.
         self._claim_store = claim_store
         self.spark = spark
         self.path = path
@@ -2378,6 +2378,16 @@ class EventLog:
                 kept.append(batch)
                 continue
             for f in batch.get("files", []):
+                # superseded MANIFEST records delete through the claim
+                # store (the seam that wrote them — on an object store
+                # this is the DELETE call, not a filesystem unlink);
+                # data fragments are plain files either way
+                if (
+                    f.startswith("_manifest" + os.sep) or f.startswith("_manifest/")
+                ) and self._manifest is not None:
+                    if self._manifest._store.delete(os.path.basename(f)):
+                        removed += 1
+                    continue
                 try:
                     os.remove(os.path.join(self.path, f))
                     removed += 1

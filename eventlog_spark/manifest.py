@@ -100,6 +100,13 @@ class PosixClaimStore:
         except FileNotFoundError:
             return None
 
+    def delete(self, name: str) -> bool:
+        try:
+            os.remove(self._p(name))
+            return True
+        except FileNotFoundError:
+            return False
+
     def names(self) -> list[str]:
         try:
             return [n for n in os.listdir(self._root) if not n.startswith(".")]
@@ -115,7 +122,7 @@ class MemoryClaimStore:
     write — with NO rename, NO hard link, NO flock anywhere. Shared
     between EventLog instances, it stands in for the bucket in the
     multi-writer fencing tests, proving the commit arbiter depends on
-    nothing beyond the 4-method ClaimStore contract. In-process only
+    nothing beyond the 5-method ClaimStore contract. In-process only
     (a dict under one lock); the cross-process storms keep exercising
     the POSIX store."""
 
@@ -137,6 +144,10 @@ class MemoryClaimStore:
     def get(self, name: str) -> bytes | None:
         with self._lock:
             return self._objs.get(name)
+
+    def delete(self, name: str) -> bool:
+        with self._lock:
+            return self._objs.pop(name, None) is not None
 
     def names(self) -> list[str]:
         with self._lock:
@@ -206,7 +217,7 @@ class ManifestLog:
     def __init__(self, log_dir: str, store=None):
         self._dir = os.path.join(log_dir, "_manifest")
         # Every manifest read and write goes through the claim store —
-        # the 4-method seam (put / put_if_absent / get / names) a
+        # the 5-method seam (put / put_if_absent / get / delete / names) a
         # shared store must offer. Default: the POSIX directory store;
         # MemoryClaimStore models an object store for the fencing
         # tests. The put_if_absent of the delta seq IS the CAS commit

@@ -98,6 +98,24 @@ class CasProtocol(RuleBasedStateMachine):
     def reopen(self, w):
         self.writers[w] = self._open()
 
+    @rule(w=st.integers(0, 1), i=st.integers(0, 999))
+    def append_with_pointer_rollback(self, w, i):
+        """A commit whose pointer rename is lost (crash, or a racing
+        rename landing out of order): the claimed DELTA is the commit —
+        the model keeps the event, and every later view must too."""
+        state = os.path.join(self.path, "_state.json")
+        saved = None
+        if os.path.exists(state):
+            with open(state) as f:
+                saved = f.read()
+        payload = json.dumps({"w": w, "i": i, "rb": 1}, separators=(",", ":"))
+        r = self.writers[w].append(f"w{w}", payload)
+        self.model.append((f"w{w}", payload))
+        assert r.version == len(self.model)
+        if saved is not None:
+            with open(state, "w") as f:
+                f.write(saved)  # the pointer rolls back; the delta stands
+
     @rule()
     def crash_pointer(self):
         # the pointer file is a CACHE under CAS: losing it entirely must
