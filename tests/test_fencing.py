@@ -794,3 +794,62 @@ def test_cas_pointer_and_chain_loss_refuses_silent_truncation(
     shutil.rmtree(os.path.join(path, "_manifest"))
     with pytest.raises(RuntimeError, match="unrecoverable"):
         EventLog.open(None, path, arbiter="cas")
+
+
+def test_cas_storm_survives_pointer_chaos(tmp_path):
+    """Chaos-monkey regression for the model-found resync bug: while
+    four CAS writer processes storm the log, this process repeatedly
+    DELETES the pointer file and rolls it back to a stale snapshot.
+    Under CAS the pointer is only a cache, so the storm must finish
+    with every fencing property intact — pre-fix, a writer whose resync
+    hit a missing pointer froze its mirror and lost the same claimed
+    seq forever (commit failure after ~4096 retries)."""
+    import time as _t
+
+    path = str(tmp_path / "chaos")
+    EventLog.create(None, path, arbiter="cas")
+    n_writers, n_each = 4, 15
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, "-c", _CAS_WRITER,
+                repo, path, str(wid), str(n_each), "0.01",
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for wid in range(n_writers)
+    ]
+    state = os.path.join(path, "_state.json")
+    stale = None
+    while any(p.poll() is None for p in procs):
+        try:
+            with open(state) as f:
+                snap = f.read()
+            if stale is None:
+                stale = snap
+            os.remove(state)  # the pointer vanishes mid-commit
+            _t.sleep(0.02)
+            with open(state + ".tmp", "w") as f:
+                f.write(stale)  # ...and comes back ARBITRARILY STALE
+            os.replace(state + ".tmp", state)
+        except FileNotFoundError:
+            pass
+        _t.sleep(0.02)
+
+    wins: list[int] = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"writer failed under chaos:\n{err[-2000:]}"
+        (line,) = [ln for ln in out.splitlines() if ln.startswith("WINS:")]
+        wins.extend(int(v) for v in line[5:].split(","))
+    total = n_writers * n_each
+    assert sorted(wins) == list(range(1, total + 1))  # exactly-one-winner held
+
+    fresh = EventLog.open(None, path, arbiter="cas")
+    assert fresh.version() == total  # roll-forward past whatever chaos left
+    rows = fresh.scan_rows()
+    assert [r.version for r in rows] == list(range(1, total + 1))
+    assert fresh.append("after-chaos", '{"ok":1}').version == total + 1
