@@ -152,3 +152,131 @@ TestCasProtocol = CasProtocol.TestCase
 TestCasProtocol.settings = settings(
     max_examples=15, stateful_step_count=25, deadline=None
 )
+
+
+class CasProtocolWithSpark(RuleBasedStateMachine):
+    """The Spark-path extension of the machine above: bulk appends
+    (with and without stream-txn idempotence markers, including forced
+    replays), major compactions (both layouts), folds, vacuums, and
+    pointer crashes interleaved by two writers over the object-store
+    fake. Small example counts — every step is a real Spark job — but
+    the space it walks (bulk staging + re-base publishes + txn unwind
+    + compaction tombstones) is exactly where round-9's data-loss bugs
+    lived."""
+
+    def __init__(self):
+        super().__init__()
+        self._fcntl_patch = pytest.MonkeyPatch()
+        self._root = None
+
+    @initialize()
+    def fresh_log(self):
+        import fcntl
+
+        from eventlog_spark.session import get_spark
+
+        self.spark = get_spark(app_name="cas_model_spark")
+        self._root = tempfile.mkdtemp(prefix="cas_model_spark_")
+        self.path = os.path.join(self._root, "log")
+        self.store = MemoryClaimStore()
+        EventLog.create(None, self.path, arbiter="cas", claim_store=self.store)
+        self._fcntl_patch.setattr(fcntl, "flock", _boom)
+        self.writers = [self._open(), self._open()]
+        self.model: list[tuple[str, str]] = []
+        self.txn_epoch = 0
+
+    def _open(self) -> EventLog:
+        return EventLog.open(
+            self.spark, self.path, arbiter="cas", claim_store=self.store
+        )
+
+    def _batch(self, w: int, n: int, base: int):
+        from pyspark.sql import functions as F
+
+        return self.spark.range(base, base + n).select(
+            F.lit(f"bulk{w}").alias("label"),
+            F.format_string('{"i":%d}', F.col("id")).alias("payload"),
+            "id",
+        )
+
+    # -- operations ------------------------------------------------------------
+
+    @rule(w=st.integers(0, 1), i=st.integers(0, 999))
+    def append(self, w, i):
+        payload = json.dumps({"w": w, "i": i}, separators=(",", ":"))
+        r = self.writers[w].append(f"w{w}", payload)
+        self.model.append((f"w{w}", payload))
+        assert r.version == len(self.model)
+
+    @rule(w=st.integers(0, 1), n=st.integers(1, 3), base=st.integers(0, 99))
+    def bulk_append(self, w, n, base):
+        r = self.writers[w].append_dataframe(
+            self._batch(w, n, base), order_cols=["id"]
+        )
+        for i in range(base, base + n):
+            self.model.append((f"bulk{w}", '{"i":%d}' % i))
+        assert r is not None and r.version == len(self.model)
+
+    @rule(w=st.integers(0, 1), n=st.integers(1, 3))
+    def bulk_append_txn_then_replay(self, w, n):
+        """Exactly-once: epoch N commits once; the replayed micro-batch
+        (same epoch) must return None and change NOTHING."""
+        self.txn_epoch += 1
+        batch = self._batch(w, n, 500 + self.txn_epoch)
+        r = self.writers[w].append_dataframe(
+            batch, order_cols=["id"], txn=("model", self.txn_epoch)
+        )
+        for i in range(500 + self.txn_epoch, 500 + self.txn_epoch + n):
+            self.model.append((f"bulk{w}", '{"i":%d}' % i))
+        assert r is not None and r.version == len(self.model)
+        assert (
+            self.writers[w].append_dataframe(
+                batch, order_cols=["id"], txn=("model", self.txn_epoch)
+            )
+            is None
+        )
+
+    @rule(w=st.integers(0, 1), cluster=st.booleans())
+    def compact(self, w, cluster):
+        self.writers[w].compact(
+            target_partitions=2, cluster_by="label" if cluster else None
+        )
+
+    @rule(w=st.integers(0, 1))
+    def minor_compact(self, w):
+        self.writers[w].minor_compact()
+
+    @rule(w=st.integers(0, 1), now=st.booleans())
+    def vacuum(self, w, now):
+        self.writers[w].vacuum(grace_seconds=0 if now else None)
+
+    @rule()
+    def crash_pointer(self):
+        try:
+            os.remove(os.path.join(self.path, "_state.json"))
+        except FileNotFoundError:
+            pass
+        self.writers[0] = self._open()
+
+    # -- the property ------------------------------------------------------------
+
+    @invariant()
+    def log_is_the_model(self):
+        if self._root is None:
+            return
+        self.writers[0]._refresh_published_state()
+        rows = self.writers[0].scan_rows() if self.model else []
+        assert [r.version for r in rows] == list(range(1, len(self.model) + 1))
+        assert [(r.label, r.payload) for r in rows] == self.model
+        assert self.writers[0].version() == len(self.model)
+
+    def teardown(self):
+        self._fcntl_patch.undo()
+        if self._root is not None:
+            shutil.rmtree(self._root, ignore_errors=True)
+
+
+TestCasProtocolWithSpark = CasProtocolWithSpark.TestCase
+TestCasProtocolWithSpark.settings = settings(
+    max_examples=3, stateful_step_count=8, deadline=None
+)
