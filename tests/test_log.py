@@ -1085,3 +1085,41 @@ def test_bulk_crash_truncates_named_orphans_without_listing(
     r = fresh.append_dataframe(batch, order_cols=["id"])
     assert r is not None and r.version == 5  # versions were never burned
     assert [x.version for x in fresh.scan_rows()] == [1, 2, 3, 4, 5]
+
+
+def test_label_layout_report_bulk_and_empty_edges(spark, tmp_path, monkeypatch):
+    """Edges of the layout diagnostic: (a) an EMPTY log reports usable
+    with nothing to recommend; (b) a log holding only BULK fragments —
+    whose entries carry footer-derived label BOUNDS but no exact bloom
+    — still produces a report with default-sampled labels drawn from
+    those bounds, and never crashes on the stat shape."""
+    from pyspark.sql import functions as F
+
+    from eventlog_spark.manifest import ManifestLog
+
+    monkeypatch.setattr(ManifestLog, "PAGE_ENTRIES", 4)
+    monkeypatch.setattr(ManifestLog, "CHECKPOINT_EVERY", 4)
+
+    path = str(tmp_path / "empty")
+    log = EventLog.create(spark, path)
+    rep = log.label_layout_report()
+    assert rep["usable"] and rep["recommend_cluster_by_label"] is False
+    assert rep["files_total"] == 0 and rep["labels_probed"] == []
+
+    path2 = str(tmp_path / "bulkonly")
+    log2 = EventLog.create(spark, path2)
+    for start in range(0, 24, 4):  # 6 bulk commits -> pages roll up
+        batch = spark.range(start, start + 4).select(
+            F.format_string("lab%d", F.col("id") % 3).alias("label"),
+            F.format_string('{"i":%d}', F.col("id")).alias("payload"),
+            "id",
+        )
+        log2.append_dataframe(batch, order_cols=["id"])
+    rep2 = log2.label_layout_report()
+    assert rep2["usable"] and rep2["files_total"] > 0
+    # default labels sampled from the bulk footers' bounds — real labels
+    assert rep2["labels_probed"] and all(
+        lab.startswith("lab") for lab in rep2["labels_probed"]
+    )
+    for stats in rep2["labels"].values():
+        assert stats["candidate_files"] > 0  # bounds keep real candidates
