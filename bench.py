@@ -24,6 +24,33 @@ from eventlog_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Inter-query settling on by default; SPARK_GRAFT_BENCH_SETTLE=0 restores
+# the raw back-to-back behaviour (for measuring the settle cost itself).
+SETTLE = os.environ.get("SPARK_GRAFT_BENCH_SETTLE", "1") != "0"
+
+
+def _settle(spark) -> None:
+    """Un-timed inter-query hygiene (round-10 verdict item 3): the
+    suite previously billed one query's cleanup debt to the NEXT
+    query's wall clock — json_extract sits alphabetically right after
+    join_skew_salted's deliberately exploded shuffle and inherited
+    seconds of GC/shuffle-cleanup, so every round's record diff needed
+    a manual standalone re-measure to adjudicate the outlier. Between
+    queries: drop Python-side DataFrame refs, nudge a JVM full GC
+    (which is what lets Spark's ContextCleaner reclaim dereferenced
+    shuffles/broadcasts), and give the async cleaner a breath — all
+    OUTSIDE the timed window. Session caches are deliberately NOT
+    cleared: shared dedup/ANN artifacts staying warm across the suite
+    IS the standing bench protocol."""
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass  # JVM gateway quirk: settling is best-effort
+    time.sleep(0.05)
+
 
 def sf_of(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
@@ -43,10 +70,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, spec in sorted(REGISTRY.items()):
+        if SETTLE:
+            _settle(spark)
         t0 = time.monotonic()
         df = spec.fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
+        df = None  # release the plan so settling can reclaim its shuffles
 
     total = round(sum(timings.values()), 3)
     doc = {

@@ -87,6 +87,13 @@ EVENT_SCHEMA = StructType(
 
 _STATE_FILE = "_state.json"  # leading underscore → invisible to parquet readers
 _META_FILE = "_eventlog_meta.json"
+# Exclusive-create sidecar arbitrating WHICH arbiter a legacy log (created
+# before the meta field existed) is adopted under: first creator wins, a
+# racing explicit open with a conflicting choice is refused. Underscore
+# prefix keeps it out of _data_files' listing.
+_ARBITER_CLAIM_FILE = _META_FILE + ".arbiter"
+# Private sentinel for create()'s bootstrap open (never persisted).
+_BOOTSTRAP_ARBITER = "_bootstrap"
 _COMMIT_LOCK_FILE = "_commit.lock"  # cross-process commit mutex (flock)
 _INTENT_FILE = "_intent.json"  # commit-intent record → O(1) orphan check on open
 
@@ -307,7 +314,7 @@ class EventLog:
         arbiter: str | None = None,
         claim_store=None,
     ):
-        if arbiter not in (None, "flock", "cas"):
+        if arbiter not in (None, "flock", "cas", _BOOTSTRAP_ARBITER):
             raise ValueError(f"unknown commit arbiter {arbiter!r}")
         # The arbiter is a property of the LOG, not of one open: a
         # flock-mode open of a CAS-operated log bypasses the claim
@@ -316,20 +323,34 @@ class EventLog:
         # choice persists in _eventlog_meta.json at create time;
         # arbiter=None adopts it, an explicit mismatch is refused, and
         # an explicit choice on a legacy log (no recorded arbiter) is
-        # recorded so every later default open agrees.
-        persisted = self._persisted_arbiter(path)
-        if arbiter is None:
-            arbiter = persisted or "flock"
-        elif persisted is not None and arbiter != persisted:
-            raise ValueError(
-                f"log at {path} is operated under the {persisted!r} commit "
-                f"arbiter; refusing to open it as {arbiter!r} — a flock-mode "
-                "open of a cas-operated log truncates other hosts' in-flight "
-                "commits as orphans. Edit the 'arbiter' field in "
-                f"{_META_FILE} only when no writer anywhere is live."
-            )
-        elif persisted is None and path is not None:
-            self._persist_arbiter(path, arbiter)
+        # recorded — arbitrated by an exclusive-create claim sidecar so
+        # two racing explicit opens with DIFFERENT choices can never
+        # both proceed (round-10 advice).
+        if arbiter == _BOOTSTRAP_ARBITER:
+            # create()'s bootstrap open: the meta file already records
+            # the target arbiter (written before any open exists, so a
+            # crash mid-create can never leave a log whose later
+            # default opens silently adopt flock — round-10 advice),
+            # but the empty log has no state file yet and a CAS open
+            # refuses the directory-listing recovery that bootstrapping
+            # needs. So bootstrap runs flock-mode regardless. Safe:
+            # makedirs(exist_ok=False) arbitrates create races, no
+            # other writer can exist before create() returns.
+            arbiter = "flock"
+        else:
+            persisted = self._persisted_arbiter(path)
+            if arbiter is None:
+                arbiter = persisted or "flock"
+            elif persisted is not None and arbiter != persisted:
+                raise ValueError(
+                    f"log at {path} is operated under the {persisted!r} commit "
+                    f"arbiter; refusing to open it as {arbiter!r} — a flock-mode "
+                    "open of a cas-operated log truncates other hosts' in-flight "
+                    "commits as orphans. Edit the 'arbiter' field in "
+                    f"{_META_FILE} only when no writer anywhere is live."
+                )
+            elif persisted is None and path is not None:
+                self._persist_arbiter(path, arbiter)
         self._arbiter = arbiter
         # Manifest I/O seam (manifest.py ClaimStore contract): None =
         # the POSIX directory store under <path>/_manifest. A shared
@@ -410,10 +431,21 @@ class EventLog:
 
     @staticmethod
     def _persisted_arbiter(path: str | None) -> str | None:
-        """The commit arbiter recorded in the log's meta file, or None
-        for legacy logs created before the field existed."""
+        """The commit arbiter this log is operated under: the
+        exclusive-create claim sidecar when present (the arbitration
+        point for legacy-log adoption — it exists the instant a choice
+        is won, even in the crash window before the meta patch), else
+        the meta file's field (written at create() since round 11),
+        else None for a legacy log nobody has claimed."""
         if path is None:
             return None
+        try:
+            with open(os.path.join(path, _ARBITER_CLAIM_FILE)) as f:
+                a = f.read().strip()
+            if a in ("flock", "cas"):
+                return a
+        except OSError:
+            pass
         try:
             with open(os.path.join(path, _META_FILE)) as f:
                 a = json.load(f).get("arbiter")
@@ -423,10 +455,42 @@ class EventLog:
 
     @staticmethod
     def _persist_arbiter(path: str, arbiter: str) -> None:
-        """Record an explicitly chosen arbiter into a legacy log's meta
-        file (atomic rename; racing explicit opens write identical
-        bytes). Best-effort: a read-only mount just leaves the log
-        legacy, exactly as before."""
+        """Record an explicitly chosen arbiter on a LEGACY log (created
+        before the meta field existed). Round-10 advice: two racing
+        explicit opens with DIFFERENT arbiters must not both proceed —
+        a last-replace-wins meta patch would let conflicting commit
+        protocols run concurrently on one log. Arbitration is an
+        exclusive whole-file create (O_CREAT|O_EXCL — put_if_absent
+        semantics, the same primitive the CAS manifest claim uses):
+        the first creator wins; a loser whose choice matches adopts
+        silently; a loser with a conflicting choice is refused. The
+        meta field is then patched best-effort for humans and legacy
+        readers — _persisted_arbiter consults the claim first, so a
+        crash between claim and patch loses nothing."""
+        claim_path = os.path.join(path, _ARBITER_CLAIM_FILE)
+        try:
+            fd = os.open(claim_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            try:
+                os.write(fd, arbiter.encode())
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        except FileExistsError:
+            try:
+                with open(claim_path) as f:
+                    won = f.read().strip()
+            except OSError:
+                won = ""
+            if won in ("flock", "cas") and won != arbiter:
+                raise ValueError(
+                    f"log at {path} was concurrently claimed under the "
+                    f"{won!r} commit arbiter; refusing to open it as "
+                    f"{arbiter!r} — two commit protocols must never run "
+                    "concurrently on one log."
+                )
+            # same choice (or a torn claim): idempotent, fall through
+        except OSError:
+            return  # read-only mount: the log just stays legacy
         meta_path = os.path.join(path, _META_FILE)
         try:
             with open(meta_path) as f:
@@ -460,16 +524,27 @@ class EventLog:
         if arbiter not in ("flock", "cas"):
             raise ValueError(f"unknown commit arbiter {arbiter!r}")
         os.makedirs(path, exist_ok=False)
+        # The arbiter rides in the INITIAL meta write (round-10 advice):
+        # recording it only after the bootstrap open left a crash
+        # window in which a cas log's later default opens would
+        # silently adopt flock — the exact mixed-protocol hazard the
+        # field exists to prevent.
         with open(os.path.join(path, _META_FILE), "w") as f:
-            json.dump({"metadata": metadata or {}, "format_version": 1}, f)
+            json.dump(
+                {"metadata": metadata or {}, "format_version": 1,
+                 "arbiter": arbiter},
+                f,
+            )
         # Bootstrap open runs flock-mode regardless of the target
-        # arbiter: the empty log has no state file yet, and a CAS open
-        # refuses the directory-listing recovery that bootstrapping
-        # needs. Safe — makedirs(exist_ok=False) arbitrates create
-        # races, so no other writer can exist before this returns.
-        log = cls(spark, path, claim_store=claim_store)
+        # arbiter (the _BOOTSTRAP_ARBITER sentinel): the empty log has
+        # no state file yet, and a CAS open refuses the
+        # directory-listing recovery that bootstrapping needs. Safe —
+        # makedirs(exist_ok=False) arbitrates create races, so no
+        # other writer can exist before this returns.
+        log = cls(
+            spark, path, arbiter=_BOOTSTRAP_ARBITER, claim_store=claim_store
+        )
         log._write_state()
-        cls._persist_arbiter(path, arbiter)
         log._arbiter = arbiter
         return log
 
@@ -1063,9 +1138,10 @@ class EventLog:
             return False
         try:
             with open(self._state_path()) as f:
-                seq = json.load(f).get("manifest_seq")
+                st = json.load(f)
+            seq = st.get("manifest_seq")
         except (FileNotFoundError, ValueError):
-            seq = None
+            st, seq = None, None
         if seq is None:
             # pre-publish window of an adoption: the in-memory mirror IS
             # the current view (same as the old in-memory list fallback)
@@ -1076,9 +1152,35 @@ class EventLog:
             except ManifestChainBroken:
                 return False
             if self._arbiter == "cas":
-                # the pointer is a cache under CAS — the delta chain is
-                # the truth; pick up claimed-but-not-yet-pointed commits
-                self._manifest.roll_forward()
+                # Under CAS the mirror must never advance past the head
+                # (round-10 advice): a sync that absorbs another
+                # writer's fragment into names() while self._latest
+                # still lags leaves any caller pairing the two
+                # (compact's snapshot) with an inconsistent
+                # (files, head) pair — compact's `version <=
+                # snap_latest` filter would drop the absorbed commit's
+                # rows while its fragment is swept into the rewrite set
+                # and retired: committed events permanently lost. Two
+                # adoption steps, matching the two ways the mirror just
+                # advanced: (1) the pointer's own head fields cover the
+                # deltas replay_to consumed (replay applies file
+                # changes but discards per-delta heads); (2) the
+                # rolled-forward delta head covers
+                # claimed-but-not-yet-pointed commits past the
+                # pointer. Both monotonic (never move the head
+                # backwards), so pure readers only gain freshness.
+                try:
+                    self._adopt_cas_head(
+                        {
+                            "latest": int(st["latest_version"]),
+                            "initial": int(st["version_initial"]),
+                            "ts": int(st["last_timestamp"]),
+                            "sc": st.get("stream_commits", {}),
+                        }
+                    )
+                except (KeyError, TypeError, ValueError):
+                    pass  # torn/legacy pointer: roll-forward still runs
+                self._adopt_cas_head(self._manifest.roll_forward())
         return True
 
     def _manifest_files(self) -> list[str]:
@@ -2129,8 +2231,18 @@ class EventLog:
             # collides on the claim and the publish RE-BASES over it
             # (_publish_rebase_on_claim_loss) — adopting the added
             # fragments, never retiring them.
-            old = self._manifest_files()
+            #
+            # ATOMIC PAIR (round-10 advice): the file set and the head
+            # must come from the SAME roll-forward point. The sync
+            # inside _manifest_files now adopts the rolled-forward
+            # delta head AND the pointer's head fields (neither is
+            # discarded), and the RLock held across the pair stops an
+            # in-process thread from advancing either half between the
+            # two reads — so a CAS commit absorbed into `old` during
+            # the sync is always covered by snap_latest and its rows
+            # survive the rewrite.
             with self._lock:
+                old = self._manifest_files()
                 snap_latest = self._latest
             files = [
                 os.path.join(self.path, f)

@@ -96,23 +96,29 @@ _loaded = False
 # goes dead LAST so a harness abort there cannot cost any other query
 # its row.
 #
-# ROUND-10 ROTATION (executes the registry's round-10 note + the r9
+# ROUND-11 ROTATION (executes the registry's round-11 note + the r10
 # verdict's item 1): every query is cumulatively green (187/187, zero
 # latest-red), so the window is freshness- and touch-driven:
 # (a) the 10 log-family queries — the storage layer changed AGAIN this
-#     round (compact snapshot-first fence under CAS, bulk _write_out
-#     staging-dir rewrite with exact-name intents, bulk-loser in-memory
-#     unwind incl. stream-txn markers, arbiter persisted in the meta
-#     file at create), so everything that creates/appends/scans/
-#     compacts through the engine re-proves on the new paths;
-# (b) 40 of the 45 rotatable round-6 rows (the oldest cohort),
-#     including twice-deferred timeseries_gapfill; deferred to round 11
-#     (simple relational ops, lowest regression surface): setop_except,
-#     setop_intersect, topk_orders, unpivot_lineitem_metrics,
-#     window_topk_per_group. join_bucketed_colocated stays pinned in
-#     _LAST (side-effectful) and is checked by its own suite tests.
-# ROUND-11 NOTE: rotate in the 5 deferred r6 rows above plus the
-# round-7 cohort's oldest, plus anything round 11 touches.
+#     round (round-10 advice: _sync_manifest_to_pointer now adopts the
+#     pointer head + rolled-forward delta head so (files, head) pairs
+#     are consistent; compact captures its snapshot pair atomically
+#     under the RLock; the arbiter rides in create()'s INITIAL meta
+#     write behind a _BOOTSTRAP sentinel open; legacy-log arbiter
+#     adoption is arbitrated by an exclusive-create claim sidecar), so
+#     everything that creates/opens/appends/scans/compacts through the
+#     engine re-proves on the new paths;
+# (b) the 5 rows deferred from round 6 (setop_except, setop_intersect,
+#     topk_orders, unpivot_lineitem_metrics, window_topk_per_group);
+# (c) 35 of the 50 round-7 rows (now the oldest cohort); deferred to
+#     round 12 (pure deterministic relational ops, lowest regression
+#     surface, same rationale as the r10 deferral): the 12 TPC-H rows
+#     q4/q6/q7/q8/q13/q14/q15/q16/q17/q19/q20/q22 plus date_functions,
+#     scalar_functions, window_running_total.
+#     join_bucketed_colocated stays pinned in _LAST (side-effectful)
+#     and is checked by its own suite tests.
+# ROUND-12 NOTE: rotate in the 15 deferred r7 rows above plus the
+# oldest round-8 cohort, plus anything round 12 touches.
 _FIRST_50 = [
     # (a) storage layer changed again - whole log family re-proves
     "eventlog_engine_roundtrip",
@@ -125,47 +131,48 @@ _FIRST_50 = [
     "log_scan_skip_first",
     "log_version_bounds",
     "log_compact_label_clustered",
-    # (b) the 40 oldest round-6 rows
-    "ann_ivf_pq",
-    "ann_ivf_probed",
-    "ann_lsh_bucketed",
-    "ann_lsh_multiprobe",
-    "ann_matryoshka_probe",
-    "ann_range_search",
-    "ann_topk_bruteforce",
-    "corpus_epoch_plan",
-    "corpus_ngram_novelty",
-    "corpus_padding_waste",
-    "decontaminate_semantic",
-    "dedup_connected_components",
-    "dedup_incremental_minhash",
-    "dedup_keep_best",
-    "dedup_lsh_verified",
-    "dedup_minhash_calibration",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_substring_exact",
-    "embedding_cluster_resample",
-    "embedding_isolation_audit",
-    "graph_triangle_count",
-    "hybrid_rrf_fusion",
-    "integrity_adjacent_skewed",
-    "mixture_reweight_excess",
-    "multimodal_audio_decode",
-    "multimodal_image_decode",
-    "q21_waiting_suppliers",
-    "quality_probe_eval",
-    "quality_probe_train",
-    "sample_importance_dsir",
-    "split_leakage_audit",
-    "stream_real_join",
-    "stream_real_watermark_drop",
-    "text_bpe_encode",
-    "text_bpe_roundtrip",
-    "text_bpe_train",
-    "text_pii_redact",
-    "text_tokenizer_fertility",
-    "timeseries_gapfill",
+    # (b) the 5 rows deferred from round 6
+    "setop_except",
+    "setop_intersect",
+    "topk_orders",
+    "unpivot_lineitem_metrics",
+    "window_topk_per_group",
+    # (c) 35 of the round-7 cohort, oldest first surface
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "agg_rollup",
+    "approx_distinct_hll",
+    "approx_distinct_kmv",
+    "array_collect_ops",
+    "chunk_overlap_windows",
+    "dedup_embedding_cosine",
+    "explode_unnest",
+    "join_anti",
+    "join_asof",
+    "join_broadcast_dim",
+    "join_range",
+    "join_semi",
+    "join_skew_salted",
+    "json_extract",
+    "multimodal_jpeg_decode",
+    "multimodal_video_frames",
+    "multimodal_video_scene_cuts",
+    "stream_dedup",
+    "stream_interval_join",
+    "stream_session_window",
+    "stream_static_enrich",
+    "stream_threshold_alert",
+    "stream_tumbling_window",
+    "text_bpe_encode_scaled",
+    "text_bpe_train_scaled",
+    "text_fingerprint",
+    "text_lang_stats",
+    "text_quality",
+    "text_rolling_hash",
+    "text_token_count",
+    "timeseries_rollup",
 ]
 
 # catalog side effects (SparkSQL bucketed-table DDL) — dead last in the

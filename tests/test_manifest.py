@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import pytest
 
@@ -395,3 +396,51 @@ def test_eight_process_occ_manifest_storm(spark, tmp_path):
     assert audit.checksum_violations == 0
     assert audit.chain_violations == 0
     assert audit.payload_violations == 0
+
+
+def test_socket_claim_store_contract(tmp_path):
+    """claimsvc: the served object-store contract behaves exactly like
+    the other two ClaimStores — atomic whole-object put, conditional
+    put_if_absent (exactly one winner under concurrency), strong
+    read-after-write get, delete, list — across SEPARATE client
+    connections (each EventLog instance owns one)."""
+    import tempfile
+    import threading
+
+    from eventlog_spark.claimsvc import ClaimServer, SocketClaimStore
+
+    d = tempfile.mkdtemp(prefix="claimsvc-", dir="/tmp")
+    srv = ClaimServer(os.path.join(d, "s")).start()
+    try:
+        a = SocketClaimStore(srv.socket_path)
+        b = SocketClaimStore(srv.socket_path)
+        assert a.get("x") is None
+        a.put("x", b"v1")
+        assert b.get("x") == b"v1"  # read-after-write across clients
+        a.put("x", b"v2")  # unconditional put overwrites
+        assert b.get("x") == b"v2"
+        assert not b.put_if_absent("x", b"loser")  # name taken
+        assert b.get("x") == b"v2"  # loser wrote nothing
+        assert a.put_if_absent("y", b"w")  # free name claims
+        assert sorted(a.names()) == ["x", "y"]
+        assert b.delete("x") and not b.delete("x")
+        assert a.names() == ["y"]
+        # conditional PUT under real concurrency: 16 threads x own
+        # connection race for one name - exactly one winner
+        results = []
+        stores = [SocketClaimStore(srv.socket_path) for _ in range(16)]
+
+        def claim(i):
+            results.append((i, stores[i].put_if_absent("race", b"%d" % i)))
+
+        ts = [threading.Thread(target=claim, args=(i,)) for i in range(16)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=30)
+        winners = [i for i, ok in results if ok]
+        assert len(results) == 16 and len(winners) == 1
+        assert a.get("race") == b"%d" % winners[0]  # winner's bytes, whole
+    finally:
+        srv.stop()
+        shutil.rmtree(d, ignore_errors=True)
