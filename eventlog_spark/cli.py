@@ -172,6 +172,23 @@ def main(argv: list[str] | None = None) -> int:
     )
     _add_arbiter_flag(p_stats)
 
+    p_maintain = sub.add_parser(
+        "maintain",
+        help="layout autopilot: probe label-layout health and, when the "
+        "report recommends it, run the label-clustered compaction "
+        "(safe under live writers — the publish re-bases across "
+        "concurrent commits)",
+    )
+    p_maintain.add_argument("path")
+    p_maintain.add_argument(
+        "--label",
+        action="append",
+        default=None,
+        help="probe this label (repeatable); default: a sample drawn "
+        "from the manifest's own label bounds",
+    )
+    _add_arbiter_flag(p_maintain)
+
     p_vacuum = sub.add_parser(
         "vacuum", help="delete compaction-retired files past the grace window"
     )
@@ -301,6 +318,33 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "stats":
         print(json.dumps(log.label_layout_report(labels=args.label)))
+        return 0
+
+    if args.cmd == "maintain":
+        result = log.maintain(labels=args.label)
+        print(
+            json.dumps(
+                {
+                    "compacted": result["compacted"],
+                    "before": {
+                        "mean_degraded_page_rate": result["before"].get(
+                            "mean_degraded_page_rate"
+                        ),
+                        "recommend_cluster_by_label": result["before"].get(
+                            "recommend_cluster_by_label"
+                        ),
+                    },
+                    "after": {
+                        "mean_degraded_page_rate": result["after"].get(
+                            "mean_degraded_page_rate"
+                        ),
+                        "recommend_cluster_by_label": result["after"].get(
+                            "recommend_cluster_by_label"
+                        ),
+                    },
+                }
+            )
+        )
         return 0
 
     if args.cmd == "vacuum":

@@ -1074,6 +1074,7 @@ class EventLog:
                 labels = sorted(seen)[:32]
             per_label: dict[str, dict] = {}
             rates: list[float] = []
+            page_cap = max(1, int(self._manifest.PAGE_ENTRIES))
             for label in labels:
                 positions = list(_label_bloom_positions(label))
                 survey = self._manifest.page_survey(
@@ -1084,15 +1085,31 @@ class EventLog:
                 degraded = sum(
                     1 for p in kept if p["count"] and p["hits"] * 2 < p["count"]
                 )
-                rate = degraded / len(kept) if kept else 0.0
+                # IMPROVABILITY fence (round-11 autopilot finding): a
+                # label-clustered log can legitimately roll all its few
+                # large single-label files into ONE page — that page's
+                # summary holds every label, so the page pass keeps it
+                # and most entries are then individually refuted, which
+                # the raw formula reads as "degraded". But no rewrite
+                # can page-prune better than the minimum page count the
+                # label's matching entries can occupy — so a label only
+                # counts as degraded when its kept pages EXCEED that
+                # ideal (its matches could have been co-located onto
+                # fewer pages). Without this fence the autopilot
+                # rewrites a perfectly clustered log forever.
+                hits_total = sum(p["hits"] for p in kept)
+                ideal = -(-hits_total // page_cap) if hits_total else 0
+                improvable = len(kept) > ideal
+                rate = degraded / len(kept) if kept and improvable else 0.0
                 rates.append(rate)
                 per_label[label] = {
                     "pages_refuted": len(survey["pages"]) - len(kept),
                     "pages_kept": len(kept),
+                    "pages_ideal": ideal,
+                    "improvable": improvable,
                     "pages_degraded": degraded,
                     "degraded_page_rate": round(rate, 3),
-                    "candidate_files": sum(p["hits"] for p in kept)
-                    + survey["tail_hits"],
+                    "candidate_files": hits_total + survey["tail_hits"],
                 }
         mean_rate = sum(rates) / len(rates) if rates else 0.0
         recommend = mean_rate > self.LAYOUT_DEGRADED_PAGE_RATE
@@ -2311,6 +2328,28 @@ class EventLog:
             if not self._publish_rebase_on_claim_loss(old):
                 return
             self._retire(old)
+
+    def maintain(self, labels: list[str] | None = None) -> dict:
+        """Opt-in layout autopilot (round-10 verdict item 5): act on
+        the health signal instead of only reporting it. Runs
+        ``label_layout_report``; when it recommends the label-clustered
+        rewrite (interleaved ingest degraded present-label page passes
+        to entry-level walks), runs ``compact(cluster_by="label")`` —
+        safe under live writers since the publish re-bases across
+        concurrent commits instead of aborting
+        (``_publish_rebase_on_claim_loss``) — and re-probes. At scale
+        this is the OPTIMIZE-ZORDER autopilot an operator schedules
+        out-of-band; it stays opt-in (a method / CLI subcommand, never
+        implicit in the commit path) because the rewrite costs one
+        pass over the log. Returns
+        ``{"before": report, "compacted": bool, "after": report}`` —
+        ``after is before`` when the layout was already healthy."""
+        before = self.label_layout_report(labels=labels)
+        if not before.get("recommend_cluster_by_label"):
+            return {"before": before, "compacted": False, "after": before}
+        self.compact(cluster_by="label")
+        after = self.label_layout_report(labels=labels)
+        return {"before": before, "compacted": True, "after": after}
 
     # Bounded re-base attempts for a maintenance publish that loses its
     # CAS seq claim. Each attempt is O(1) (no re-rewrite), so the bound

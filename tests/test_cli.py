@@ -176,3 +176,32 @@ def test_cli_stats_layout_report(spark, tmp_path, capsys):
         assert set(rep["labels_probed"]) == {"a", "b"}
     finally:
         mp.undo()
+
+
+def test_cli_maintain_autopilot(spark, tmp_path, capsys):
+    """`maintain` acts on the stats recommendation: on a degraded
+    interleaved layout it runs the label-clustered compaction and the
+    report flips to healthy; a second run is a no-op."""
+    from eventlog_spark.manifest import ManifestLog
+
+    path = str(tmp_path / "mlog")
+    run(capsys, "create", path)
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    mp.setattr(ManifestLog, "PAGE_ENTRIES", 8)
+    mp.setattr(ManifestLog, "CHECKPOINT_EVERY", 8)
+    try:
+        for i in range(32):
+            run(capsys, "append", path, ["a", "b", "c", "d"][i % 4], f'{{"i":{i}}}')
+        code, out = run(capsys, "maintain", path)
+        rep = json.loads(out)
+        assert code == 0 and rep["compacted"] is True
+        assert rep["before"]["recommend_cluster_by_label"] is True
+        assert rep["after"]["recommend_cluster_by_label"] is False
+
+        code, out = run(capsys, "maintain", path)
+        rep = json.loads(out)
+        assert code == 0 and rep["compacted"] is False
+    finally:
+        mp.undo()

@@ -759,6 +759,89 @@ def test_cas_maintenance_lands_under_writer_storm(spark, tmp_path, monkeypatch):
     assert any(f.startswith("compact-") for f in fresh._manifest_files())
 
 
+def test_layout_autopilot_repairs_under_writer_storm(
+    spark, tmp_path, monkeypatch
+):
+    """Round-10 verdict item 5, the autopilot proof: a degraded
+    round-robin corpus (every page's label-bloom union holds every
+    label, so present-label passes walk every page) + a live no-pause
+    writer storm -> maintain() must DETECT the degradation, land the
+    label-clustered compaction through the re-base publish, flip the
+    report to healthy, and lose nothing — recommend-only (the round-10
+    state) becomes act-on-recommendation."""
+    import fcntl
+    import threading
+
+    from eventlog_spark.manifest import ManifestLog
+
+    monkeypatch.setattr(ManifestLog, "PAGE_ENTRIES", 8)
+    monkeypatch.setattr(ManifestLog, "CHECKPOINT_EVERY", 8)
+    path = str(tmp_path / "autopilot")
+    EventLog.create(None, path, arbiter="cas")
+    monkeypatch.setattr(fcntl, "flock", _boom)
+    a = EventLog.open(spark, path, arbiter="cas")
+    b = EventLog.open(None, path, arbiter="cas")
+    labels = ["alpha", "beta", "gamma", "delta"]
+    for i in range(32):  # round-robin: the worst layout for label scans
+        a.append(labels[i % 4], json.dumps({"i": i}))
+
+    stop = threading.Event()
+    landed: list[int] = []
+
+    def hammer() -> None:
+        while not stop.is_set():
+            landed.append(b.append("storm", '{"x":1}').version)
+
+    t = threading.Thread(target=hammer)
+    t.start()
+    try:
+        result = a.maintain(labels=labels)  # must act AND land mid-storm
+    finally:
+        stop.set()
+        t.join(timeout=60)
+
+    assert result["before"]["recommend_cluster_by_label"] is True
+    assert result["compacted"] is True
+    # While the storm still runs, the post-repair report MAY stay
+    # degraded — new interleaved storm fragments land during/after the
+    # rewrite and pad the version-ordered pages. The autopilot contract
+    # is CONVERGENCE: once writers quiesce, at most one more pass
+    # clusters the stragglers, then the report is healthy and further
+    # runs are no-ops.
+    final = a.maintain(labels=labels)
+    if final["compacted"]:
+        final = a.maintain(labels=labels)
+    assert final["compacted"] is False  # converged: healthy, left alone
+    assert final["after"]["recommend_cluster_by_label"] is False
+    assert final["after"]["mean_degraded_page_rate"] <= 0.5
+    assert final["after"] is final["before"]  # the no-op shape
+
+    fresh = EventLog.open(None, path, arbiter="cas")
+    head = fresh.version()
+    rows = fresh.scan_rows()
+    assert [r.version for r in rows] == list(range(1, head + 1))  # dense
+    assert head >= 32 + len(landed) - 1  # every acked storm commit counted
+    got = [r.label for r in rows]
+    assert got[:32] == [labels[i % 4] for i in range(32)]  # nothing lost
+    assert any(f.startswith("compact-") for f in fresh._manifest_files())
+
+
+def test_maintain_noop_on_healthy_layout(spark, tmp_path):
+    """maintain() on a label-clustered (healthy) log reports without
+    rewriting — the autopilot never burns a compaction pass when page
+    summaries already prune."""
+    from eventlog_spark.manifest import ManifestLog
+
+    path = str(tmp_path / "healthy")
+    log = EventLog.create(spark, path)
+    for i in range(12):
+        log.append("only-label", json.dumps({"i": i}))
+    files_before = log._manifest_files()
+    result = log.maintain()
+    assert result["compacted"] is False
+    assert log._manifest_files() == files_before  # untouched
+
+
 def test_vacuum_grace_protects_lagging_reader_plan(spark, tmp_path, monkeypatch):
     """Round-9 verdict item 6: a DataFrame built against the
     pre-compaction manifest (a straggler reader / an executing plan on

@@ -232,6 +232,7 @@ def probe_layout_report(total_entries: int, n_labels: int) -> list[dict]:
             probe = [f"label-{k:06d}" for k in range(0, n_labels, step)][:8]
             t0 = time.perf_counter()
             rates = []
+            page_cap = max(1, int(mirror.PAGE_ENTRIES))
             for label in probe:
                 positions = list(_label_bloom_positions(label))
                 sv = mirror.page_survey(
@@ -246,7 +247,15 @@ def probe_layout_report(total_entries: int, n_labels: int) -> list[dict]:
                 degraded = sum(
                     1 for p in kept if p["count"] and p["hits"] * 2 < p["count"]
                 )
-                rates.append(degraded / len(kept) if kept else 0.0)
+                # same improvability fence as label_layout_report: a
+                # label whose matches already occupy the minimum page
+                # count cannot be improved by any rewrite
+                hits_total = sum(p["hits"] for p in kept)
+                ideal = -(-hits_total // page_cap) if hits_total else 0
+                improvable = len(kept) > ideal
+                rates.append(
+                    degraded / len(kept) if kept and improvable else 0.0
+                )
             ms = 1e3 * (time.perf_counter() - t0)
             mean = sum(rates) / len(rates) if rates else 0.0
             row = {
