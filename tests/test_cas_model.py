@@ -50,7 +50,7 @@ class CasProtocol(RuleBasedStateMachine):
 
         self._root = tempfile.mkdtemp(prefix="cas_model_")
         self.path = os.path.join(self._root, "log")
-        self.store = MemoryClaimStore()
+        self.store = self._make_store()
         # create() bootstraps flock-mode by design (empty dir, no racers
         # can exist); the flock ban starts at the first CAS open
         EventLog.create(None, self.path, arbiter="cas", claim_store=self.store)
@@ -58,9 +58,18 @@ class CasProtocol(RuleBasedStateMachine):
         self.writers = [self._open(), self._open()]
         self.model: list[tuple[str, str]] = []  # (label, payload) by version
 
+    def _make_store(self):
+        return MemoryClaimStore()
+
+    def _open_store(self):
+        """The store a fresh writer handle opens with (the served
+        subclass gives every handle its own client connection, like
+        writers on different hosts)."""
+        return self.store
+
     def _open(self) -> EventLog:
         return EventLog.open(
-            None, self.path, arbiter="cas", claim_store=self.store
+            None, self.path, arbiter="cas", claim_store=self._open_store()
         )
 
     # -- operations ------------------------------------------------------------
@@ -151,6 +160,40 @@ class CasProtocol(RuleBasedStateMachine):
 TestCasProtocol = CasProtocol.TestCase
 TestCasProtocol.settings = settings(
     max_examples=15, stateful_step_count=25, deadline=None
+)
+
+
+class CasProtocolServed(CasProtocol):
+    """The same machine over the SERVED object-store contract
+    (claimsvc): every claim / get / list crosses a unix socket to the
+    arbiter service and each writer handle owns its own client
+    connection — writers on different hosts, nothing but server-side
+    conditional-PUT atomicity ordering them. The random interleavings
+    therefore also search schedules where a claim and a concurrent
+    read race through the service."""
+
+    def _make_store(self):
+        from eventlog_spark.claimsvc import ClaimServer, SocketClaimStore
+
+        self._srv_dir = tempfile.mkdtemp(prefix="claimsvc-", dir="/tmp")
+        self._srv = ClaimServer(os.path.join(self._srv_dir, "s")).start()
+        return SocketClaimStore(self._srv.socket_path)
+
+    def _open_store(self):
+        from eventlog_spark.claimsvc import SocketClaimStore
+
+        return SocketClaimStore(self._srv.socket_path)
+
+    def teardown(self):
+        super().teardown()
+        if getattr(self, "_srv", None) is not None:
+            self._srv.stop()
+            shutil.rmtree(self._srv_dir, ignore_errors=True)
+
+
+TestCasProtocolServed = CasProtocolServed.TestCase
+TestCasProtocolServed.settings = settings(
+    max_examples=8, stateful_step_count=20, deadline=None
 )
 
 

@@ -441,6 +441,11 @@ def test_socket_claim_store_contract(tmp_path):
         winners = [i for i, ok in results if ok]
         assert len(results) == 16 and len(winners) == 1
         assert a.get("race") == b"%d" % winners[0]  # winner's bytes, whole
+        # checkpoint-page-sized objects (hundreds of KB at 4096
+        # entries) must frame cleanly through the length-prefixed wire
+        big = bytes(range(256)) * (2 * 1024 * 1024 // 256)  # 2 MiB
+        a.put("ckpt", big)
+        assert b.get("ckpt") == big
     finally:
         srv.stop()
         shutil.rmtree(d, ignore_errors=True)
