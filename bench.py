@@ -24,24 +24,30 @@ from eventlog_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Inter-query settling on by default; SPARK_GRAFT_BENCH_SETTLE=0 restores
-# the raw back-to-back behaviour (for measuring the settle cost itself).
+# Settling on by default; SPARK_GRAFT_BENCH_SETTLE=0 restores the raw
+# back-to-back behaviour (for measuring the settle cost itself).
 SETTLE = os.environ.get("SPARK_GRAFT_BENCH_SETTLE", "1") != "0"
+
+# TARGETED, not universal (round-10 verdict item 3, tuned in round 11):
+# settling after EVERY query measured a uniform ~13% median tax at sf1 —
+# System.gc() lets G1 shrink the heap, and each next query then pays the
+# re-expansion page faults INSIDE its timed window. The debt the settle
+# exists to drain comes from specific deliberately-huge shuffles (the
+# salted-join demo explodes events x 16 salts), whose cleanup otherwise
+# bills to whatever runs next (alphabetically: json_extract — the
+# standing every-round adjudication outlier, 7.7 s in-suite vs 1.1-2.6 s
+# standalone at sf1, 22.5 s at sf1zl). So: settle exactly after the
+# exploders, nowhere else.
+SETTLE_AFTER = {"join_skew_salted"}
 
 
 def _settle(spark) -> None:
-    """Un-timed inter-query hygiene (round-10 verdict item 3): the
-    suite previously billed one query's cleanup debt to the NEXT
-    query's wall clock — json_extract sits alphabetically right after
-    join_skew_salted's deliberately exploded shuffle and inherited
-    seconds of GC/shuffle-cleanup, so every round's record diff needed
-    a manual standalone re-measure to adjudicate the outlier. Between
-    queries: drop Python-side DataFrame refs, nudge a JVM full GC
-    (which is what lets Spark's ContextCleaner reclaim dereferenced
-    shuffles/broadcasts), and give the async cleaner a breath — all
-    OUTSIDE the timed window. Session caches are deliberately NOT
-    cleared: shared dedup/ANN artifacts staying warm across the suite
-    IS the standing bench protocol."""
+    """Un-timed post-exploder hygiene: drop Python-side DataFrame refs,
+    nudge a JVM full GC (which is what lets Spark's ContextCleaner
+    reclaim the dereferenced shuffle), and give the async cleaner a
+    breath — all OUTSIDE the timed window. Session caches are
+    deliberately NOT cleared: shared dedup/ANN artifacts staying warm
+    across the suite IS the standing bench protocol."""
     import gc
 
     gc.collect()
@@ -49,7 +55,7 @@ def _settle(spark) -> None:
         spark.sparkContext._jvm.System.gc()
     except Exception:
         pass  # JVM gateway quirk: settling is best-effort
-    time.sleep(0.05)
+    time.sleep(0.5)  # let the ContextCleaner's async deletes drain
 
 
 def sf_of(path: str) -> float:
@@ -70,13 +76,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, spec in sorted(REGISTRY.items()):
-        if SETTLE:
-            _settle(spark)
         t0 = time.monotonic()
         df = spec.fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
-        df = None  # release the plan so settling can reclaim its shuffles
+        df = None  # release the plan so settling can reclaim its shuffle
+        if SETTLE and name in SETTLE_AFTER:
+            _settle(spark)
 
     total = round(sum(timings.values()), 3)
     doc = {
