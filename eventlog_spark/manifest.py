@@ -545,8 +545,37 @@ class ManifestLog:
         an object store): fails — atomically, before the mirror mutates
         — when ANY writer already owns the name, and a reader can never
         observe a torn record because the store only publishes whole
-        objects."""
-        if not self._store.put_if_absent(name, json.dumps(payload).encode()):
+        objects.
+
+        AMBIGUOUS failures are disambiguated by content (round 11): on
+        a networked store (the served arbiter, S3/DynamoDB), the claim
+        request can fail AFTER applying server-side — a timeout on the
+        response leg. Treating that as "lost" would be a data-loss
+        bug, not a retry: the committed delta names this writer's
+        fragment files, and the loser path DELETES its staged
+        fragments — the log would reference deleted data. So on a
+        store exception we GET the name and compare bytes: our bytes →
+        the claim landed, proceed as winner; different bytes → a real
+        loss; absent → the PUT never applied, retry it once (a second
+        failure propagates — the store is unhealthy, crashing is safe
+        because an unpublished fragment is invisible garbage while a
+        published delta is found by roll_forward on recovery). Claim
+        records are byte-deterministic per call, so the comparison is
+        exact. POSIX link cannot fail ambiguously (local syscall), so
+        this path never triggers there."""
+        data = json.dumps(payload).encode()
+        try:
+            ok = self._store.put_if_absent(name, data)
+        except ManifestSeqClaimed:
+            raise
+        except Exception:
+            winner = self._store.get(name)  # store down → propagate
+            if winner == data:
+                return  # our claim applied before the failure
+            if winner is not None:
+                raise ManifestSeqClaimed(name) from None
+            ok = self._store.put_if_absent(name, data)
+        if not ok:
             raise ManifestSeqClaimed(name)
 
     def _checkpoint(self) -> list[str]:

@@ -759,6 +759,109 @@ def test_cas_maintenance_lands_under_writer_storm(spark, tmp_path, monkeypatch):
     assert any(f.startswith("compact-") for f in fresh._manifest_files())
 
 
+class _AmbiguousStore:
+    """MemoryClaimStore wrapper injecting AMBIGUOUS conditional-PUT
+    failures — the networked-store reality POSIX link cannot exhibit:
+    the request fails on the response leg, after or before applying
+    server-side. `arm(mode)` makes the NEXT put_if_absent raise; mode
+    'after' applies the claim first (response lost), 'before' applies
+    nothing (request lost)."""
+
+    def __init__(self, inner):
+        self._inner = inner
+        self._mode = None
+
+    def arm(self, mode: str) -> None:
+        self._mode = mode
+
+    def put_if_absent(self, name, data):
+        if self._mode == "after":
+            self._mode = None
+            self._inner.put_if_absent(name, data)
+            raise ConnectionError("response lost after apply")
+        if self._mode == "before":
+            self._mode = None
+            raise ConnectionError("request lost before apply")
+        return self._inner.put_if_absent(name, data)
+
+    def __getattr__(self, attr):
+        return getattr(self._inner, attr)
+
+
+@pytest.mark.parametrize("mode", ["after", "before"])
+def test_cas_claim_survives_ambiguous_put_failure(tmp_path, monkeypatch, mode):
+    """Round-11 hardening: an ambiguous conditional-PUT failure must
+    never be treated as a lost claim. 'after' (claim applied, response
+    lost): pre-fix, the writer would take the loser path and DELETE
+    the staged fragments its committed delta references — data loss;
+    post-fix it disambiguates by content and proceeds as winner.
+    'before' (nothing applied): one retry claims the free seq. In both
+    modes the ack stands and a fresh reader sees exactly the committed
+    events."""
+    import fcntl
+
+    from eventlog_spark.manifest import MemoryClaimStore
+
+    shared = MemoryClaimStore()
+    flaky = _AmbiguousStore(shared)
+    path = str(tmp_path / f"ambig-{mode}")
+    EventLog.create(None, path, arbiter="cas", claim_store=shared)
+    monkeypatch.setattr(fcntl, "flock", _boom)
+    w = EventLog.open(None, path, arbiter="cas", claim_store=flaky)
+    w.append("pre", '{"i":0}')
+
+    flaky.arm(mode)
+    r = w.append("through-the-failure", '{"i":1}')  # must not raise
+    assert r.version == 2
+
+    reader = EventLog.open(None, path, arbiter="cas", claim_store=shared)
+    rows = reader.scan_rows()
+    assert [(x.version, x.label) for x in rows] == [
+        (1, "pre"),
+        (2, "through-the-failure"),
+    ]
+    assert w.append("after", '{"i":2}').version == 3  # writer still healthy
+
+
+def test_cas_ambiguous_failure_with_interloper_is_true_loss(
+    tmp_path, monkeypatch
+):
+    """The third ambiguity arm: the PUT never applied AND another
+    writer claimed the seq before the disambiguating GET — the
+    content check sees foreign bytes, the claim is a TRUE loss, and
+    the normal loser path retries at the next seq. Both events
+    survive, exactly once each."""
+    import fcntl
+
+    from eventlog_spark.manifest import MemoryClaimStore
+
+    shared = MemoryClaimStore()
+    path = str(tmp_path / "ambig-race")
+    EventLog.create(None, path, arbiter="cas", claim_store=shared)
+    monkeypatch.setattr(fcntl, "flock", _boom)
+    b = EventLog.open(None, path, arbiter="cas", claim_store=shared)
+
+    class _RaceStore(_AmbiguousStore):
+        def put_if_absent(self, name, data):
+            if self._mode == "race":
+                self._mode = None
+                b.append("interloper", '{"won":1}')  # takes the seq
+                raise ConnectionError("request lost; seq then taken")
+            return super().put_if_absent(name, data)
+
+    flaky = _RaceStore(shared)
+    w = EventLog.open(None, path, arbiter="cas", claim_store=flaky)
+    flaky.arm("race")
+    r = w.append("retried-loser", '{"i":1}')  # loser path → next seq
+    assert r.version == 2
+
+    reader = EventLog.open(None, path, arbiter="cas", claim_store=shared)
+    assert [(x.version, x.label) for x in reader.scan_rows()] == [
+        (1, "interloper"),
+        (2, "retried-loser"),
+    ]
+
+
 def test_layout_autopilot_repairs_under_writer_storm(
     spark, tmp_path, monkeypatch
 ):
