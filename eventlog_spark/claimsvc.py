@@ -151,22 +151,41 @@ class SocketClaimStore:
         self._lock = threading.Lock()
 
     def _rpc(self, req: dict) -> dict:
+        """One request/response. On ANY transport error the connection
+        is dropped and the error RAISED — never silently retried: a
+        blind re-send of a put_if_absent whose first copy applied
+        would come back ok=False and report a FALSE claim loss (the
+        exact data-loss shape the manifest layer's content
+        disambiguation exists to prevent; it needs the exception to
+        know the outcome is ambiguous). The next call reconnects
+        fresh, which is what lets that disambiguating GET succeed
+        after a mid-claim drop."""
         body = json.dumps(req).encode()
         with self._lock:
-            if self._sock is None:
-                self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-                self._sock.connect(self._path)
-            f = self._sock.makefile("rwb")
-            f.write(struct.pack(">I", len(body)) + body)
-            f.flush()
-            hdr = _read_exact(f, 4)
-            if hdr is None:
-                raise ConnectionError("claim service closed the connection")
-            (n,) = struct.unpack(">I", hdr)
-            resp = _read_exact(f, n)
-            if resp is None:
-                raise ConnectionError("claim service closed mid-response")
-            return json.loads(resp)
+            try:
+                if self._sock is None:
+                    self._sock = socket.socket(
+                        socket.AF_UNIX, socket.SOCK_STREAM
+                    )
+                    self._sock.connect(self._path)
+                f = self._sock.makefile("rwb")
+                f.write(struct.pack(">I", len(body)) + body)
+                f.flush()
+                hdr = _read_exact(f, 4)
+                if hdr is None:
+                    raise ConnectionError("claim service closed the connection")
+                (n,) = struct.unpack(">I", hdr)
+                resp = _read_exact(f, n)
+                if resp is None:
+                    raise ConnectionError("claim service closed mid-response")
+                return json.loads(resp)
+            except (OSError, ConnectionError):
+                try:
+                    self._sock.close()
+                except Exception:
+                    pass
+                self._sock = None  # next call reconnects fresh
+                raise
 
     def put(self, name: str, data: bytes) -> None:
         self._rpc({"op": "put", "name": name, "data": bytes(data).hex()})

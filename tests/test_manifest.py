@@ -446,6 +446,15 @@ def test_socket_claim_store_contract(tmp_path):
         big = bytes(range(256)) * (2 * 1024 * 1024 // 256)  # 2 MiB
         a.put("ckpt", big)
         assert b.get("ckpt") == big
+        # transport errors RAISE (never a silent retry — a re-sent
+        # put_if_absent whose first copy applied would report a false
+        # claim loss) and the NEXT call reconnects fresh — which is
+        # what lets the manifest layer's disambiguating GET succeed
+        # after a mid-claim drop
+        a._sock.close()  # simulate a dropped connection
+        with pytest.raises((OSError, ConnectionError)):
+            a.get("ckpt")
+        assert a.get("ckpt") == big  # reconnected
     finally:
         srv.stop()
         shutil.rmtree(d, ignore_errors=True)
