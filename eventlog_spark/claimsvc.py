@@ -51,6 +51,16 @@ import struct
 import threading
 
 
+class ClaimServiceError(Exception):
+    """The claim service answered, but not with what the contract
+    promises (an explicit ``error`` frame, or a response missing the
+    op's result key). Distinct from transport errors on purpose: the
+    connection is HEALTHY — a full frame was read — so the client
+    keeps it; but the caller must see a clear store-protocol failure,
+    not a ``KeyError`` escaping outside the transport-error handling
+    (round-11 advice)."""
+
+
 def _read_exact(rfile, n: int) -> bytes | None:
     buf = b""
     while len(buf) < n:
@@ -76,26 +86,43 @@ class _Handler(socketserver.StreamRequestHandler):
             op, name = req["op"], req.get("name")
             data = bytes.fromhex(req["data"]) if "data" in req else None
             # THE atomicity point: every mutation is one step under the
-            # server's lock — the object-store server-side guarantee
+            # server's lock — the object-store server-side guarantee.
+            # Durability rides the same lock: the journal record is
+            # fsynced BEFORE the ack leaves (ack ⇒ durable), in
+            # application order, so a SIGKILLed server loses at most
+            # mutations it never acknowledged — which the client saw
+            # as a transport error and the manifest layer disambiguates
+            # by content on reconnect.
             with srv.store_lock:
+                entry: dict | None = None
                 if op == "put":
                     srv.objects[name] = data
+                    entry = {"op": "put", "name": name, "data": req["data"]}
                     resp: dict = {"ok": True}
                 elif op == "put_if_absent":
                     if name in srv.objects:
                         resp = {"ok": False}
                     else:
                         srv.objects[name] = data
+                        entry = {"op": "put", "name": name, "data": req["data"]}
                         resp = {"ok": True}
                 elif op == "get":
                     d = srv.objects.get(name)
                     resp = {"data": d.hex()} if d is not None else {}
                 elif op == "delete":
-                    resp = {"ok": srv.objects.pop(name, None) is not None}
+                    if srv.objects.pop(name, None) is not None:
+                        entry = {"op": "delete", "name": name}
+                        resp = {"ok": True}
+                    else:
+                        resp = {"ok": False}
                 elif op == "names":
                     resp = {"names": list(srv.objects)}
                 else:
                     resp = {"error": f"unknown op {op!r}"}
+                if entry is not None and srv.journal is not None:
+                    srv.journal.write(json.dumps(entry).encode() + b"\n")
+                    srv.journal.flush()
+                    os.fsync(srv.journal.fileno())
             out = json.dumps(resp).encode()
             self.wfile.write(struct.pack(">I", len(out)) + out)
             self.wfile.flush()
@@ -104,20 +131,88 @@ class _Handler(socketserver.StreamRequestHandler):
 class ClaimServer:
     """Hosts the claim objects behind a unix socket. Start it in the
     coordinating process (a test, or an ops sidecar); writers in any
-    process connect with :class:`SocketClaimStore` by path."""
+    process connect with :class:`SocketClaimStore` by path.
 
-    def __init__(self, socket_path: str):
+    ``journal_path`` makes the claims DURABLE (round-11 verdict: a
+    memory-resident arbiter loses every claim when the service dies —
+    fine for the in-suite storms the class was built for, wrong for
+    the production sidecar shape its docstring promises). Every acked
+    mutation is one fsynced JSON line, written under the store lock in
+    application order before the ack; a restarted server replays the
+    journal and resumes with the exact acked claim set. A torn
+    trailing line (SIGKILL mid-write) is dropped on replay — by
+    construction it was never acknowledged, so the client saw a
+    transport error and the manifest layer's content disambiguation
+    already covers that outcome."""
+
+    def __init__(self, socket_path: str, journal_path: str | None = None):
         class _Srv(socketserver.ThreadingUnixStreamServer):
             daemon_threads = True
-            allow_reuse_address = True
+            allow_reuse_address = True  # no effect on AF_UNIX — see below
 
+        objects: dict[str, bytes] = {}
+        self.journal_path = journal_path
+        self._journal = None
+        if journal_path is not None:
+            objects = self._replay(journal_path)
+            self._journal = open(journal_path, "ab")
+        # allow_reuse_address is a no-op for AF_UNIX sockets: a stale
+        # socket FILE left by a crashed/killed predecessor (stop()
+        # never ran) makes the bind fail EADDRINUSE, wedging the
+        # configured path (round-11 advice). Probe it: a live server
+        # accepts the connect (refuse to usurp it); a refused connect
+        # means nobody is listening — unlink the corpse and bind.
+        if os.path.exists(socket_path):
+            probe = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            try:
+                probe.connect(socket_path)
+            except OSError:
+                os.unlink(socket_path)  # stale — safe to reclaim
+            else:
+                raise OSError(
+                    f"a claim server is already live at {socket_path}"
+                )
+            finally:
+                probe.close()
         self.socket_path = socket_path
         self._srv = _Srv(socket_path, _Handler)
-        self._srv.objects = {}  # type: ignore[attr-defined]
+        self._srv.objects = objects  # type: ignore[attr-defined]
+        self._srv.journal = self._journal  # type: ignore[attr-defined]
         self._srv.store_lock = threading.Lock()  # type: ignore[attr-defined]
         self._thread = threading.Thread(
             target=self._srv.serve_forever, name="claimsvc", daemon=True
         )
+
+    @staticmethod
+    def _replay(journal_path: str) -> dict[str, bytes]:
+        """Rebuild the claim set from the journal. Only a TRAILING
+        partial record is tolerated (fsync-before-ack means at most
+        the last line can be torn); garbage mid-file is corruption and
+        raises — silently resuming from a half claim set would hand
+        out seqs another writer already owns."""
+        objects: dict[str, bytes] = {}
+        try:
+            with open(journal_path, "rb") as f:
+                raw = f.read()
+        except FileNotFoundError:
+            return objects
+        lines = raw.split(b"\n")
+        for i, line in enumerate(lines):
+            if not line:
+                continue
+            try:
+                e = json.loads(line)
+            except ValueError:
+                if i == len(lines) - 1:
+                    break  # torn tail: never acked, drop it
+                raise ValueError(
+                    f"claim journal {journal_path} corrupt at line {i + 1}"
+                )
+            if e["op"] == "put":
+                objects[e["name"]] = bytes.fromhex(e["data"])
+            elif e["op"] == "delete":
+                objects.pop(e["name"], None)
+        return objects
 
     def start(self) -> "ClaimServer":
         self._thread.start()
@@ -126,6 +221,8 @@ class ClaimServer:
     def stop(self) -> None:
         self._srv.shutdown()
         self._srv.server_close()
+        if self._journal is not None:
+            self._journal.close()
         try:
             os.unlink(self.socket_path)
         except OSError:
@@ -178,7 +275,10 @@ class SocketClaimStore:
                 resp = _read_exact(f, n)
                 if resp is None:
                     raise ConnectionError("claim service closed mid-response")
-                return json.loads(resp)
+                parsed = json.loads(resp)
+                if "error" in parsed:
+                    raise ClaimServiceError(parsed["error"])
+                return parsed
             except (OSError, ConnectionError):
                 try:
                     self._sock.close()
@@ -187,22 +287,56 @@ class SocketClaimStore:
                 self._sock = None  # next call reconnects fresh
                 raise
 
+    @staticmethod
+    def _expect(resp: dict, key: str):
+        """Result-key access that fails as a store-protocol error, not
+        a KeyError escaping past the transport handling."""
+        try:
+            return resp[key]
+        except KeyError:
+            raise ClaimServiceError(
+                f"claim-service response missing {key!r}: {resp!r}"
+            ) from None
+
     def put(self, name: str, data: bytes) -> None:
         self._rpc({"op": "put", "name": name, "data": bytes(data).hex()})
 
     def put_if_absent(self, name: str, data: bytes) -> bool:
-        return bool(
-            self._rpc(
-                {"op": "put_if_absent", "name": name, "data": bytes(data).hex()}
-            )["ok"]
+        resp = self._rpc(
+            {"op": "put_if_absent", "name": name, "data": bytes(data).hex()}
         )
+        return bool(self._expect(resp, "ok"))
 
     def get(self, name: str) -> bytes | None:
         resp = self._rpc({"op": "get", "name": name})
         return bytes.fromhex(resp["data"]) if "data" in resp else None
 
     def delete(self, name: str) -> bool:
-        return bool(self._rpc({"op": "delete", "name": name})["ok"])
+        return bool(self._expect(self._rpc({"op": "delete", "name": name}), "ok"))
 
     def names(self) -> list[str]:
-        return list(self._rpc({"op": "names"})["names"])
+        return list(self._expect(self._rpc({"op": "names"}), "names"))
+
+
+def main(argv: list[str] | None = None) -> None:
+    """Run the claim service as its own OS process (the ops-sidecar
+    shape, and what the server-SIGKILL chaos test kills):
+
+        python -m eventlog_spark.claimsvc SOCKET_PATH [JOURNAL_PATH]
+
+    Prints ``READY`` once the socket is listening, then serves until
+    killed. With a journal path, a restart at the same paths resumes
+    the exact acked claim set."""
+    import sys
+
+    args = sys.argv[1:] if argv is None else argv
+    srv = ClaimServer(args[0], args[1] if len(args) > 1 else None).start()
+    print("READY", flush=True)
+    try:
+        threading.Event().wait()
+    finally:  # pragma: no cover - SIGTERM path
+        srv.stop()
+
+
+if __name__ == "__main__":  # pragma: no cover - exercised via subprocess
+    main()
