@@ -562,7 +562,21 @@ class ManifestLog:
         published delta is found by roll_forward on recovery). Claim
         records are byte-deterministic per call, so the comparison is
         exact. POSIX link cannot fail ambiguously (local syscall), so
-        this path never triggers there."""
+        this path never triggers there.
+
+        The retry's ok=False is NOT definitive either (round-11
+        advice): the ORIGINAL in-flight PUT can land between the
+        disambiguating GET and the retry — a timed-out request
+        applying late on a networked store, or a served-arbiter
+        handler thread still draining the frame. The name being taken
+        then means WE took it, and raising ManifestSeqClaimed would
+        send the loser path off to delete staged fragments its own
+        committed delta references — the exact false-loss shape this
+        method exists to prevent. So a losing retry re-reads the name
+        and decides by content: our bytes → winner; anything else →
+        claimed (different bytes is a true loss; an absent read means
+        our bytes are definitively NOT committed, so the loser
+        cleanup is safe either way)."""
         data = json.dumps(payload).encode()
         try:
             ok = self._store.put_if_absent(name, data)
@@ -574,7 +588,12 @@ class ManifestLog:
                 return  # our claim applied before the failure
             if winner is not None:
                 raise ManifestSeqClaimed(name) from None
-            ok = self._store.put_if_absent(name, data)
+            if not self._store.put_if_absent(name, data):
+                winner = self._store.get(name)
+                if winner == data:
+                    return  # the first PUT landed late — still ours
+                raise ManifestSeqClaimed(name) from None
+            return
         if not ok:
             raise ManifestSeqClaimed(name)
 
