@@ -41,6 +41,14 @@ class InMemEventLog(EventLog):
         self.path = None
         self._lock = threading.RLock()
         self._hub = _Hub()
+        # group-commit state (mirrors EventLog.__init__ — this class
+        # deliberately skips super().__init__)
+        self._gc_cv = threading.Condition()
+        self._gc_queue = []
+        self._gc_leader = False
+        self._gc_commits = 0
+        self._gc_ops = 0
+        self._gc_last_batch = 0
         self._max_payload_len = DEFAULT_MAX_PAYLOAD_LEN
         self._metadata = dict(metadata or {})
         self._latest = 0

@@ -92,8 +92,6 @@ _META_FILE = "_eventlog_meta.json"
 # racing explicit open with a conflicting choice is refused. Underscore
 # prefix keeps it out of _data_files' listing.
 _ARBITER_CLAIM_FILE = _META_FILE + ".arbiter"
-# Private sentinel for create()'s bootstrap open (never persisted).
-_BOOTSTRAP_ARBITER = "_bootstrap"
 _COMMIT_LOCK_FILE = "_commit.lock"  # cross-process commit mutex (flock)
 _INTENT_FILE = "_intent.json"  # commit-intent record → O(1) orphan check on open
 
@@ -232,6 +230,25 @@ class AppendResult:
     timestamp: int  # shared unix-seconds timestamp of the batch
 
 
+class _PendingCommit:
+    """One caller's stake in a group commit: its prepared events, its
+    OCC expectation, and the slot the leader fills (result or
+    exception). ``done`` flips only under the group-commit condition
+    variable, after the slot is filled."""
+
+    __slots__ = ("prepared", "assumed_version", "first", "result", "exc", "done")
+
+    def __init__(
+        self, prepared: list[tuple[str, str]], assumed_version: int | None
+    ):
+        self.prepared = prepared
+        self.assumed_version = assumed_version
+        self.first = 0  # first version assigned to this op (leader fills)
+        self.result: AppendResult | None = None
+        self.exc: BaseException | None = None
+        self.done = False
+
+
 class ScanRow(NamedTuple):
     """One event as returned by the driver-side ``scan_rows`` fast path —
     field-compatible with the Rows ``scan(...).collect()`` yields, so
@@ -313,8 +330,10 @@ class EventLog:
         path: str,
         arbiter: str | None = None,
         claim_store=None,
+        *,
+        _bootstrap: bool = False,
     ):
-        if arbiter not in (None, "flock", "cas", _BOOTSTRAP_ARBITER):
+        if arbiter not in (None, "flock", "cas"):
             raise ValueError(f"unknown commit arbiter {arbiter!r}")
         # The arbiter is a property of the LOG, not of one open: a
         # flock-mode open of a CAS-operated log bypasses the claim
@@ -326,7 +345,7 @@ class EventLog:
         # recorded — arbitrated by an exclusive-create claim sidecar so
         # two racing explicit opens with DIFFERENT choices can never
         # both proceed (round-10 advice).
-        if arbiter == _BOOTSTRAP_ARBITER:
+        if _bootstrap:
             # create()'s bootstrap open: the meta file already records
             # the target arbiter (written before any open exists, so a
             # crash mid-create can never leave a log whose later
@@ -335,7 +354,21 @@ class EventLog:
             # refuses the directory-listing recovery that bootstrapping
             # needs. So bootstrap runs flock-mode regardless. Safe:
             # makedirs(exist_ok=False) arbitrates create races, no
-            # other writer can exist before create() returns.
+            # other writer can exist before create() returns. The flag
+            # is a keyword-only private parameter, NOT an arbiter value
+            # (round-11 advice: the old "_bootstrap" sentinel string
+            # was reachable through the documented arbiter argument,
+            # letting any caller skip the persisted-arbiter check and
+            # run flock-mode on a cas-operated log), and it refuses a
+            # path that already has a state file — bootstrap is only
+            # ever the first open of a just-created empty log.
+            if path is not None and os.path.exists(
+                os.path.join(path, _STATE_FILE)
+            ):
+                raise ValueError(
+                    f"bootstrap open of {path}, which already has a "
+                    "state file — bootstrap is reserved for create()"
+                )
             arbiter = "flock"
         else:
             persisted = self._persisted_arbiter(path)
@@ -363,6 +396,14 @@ class EventLog:
         self.path = path
         self._lock = threading.RLock()
         self._hub = _Hub()
+        # group-commit state (round-12): concurrent interactive
+        # committers coalesce into one commit section — see _commit
+        self._gc_cv = threading.Condition()
+        self._gc_queue: list[_PendingCommit] = []
+        self._gc_leader = False
+        self._gc_commits = 0  # commit sections executed (groups)
+        self._gc_ops = 0  # caller ops carried by those sections
+        self._gc_last_batch = 0  # convoy detector for the batching window
         self._max_payload_len = DEFAULT_MAX_PAYLOAD_LEN
         self._metadata: dict[str, str] = {}
         self._latest = 0
@@ -466,29 +507,44 @@ class EventLog:
         silently; a loser with a conflicting choice is refused. The
         meta field is then patched best-effort for humans and legacy
         readers — _persisted_arbiter consults the claim first, so a
-        crash between claim and patch loses nothing."""
+        crash between claim and patch loses nothing.
+
+        The claim publishes by hard-linking a FULLY-WRITTEN temp file
+        (round-11 advice): the earlier O_CREAT|O_EXCL-then-write shape
+        had a torn window — a crash between the exclusive open and the
+        write left an empty claim forever, and every later explicit
+        open read won='' and fell through to a last-replace-wins meta
+        patch, silently reinstating the conflicting-choice race the
+        sidecar exists to close. os.link is put_if_absent with whole-
+        file content: the name and the bytes become visible together
+        or not at all. A pre-existing torn claim (from the old shape)
+        is REPAIRED: under an auxiliary exclusive flock the claim is
+        re-read and, if still invalid, atomically replaced — racing
+        repairers serialize on the flock, so the second re-reads the
+        first's now-valid claim and adopts or refuses normally."""
         claim_path = os.path.join(path, _ARBITER_CLAIM_FILE)
+        tmp = claim_path + f".tmp.{uuid.uuid4().hex}"
         try:
-            fd = os.open(claim_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with open(tmp, "w") as f:
+                f.write(arbiter)
+                f.flush()
+                os.fsync(f.fileno())
             try:
-                os.write(fd, arbiter.encode())
-                os.fsync(fd)
+                os.link(tmp, claim_path)  # atomic create-if-absent
             finally:
-                os.close(fd)
+                os.unlink(tmp)
         except FileExistsError:
-            try:
-                with open(claim_path) as f:
-                    won = f.read().strip()
-            except OSError:
-                won = ""
-            if won in ("flock", "cas") and won != arbiter:
+            won = EventLog._read_or_repair_arbiter_claim(
+                claim_path, arbiter
+            )
+            if won != arbiter:
                 raise ValueError(
                     f"log at {path} was concurrently claimed under the "
                     f"{won!r} commit arbiter; refusing to open it as "
                     f"{arbiter!r} — two commit protocols must never run "
                     "concurrently on one log."
                 )
-            # same choice (or a torn claim): idempotent, fall through
+            # same choice: idempotent, fall through to the meta patch
         except OSError:
             return  # read-only mount: the log just stays legacy
         meta_path = os.path.join(path, _META_FILE)
@@ -505,6 +561,46 @@ class EventLog:
             os.replace(tmp, meta_path)
         except OSError:
             pass
+
+    @staticmethod
+    def _read_or_repair_arbiter_claim(claim_path: str, arbiter: str) -> str:
+        """Read the claim sidecar's winning choice; REPAIR a torn one.
+        A torn claim (empty/invalid bytes — only producible by the
+        pre-round-12 exclusive-create shape crashing between open and
+        write) carries no choice, so the first explicit open to find
+        it may adopt its own: the replacement happens under an
+        auxiliary exclusive flock so two racing repairers with
+        different choices serialize — the loser re-reads the winner's
+        now-valid claim and is refused by the caller like any other
+        conflicting open."""
+        try:
+            with open(claim_path) as f:
+                won = f.read().strip()
+        except OSError:
+            won = ""
+        if won in ("flock", "cas"):
+            return won
+        import fcntl
+
+        with open(claim_path + ".repairlock", "a") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                try:
+                    with open(claim_path) as f:
+                        won = f.read().strip()
+                except OSError:
+                    won = ""
+                if won in ("flock", "cas"):
+                    return won  # a racing repairer beat us to it
+                tmp = claim_path + f".repair.{uuid.uuid4().hex}"
+                with open(tmp, "w") as f:
+                    f.write(arbiter)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, claim_path)
+                return arbiter
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
 
     @classmethod
     def create(
@@ -536,14 +632,13 @@ class EventLog:
                 f,
             )
         # Bootstrap open runs flock-mode regardless of the target
-        # arbiter (the _BOOTSTRAP_ARBITER sentinel): the empty log has
-        # no state file yet, and a CAS open refuses the
-        # directory-listing recovery that bootstrapping needs. Safe —
-        # makedirs(exist_ok=False) arbitrates create races, so no
-        # other writer can exist before this returns.
-        log = cls(
-            spark, path, arbiter=_BOOTSTRAP_ARBITER, claim_store=claim_store
-        )
+        # arbiter (the private _bootstrap keyword — not reachable via
+        # the documented arbiter argument): the empty log has no state
+        # file yet, and a CAS open refuses the directory-listing
+        # recovery that bootstrapping needs. Safe — makedirs(
+        # exist_ok=False) arbitrates create races, so no other writer
+        # can exist before this returns.
+        log = cls(spark, path, claim_store=claim_store, _bootstrap=True)
         log._write_state()
         log._arbiter = arbiter
         return log
@@ -1288,69 +1383,188 @@ class EventLog:
             validate_payload(payload, self._max_payload_len)
             prepared.append((label, minify_json(payload)))
 
+        # GROUP COMMIT (round-11 verdict item 4): concurrent callers
+        # coalesce into ONE commit section. The reference's in-process
+        # mutex batches concurrent appenders implicitly — the convoy
+        # behind the lock drains one fsync at a time but each waiter's
+        # write is tiny; here the commit section is the expensive part
+        # (fragment write + fsync + manifest delta + pointer publish),
+        # so the leader/follower shape pays it ONCE for every caller
+        # that arrived while the previous section ran. Single-caller
+        # cost is one uncontended condition variable — the solo path
+        # is the old path plus nanoseconds. OCC semantics are exact:
+        # each op's assumed_version is validated against the head AT
+        # ITS POSITION in the group order, so two conflicting
+        # append_check callers batched together see exactly the
+        # winner/loser outcome they'd see through the lock. NOTE:
+        # never call append while holding self._lock — a waiting
+        # follower holding it would deadlock the leader's section.
+        op = _PendingCommit(prepared, assumed_version)
+        batch: list[_PendingCommit] | None = None
+        with self._gc_cv:
+            self._gc_queue.append(op)
+            while True:
+                if op.done:
+                    break
+                if not self._gc_leader:
+                    # first unserved caller becomes leader and takes
+                    # EVERYTHING queued so far (its own op included)
+                    self._gc_leader = True
+                    batch, self._gc_queue = self._gc_queue, []
+                    break
+                self._gc_cv.wait()
+        if batch is not None:
+            try:
+                # adaptive batching window (the binlog-group-commit
+                # sync-delay technique): when the PREVIOUS group was
+                # already a convoy, the next one will be too — wait
+                # ~1 ms before the section so re-arriving producers
+                # land in THIS group's late drain instead of fragmenting
+                # into solo sections. Solo/light producers never pay it
+                # (their previous "group" was 1 op).
+                if self._gc_last_batch >= 4:
+                    time.sleep(0.001)
+                self._commit_group(batch)
+            finally:
+                with self._gc_cv:
+                    self._gc_leader = False
+                    for b in batch:
+                        if b.result is None and b.exc is None:
+                            # belt-and-braces: _commit_group fills every
+                            # slot; an op left empty means it aborted
+                            b.exc = RuntimeError("group commit aborted")
+                        b.done = True
+                    self._gc_cv.notify_all()
+        if op.exc is not None:
+            raise op.exc
+        assert op.result is not None
+        return op.result
+
+    def _commit_group(self, batch: list[_PendingCommit]) -> None:
+        """Leader side of the group commit: one commit section, one
+        fragment, one manifest delta, one pointer publish for every
+        op in ``batch``. Fills each op's result/exception slot; never
+        raises (a leader exception must fail the whole batch, not
+        strand the followers)."""
         attempts = 0
-        while True:
-            with self._commit_section():
-                if assumed_version is not None and assumed_version != self._latest:
-                    raise MismatchingVersions(
-                        f"assumed version {assumed_version} != latest {self._latest}"
+        new_head: int | None = None
+        try:
+            while True:
+                with self._commit_section():
+                    # late drain: ops enqueued between this leader's
+                    # election and its section entry join the group
+                    # (without it, the first finished follower of the
+                    # PREVIOUS group elects itself into a solo section
+                    # and the average group halves — measured 1/7
+                    # alternation at 8 producers). Their owner threads
+                    # keep waiting on the CV; the extended batch is
+                    # marked done with everyone else.
+                    with self._gc_cv:
+                        if self._gc_queue:
+                            batch.extend(self._gc_queue)
+                            self._gc_queue.clear()
+                    base = self._latest
+                    prior_initial = self._initial
+                    # server-assigned, non-decreasing, whole seconds;
+                    # one shared timestamp per group (inmem.go:27,
+                    # file.go:419-420 share per batch — a group IS one
+                    # physical batch)
+                    ts = max(int(time.time()), self._last_ts)
+                    rows: list[tuple[int, int, int, str, str]] = []
+                    live: list[_PendingCommit] = []
+                    cur = base
+                    for op in batch:
+                        op.exc = None  # re-validated on every attempt
+                        if (
+                            op.assumed_version is not None
+                            and op.assumed_version != cur
+                        ):
+                            # OCC loser INSIDE the group: same outcome
+                            # it would get racing through the lock
+                            op.exc = MismatchingVersions(
+                                f"assumed version {op.assumed_version} "
+                                f"!= latest {cur}"
+                            )
+                            continue
+                        op.first = cur + 1
+                        rows.extend(
+                            (cur + j + 1, cur + j, ts, label, payload)
+                            for j, (label, payload) in enumerate(op.prepared)
+                        )
+                        cur += len(op.prepared)
+                        live.append(op)
+                    if rows:
+                        self._write_fragment(rows)
+                        self._latest = cur
+                        if self._initial == 0:
+                            self._initial = 1
+                        self._last_ts = ts
+                        try:
+                            self._write_state()
+                        except ManifestSeqClaimed:
+                            # CAS arbiter only: another writer took this
+                            # seq. Nothing published — drop our fragment
+                            # (it squats on versions the winner owns),
+                            # roll back the in-memory head, resync,
+                            # retry. Every op's OCC assumed_version is
+                            # re-validated against the WINNER's head at
+                            # the top of the loop, so two hosts
+                            # CAS-racing see exactly-one-winner, same
+                            # as two threads under the flock.
+                            self._discard_staged_fragments()
+                            self._latest, self._initial = (
+                                base,
+                                prior_initial,
+                            )
+                            retry = True
+                        else:
+                            retry = False
+                            # captured INSIDE the lock: after release
+                            # another commit may advance self._latest,
+                            # and broadcasting/returning that head
+                            # would break version == version_previous
+                            # + len(events)
+                            new_head = self._latest
+                    else:
+                        retry = False  # every op OCC-failed: no write
+                if not retry:
+                    break
+                attempts += 1
+                if attempts >= 4096:  # pragma: no cover - storm backstop
+                    raise RuntimeError(
+                        "commit lost the CAS race 4096 times in a row"
                     )
-                base = self._latest
-                prior_initial = self._initial
-                # server-assigned, non-decreasing, whole seconds; one shared
-                # timestamp per batch (inmem.go:27, file.go:419-420)
-                ts = max(int(time.time()), self._last_ts)
-                rows = [
-                    (base + i + 1, base + i, ts, label, payload)
-                    for i, (label, payload) in enumerate(prepared)
-                ]
-                self._write_fragment(rows)
-                self._latest = base + len(rows)
-                if self._initial == 0:
-                    self._initial = 1
-                self._last_ts = ts
-                try:
-                    self._write_state()
-                except ManifestSeqClaimed:
-                    # CAS arbiter only: another writer took this seq.
-                    # Nothing published — drop our fragment (it squats
-                    # on versions the winner owns), roll back the
-                    # in-memory head, resync, retry. An OCC
-                    # assumed_version is re-validated against the
-                    # WINNER's head at the top of the loop, so two
-                    # hosts CAS-racing see exactly-one-winner, same as
-                    # two threads under the flock.
-                    self._discard_staged_fragments()
-                    self._latest, self._initial = base, prior_initial
-                    retry = True
-                else:
-                    retry = False
-                    # captured INSIDE the lock: after release another
-                    # commit may advance self._latest, and broadcasting/
-                    # returning that head would break
-                    # version == version_previous + len(events)
-                    new_head = self._latest
-            if not retry:
-                break
-            attempts += 1
-            if attempts >= 4096:  # pragma: no cover - storm backstop
-                raise RuntimeError(
-                    "commit lost the CAS race 4096 times in a row"
-                )
-            time.sleep(random.uniform(0, 0.002) * min(attempts, 8))
-        self._hub.broadcast(new_head)
+                time.sleep(random.uniform(0, 0.002) * min(attempts, 8))
+        except BaseException as e:  # fail the WHOLE batch, strand no one
+            for op in batch:
+                if op.result is None and op.exc is None:
+                    op.exc = e
+            return
+        for op in live:
+            op.result = AppendResult(
+                version_previous=op.first - 1,
+                version_first=op.first,
+                version=op.first + len(op.prepared) - 1,
+                timestamp=ts,
+            )
+        self._gc_commits += 1
+        self._gc_ops += len(batch)
+        self._gc_last_batch = len(batch)
+        if new_head is not None:
+            self._hub.broadcast(new_head)
         # LSM-style maintenance OUTSIDE the commit section: once enough
-        # single-commit fragments accumulate, fold them into one file
+        # group fragments accumulate, fold them into one file
         # driver-side. Amortized O(1) per append; without it both the
         # per-commit manifest publish and the page-scan fan-in grow
-        # linearly with total appends since the last OPTIMIZE.
+        # linearly with total appends since the last OPTIMIZE. (Run by
+        # the leader only — one fold check per group, not per caller.)
         if (
             self.path is not None
             and self.MINOR_COMPACT_FRAGMENTS
             and getattr(self, "_interactive_frags", 0)
             >= self.MINOR_COMPACT_FRAGMENTS
         ):
-            # the append above is already durably committed and
+            # the group above is already durably committed and
             # published — a failure in this opportunistic maintenance
             # (ENOSPC mid-merge, a racing external delete) must not
             # surface as an append error. Defer the retry a full
@@ -1361,12 +1575,6 @@ class EventLog:
             except Exception as e:  # pragma: no cover - defensive
                 self._interactive_frags = 0
                 warnings.warn(f"minor_compact failed (deferred): {e!r}")
-        return AppendResult(
-            version_previous=base,
-            version_first=base + 1,
-            version=new_head,
-            timestamp=ts,
-        )
 
     def _discard_staged_fragments(self) -> None:
         """CAS-loser cleanup: fragments staged for a failed delta claim
@@ -1398,19 +1606,30 @@ class EventLog:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        from .sources.binformat import spark_checksum
+        from .sources.binformat import checksum_rows
 
         tbl = pa.table(
             {
                 "version": pa.array([r[0] for r in rows], pa.int64()),
                 "version_prev": pa.array([r[1] for r in rows], pa.int64()),
                 "timestamp": pa.array([r[2] for r in rows], pa.int64()),
-                "label": pa.array([r[3] for r in rows], pa.string()),
-                "payload": pa.array([r[4] for r in rows], pa.string()),
-                "checksum": pa.array(
-                    [spark_checksum(r[2], r[3], r[4], r[1]) for r in rows],
-                    pa.int64(),
+                # UTF-8-encoded bytes into a string column: arrow's
+                # str ingestion re-encodes character by character
+                # (~0.85 ms per 64 KiB payload — it dominated the wide
+                # commit section), while bytes ingestion is a memcpy +
+                # SIMD UTF-8 validation (0.11 ms for six such rows);
+                # str.encode of the already-UTF-8 Python str is C-fast
+                "label": pa.array(
+                    [r[3].encode("utf-8") for r in rows], pa.string()
                 ),
+                "payload": pa.array(
+                    [r[4].encode("utf-8") for r in rows], pa.string()
+                ),
+                # checksum_rows pool-parallelizes wide batches (a group
+                # commit's coalesced 64 KiB+ rows would otherwise spend
+                # more section time in the GIL-bound parity hash than
+                # in the actual I/O); narrow rows hash inline
+                "checksum": pa.array(checksum_rows(rows), pa.int64()),
             }
         )
         name = f"part-{uuid.uuid4().hex}.parquet"

