@@ -374,6 +374,150 @@ def test_cas_storm_survives_sigkill(tmp_path, xproc_store):
     assert fresh.append("after", '{"ok":true}').version == head + 1
 
 
+_CAS_RETRY_WRITER = r"""
+import json, os, sys, time
+repo, path, wid, n = sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4])
+pace = float(sys.argv[5]) if len(sys.argv) > 5 else 0.0
+sys.path.insert(0, repo)
+from eventlog_spark.log import EventLog
+from eventlog_spark.claimsvc import SocketClaimStore
+sock = os.environ["SPARK_GRAFT_CLAIM_SOCK"]
+
+
+def fresh():
+    # the arbiter may be down (restarting): keep trying until the
+    # published truth is reachable again
+    while True:
+        try:
+            return EventLog.open(None, path, arbiter="cas",
+                                 claim_store=SocketClaimStore(sock))
+        except Exception:
+            time.sleep(0.1)
+
+
+log = fresh()
+label = f"writer{wid}"
+wins = []
+outages = 0
+for i in range(n):
+    while True:
+        try:
+            r = log.append(label, json.dumps({"writer": wid, "seq": i}))
+            wins.append(r.version)
+            break
+        except Exception:
+            # outage window. The failed claim is AMBIGUOUS (it may have
+            # applied server-side before the kill), so a blind retry
+            # could double-append: re-open from published truth and
+            # check whether event i already committed.
+            outages += 1
+            time.sleep(0.1)
+            log = fresh()
+            landed = [row for row in log.scan_rows(label=label)
+                      if json.loads(row.payload)["seq"] == i]
+            if landed:
+                wins.append(landed[0].version)
+                break
+    if pace:
+        time.sleep(pace)
+print("OUTAGES:%d" % outages)
+print("WINS:" + ",".join(map(str, wins)))
+"""
+
+
+def test_cas_storm_survives_claim_server_sigkill(tmp_path):
+    """Round-11 verdict item 2 — the OTHER side of the crash story:
+    SIGKILL the claim SERVICE (not a writer) mid-storm, restart it at
+    the same socket from its durable journal, and the storm completes
+    green. Proves: (a) acked claims survive the crash — the restarted
+    arbiter resumes the exact claim set, so no seq is double-issued;
+    (b) the stale socket FILE left by the kill is reclaimed on
+    restart; (c) clients reconnect and the ambiguous outage-window
+    appends resolve exactly-once through published-truth re-checks
+    (the manifest disambiguation's cross-restart analog)."""
+    import signal
+    import tempfile
+    import time as _t
+
+    from eventlog_spark.claimsvc import SocketClaimStore
+
+    d = tempfile.mkdtemp(prefix="csvc-", dir="/tmp")  # short AF_UNIX path
+    sock, journal = os.path.join(d, "s"), os.path.join(d, "j")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def serve() -> subprocess.Popen:
+        p = subprocess.Popen(
+            [sys.executable, "-m", "eventlog_spark.claimsvc", sock, journal],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=dict(os.environ, PYTHONPATH=repo),
+        )
+        assert p.stdout.readline().strip() == "READY"
+        return p
+
+    server = serve()
+    path = str(tmp_path / "svkill")
+    try:
+        EventLog.create(
+            None, path, arbiter="cas", claim_store=SocketClaimStore(sock)
+        )
+        env = dict(os.environ, SPARK_GRAFT_CLAIM_SOCK=sock)
+        n_writers, n_each = 3, 20
+        writers = [
+            subprocess.Popen(
+                [
+                    sys.executable, "-c", _CAS_RETRY_WRITER,
+                    repo, path, str(wid), str(n_each), "0.03",
+                ],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+                env=env,
+            )
+            for wid in range(n_writers)
+        ]
+        _t.sleep(0.8)  # mid-storm
+        server.send_signal(signal.SIGKILL)
+        server.wait(timeout=30)
+        _t.sleep(0.4)  # writers hit the outage and enter their retry loops
+        server = serve()  # same socket (stale file reclaimed) + journal
+        wins: list[int] = []
+        outages = 0
+        for p in writers:
+            out, err = p.communicate(timeout=300)
+            assert p.returncode == 0, f"writer failed:\n{err[-2000:]}"
+            (line,) = [ln for ln in out.splitlines() if ln.startswith("WINS:")]
+            wins.extend(int(v) for v in line[5:].split(","))
+            (oline,) = [
+                ln for ln in out.splitlines() if ln.startswith("OUTAGES:")
+            ]
+            outages += int(oline[8:])
+        # non-vacuity: at least one writer actually hit the outage
+        # window and took the published-truth recovery path
+        assert outages >= 1
+        total = n_writers * n_each
+        # every event acked exactly once, versions a permutation of 1..N
+        assert sorted(wins) == list(range(1, total + 1))
+        fresh = EventLog.open(
+            None, path, arbiter="cas", claim_store=SocketClaimStore(sock)
+        )
+        assert fresh.version() == total
+        rows = fresh.scan_rows()
+        assert [r.version for r in rows] == list(range(1, total + 1))
+        pay = [json.loads(r.payload) for r in rows]
+        assert {(q["writer"], q["seq"]) for q in pay} == {
+            (w, i) for w in range(n_writers) for i in range(n_each)
+        }
+        # and the restarted arbiter still takes commits
+        assert fresh.append("after", '{"ok":true}').version == total + 1
+    finally:
+        if server.poll() is None:
+            server.kill()
+            server.wait(timeout=30)
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_arbiter_persisted_at_create_and_mismatch_refused(tmp_path):
     """The arbiter is a property of the LOG (round-9 advice): create
     records it in the meta file, a default open adopts it, and an
@@ -645,6 +789,54 @@ def test_arbiter_claim_survives_meta_patch_crash(tmp_path):
     assert EventLog.open(None, path)._arbiter == "cas"
 
 
+def test_torn_arbiter_claim_is_repaired_not_adopted_blank(tmp_path):
+    """Round-11 advice (low): a crash in the OLD exclusive-create shape
+    (between open and write) left an EMPTY claim forever; explicit
+    opens then read won='' and patched the meta last-replace-wins —
+    silently reinstating the conflicting-choice race. Now the claim
+    publishes via hard link (no torn window), and a pre-existing torn
+    claim is repaired under an auxiliary exclusive lock: the first
+    explicit open adopts its choice ATOMICALLY, and a conflicting
+    explicit open after it is refused like any other loser."""
+    path = str(tmp_path / "torn")
+    EventLog.create(None, path, arbiter="flock")
+    meta_path = os.path.join(path, "_eventlog_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    del meta["arbiter"]  # make it a legacy log
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    open(meta_path + ".arbiter", "w").close()  # the torn (empty) claim
+    assert EventLog._persisted_arbiter(path) is None  # torn ≠ a choice
+
+    assert EventLog.open(None, path, arbiter="cas")._arbiter == "cas"
+    with open(meta_path + ".arbiter") as f:
+        assert f.read().strip() == "cas"  # repaired, whole-file content
+    # the repaired claim now arbitrates: a conflicting explicit open
+    # is refused, a default open adopts
+    with pytest.raises(ValueError, match="refusing to open"):
+        EventLog.open(None, path, arbiter="flock")
+    assert EventLog.open(None, path)._arbiter == "cas"
+
+
+def test_bootstrap_not_reachable_via_arbiter_argument(tmp_path):
+    """Round-11 advice (low): the old '_bootstrap' sentinel STRING was
+    accepted through the documented arbiter argument, letting any
+    caller skip the persisted-arbiter check and run flock-mode on a
+    cas-operated log. Now bootstrap is a keyword-only private flag:
+    the sentinel value is rejected as an unknown arbiter, and even the
+    private flag refuses a path that already has a state file."""
+    path = str(tmp_path / "boot")
+    EventLog.create(None, path, arbiter="cas")
+    with pytest.raises(ValueError, match="unknown commit arbiter"):
+        EventLog(None, path, arbiter="_bootstrap")
+    with pytest.raises(ValueError, match="bootstrap"):
+        EventLog(None, path, _bootstrap=True)
+    # and the check it was skipping still refuses a mismatched open
+    with pytest.raises(ValueError, match="refusing to open"):
+        EventLog.open(None, path, arbiter="flock")
+
+
 def test_arbiter_recorded_before_bootstrap_open(tmp_path, monkeypatch):
     """Round-10 advice (low): the arbiter rides in the INITIAL meta
     write — a crash anywhere in create()'s bootstrap window must not
@@ -821,6 +1013,56 @@ def test_cas_claim_survives_ambiguous_put_failure(tmp_path, monkeypatch, mode):
         (2, "through-the-failure"),
     ]
     assert w.append("after", '{"i":2}').version == 3  # writer still healthy
+
+
+def test_cas_ambiguous_retry_loss_to_own_late_put_is_a_win(
+    tmp_path, monkeypatch
+):
+    """Round-11 advice (medium): the disambiguation's RETRY arm had a
+    residual false-loss window. Sequence: the first conditional PUT
+    times out WITHOUT applying; the disambiguating GET sees the name
+    absent; then the ORIGINAL in-flight request lands late (a timed-out
+    frame applying after the fact — networked-store reality); the
+    retry comes back ok=False. Pre-fix that False was treated as a
+    definitive loss — the loser path would delete staged fragments
+    that the writer's own now-committed delta references. Post-fix the
+    losing retry re-reads the name: our bytes → we won all along."""
+    import fcntl
+
+    from eventlog_spark.manifest import MemoryClaimStore
+
+    shared = MemoryClaimStore()
+    path = str(tmp_path / "ambig-late")
+    EventLog.create(None, path, arbiter="cas", claim_store=shared)
+    monkeypatch.setattr(fcntl, "flock", _boom)
+
+    class _LateLandingStore(_AmbiguousStore):
+        def put_if_absent(self, name, data):
+            if self._mode == "late":
+                self._mode = "late-retry"
+                self._in_flight = (name, bytes(data))
+                raise ConnectionError("request timed out, still in flight")
+            if self._mode == "late-retry" and name == self._in_flight[0]:
+                # the ORIGINAL request lands between the caller's
+                # disambiguating GET and this retry
+                self._inner.put_if_absent(*self._in_flight)
+                self._mode = None
+                return False
+            return super().put_if_absent(name, data)
+
+    flaky = _LateLandingStore(shared)
+    w = EventLog.open(None, path, arbiter="cas", claim_store=flaky)
+    w.append("pre", '{"i":0}')
+    flaky.arm("late")
+    r = w.append("through-late-landing", '{"i":1}')  # must not raise
+    assert r.version == 2
+
+    reader = EventLog.open(None, path, arbiter="cas", claim_store=shared)
+    assert [(x.version, x.label) for x in reader.scan_rows()] == [
+        (1, "pre"),
+        (2, "through-late-landing"),
+    ]
+    assert w.append("after", '{"i":2}').version == 3
 
 
 def test_cas_ambiguous_failure_with_interloper_is_true_loss(

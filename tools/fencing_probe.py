@@ -28,11 +28,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from eventlog_spark.log import EventLog  # noqa: E402
 
 _WRITER = r"""
-import json, sys
+import json, os, sys
 repo, path, wid, n, arb = sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4]), sys.argv[5]
 sys.path.insert(0, repo)
 from eventlog_spark.log import EventLog
-log = EventLog.open(None, path, arbiter=arb)
+store = None
+sock = os.environ.get("SPARK_GRAFT_CLAIM_SOCK")
+if sock:
+    from eventlog_spark.claimsvc import SocketClaimStore
+    store = SocketClaimStore(sock)
+log = EventLog.open(None, path, arbiter=arb, claim_store=store)
 wins = []
 for i in range(n):
     r = log.append(f"w{wid}", json.dumps({"w": wid, "i": i}))
@@ -80,20 +85,37 @@ def run(arbiter: str, n_procs: int, n_each: int) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def run_maintenance(n_procs: int, n_each: int) -> dict:
+def run_maintenance(n_procs: int, n_each: int, store: str = "posix") -> dict:
     """Starvation-freedom probe (round-10): N full-speed CAS writer
     processes storm the log while THIS process runs minor compactions
     in a loop. Every fold publish that loses its seq claim re-bases
     (O(1), no re-rewrite) and retries; the probe reports how many folds
     LANDED during the storm and the worst-case attempts one publish
     needed — the evidence that maintenance completes under sustained
-    writer contention instead of aborting forever."""
+    writer contention instead of aborting forever.
+
+    ``store='socket'`` (round-12, closes the last substrate asymmetry
+    in the maintenance path): the same storm with every claim/GET/LIST
+    crossing the served object-store contract (claimsvc.ClaimServer,
+    journal-backed) instead of POSIX link — proving the re-basing
+    publish needs nothing beyond the 5-method contract."""
     root = tempfile.mkdtemp(prefix="fencing_probe_maint_")
     path = os.path.join(root, "log")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    server = None
+    claim_store = None
+    child_env = dict(os.environ)
     try:
-        EventLog.create(None, path, arbiter="cas")
-        log = EventLog.open(None, path, arbiter="cas")
+        if store == "socket":
+            from eventlog_spark.claimsvc import ClaimServer, SocketClaimStore
+
+            svc_dir = tempfile.mkdtemp(prefix="csvc-", dir="/tmp")
+            sock = os.path.join(svc_dir, "s")
+            server = ClaimServer(sock, os.path.join(svc_dir, "j")).start()
+            claim_store = SocketClaimStore(sock)
+            child_env["SPARK_GRAFT_CLAIM_SOCK"] = sock
+        EventLog.create(None, path, arbiter="cas", claim_store=claim_store)
+        log = EventLog.open(None, path, arbiter="cas", claim_store=claim_store)
         for i in range(64):  # seed fragments so folds have work
             log.append("seed", json.dumps({"i": i}))
         t0 = time.perf_counter()
@@ -103,6 +125,7 @@ def run_maintenance(n_procs: int, n_each: int) -> dict:
                 stdout=subprocess.PIPE,
                 stderr=subprocess.PIPE,
                 text=True,
+                env=child_env,
             )
             for w in range(n_procs)
         ]
@@ -122,11 +145,12 @@ def run_maintenance(n_procs: int, n_each: int) -> dict:
             wins.extend(int(v) for v in line[5:].split(","))
         total = 64 + n_procs * n_each
         assert sorted(wins) == list(range(65, total + 1)), "fencing violated"
-        check = EventLog.open(None, path, arbiter="cas")
+        check = EventLog.open(None, path, arbiter="cas", claim_store=claim_store)
         assert check.version() == total
         assert [r.version for r in check.scan_rows()] == list(range(1, total + 1))
         return {
             "probe": "maintenance_liveness",
+            "store": store,
             "procs": n_procs,
             "commits": total,
             "wall_s": round(wall, 2),
@@ -137,6 +161,8 @@ def run_maintenance(n_procs: int, n_each: int) -> dict:
             ),
         }
     finally:
+        if server is not None:
+            server.stop()
         shutil.rmtree(root, ignore_errors=True)
 
 
@@ -149,9 +175,16 @@ if __name__ == "__main__":
         action="store_true",
         help="run the maintenance-under-storm liveness probe instead",
     )
+    ap.add_argument(
+        "--store",
+        choices=("posix", "socket"),
+        default="posix",
+        help="claim substrate for --maintenance: POSIX link dir or the "
+        "served object-store contract (claimsvc)",
+    )
     args = ap.parse_args()
     if args.maintenance:
-        print(json.dumps(run_maintenance(args.procs, args.each)))
+        print(json.dumps(run_maintenance(args.procs, args.each, args.store)))
         raise SystemExit(0)
     rows = []
     for arb in ("flock", "cas"):
