@@ -40,6 +40,21 @@ SETTLE = os.environ.get("SPARK_GRAFT_BENCH_SETTLE", "1") != "0"
 # exploders, nowhere else.
 SETTLE_AFTER = {"join_skew_salted"}
 
+# Codegen-warm pass (round-11 verdict item 3 — mechanize the
+# text_rolling_hash cold-slot adjudication): the query is a single huge
+# JVM F.aggregate fold whose generated code pays a one-off janino
+# compile + JIT warm of ~1.5-2.5 s the FIRST time the plan shape runs in
+# a JVM — a pure suite-slot artifact (0.70 s warm for five consecutive
+# rounds, 2.6-3.2 s whenever a rotation moved it into a cold slot), and
+# the only row whose cold/warm spread exceeds the 1.7x adjudication
+# trigger. Every round that moved it cost a manual standalone
+# re-measure; this executes exactly that re-measure's warm pass inside
+# the suite, UNTIMED, immediately before the timed run — the recorded
+# number is the steady-state the adjudication always concluded.
+# Deliberately a one-query set: a universal warm pass would double the
+# suite and hide real cold-path regressions.
+WARM_BEFORE = {"text_rolling_hash"}
+
 
 def _settle(spark) -> None:
     """Un-timed post-exploder hygiene: drop Python-side DataFrame refs,
@@ -76,6 +91,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, spec in sorted(REGISTRY.items()):
+        if SETTLE and name in WARM_BEFORE:
+            # un-timed codegen/JIT warm of this plan shape (see
+            # WARM_BEFORE); same query, same data, result discarded
+            spec.fn(spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
         t0 = time.monotonic()
         df = spec.fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()

@@ -96,29 +96,32 @@ _loaded = False
 # goes dead LAST so a harness abort there cannot cost any other query
 # its row.
 #
-# ROUND-11 ROTATION (executes the registry's round-11 note + the r10
-# verdict's item 1): every query is cumulatively green (187/187, zero
+# ROUND-12 ROTATION (executes the round-11 note + the r11 verdict's
+# item 1): every query is cumulatively green (187/187, zero
 # latest-red), so the window is freshness- and touch-driven:
 # (a) the 10 log-family queries — the storage layer changed AGAIN this
-#     round (round-10 advice: _sync_manifest_to_pointer now adopts the
-#     pointer head + rolled-forward delta head so (files, head) pairs
-#     are consistent; compact captures its snapshot pair atomically
-#     under the RLock; the arbiter rides in create()'s INITIAL meta
-#     write behind a _BOOTSTRAP sentinel open; legacy-log arbiter
-#     adoption is arbitrated by an exclusive-create claim sidecar), so
-#     everything that creates/opens/appends/scans/compacts through the
-#     engine re-proves on the new paths;
-# (b) the 5 rows deferred from round 6 (setop_except, setop_intersect,
-#     topk_orders, unpivot_lineitem_metrics, window_topk_per_group);
-# (c) 35 of the 50 round-7 rows (now the oldest cohort); deferred to
-#     round 12 (pure deterministic relational ops, lowest regression
-#     surface, same rationale as the r10 deferral): the 12 TPC-H rows
-#     q4/q6/q7/q8/q13/q14/q15/q16/q17/q19/q20/q22 plus date_functions,
-#     scalar_functions, window_running_total.
+#     round (round-11 advice: the ambiguous-PUT retry arm now decides
+#     a losing retry by content read-back; the arbiter-claim sidecar
+#     publishes via hard-linked whole files and repairs torn claims;
+#     bootstrap became a private keyword-only flag; plus the round-12
+#     group-commit coalescing of concurrent interactive appends into
+#     one commit section), so everything that creates/opens/appends/
+#     scans/compacts through the engine re-proves on the new paths;
+# (b) the 15 rows deferred from round 7 (twice-deferred, now oldest):
+#     q4/q6/q7/q8/q13/q14/q15/q16/q17/q19/q20/q22, date_functions,
+#     scalar_functions, window_running_total;
+# (c) the 25 alphabetically-first rows of the 41-row round-8 cohort
+#     (the next-oldest latest-checks).
 #     join_bucketed_colocated stays pinned in _LAST (side-effectful)
 #     and is checked by its own suite tests.
-# ROUND-12 NOTE: rotate in the 15 deferred r7 rows above plus the
-# oldest round-8 cohort, plus anything round 12 touches.
+# ROUND-13 NOTE: rotate in the 16 deferred r8 rows (merge_upsert_orders,
+# multimodal_manifest, pack_token_budget, quality_gopher_rules,
+# quality_model_scores, quality_relative_filter, sample_hash_stats,
+# sample_stratified, sample_temperature_mixture, source_overlap_matrix,
+# stream_late_arrival_audit, text_bigram_surprisal,
+# text_blocklist_filter, text_bpe_pair_counts, text_decontaminate,
+# text_inverse_freq_score) plus the oldest r9 cohort, plus anything
+# round 13 touches.
 _FIRST_50 = [
     # (a) storage layer changed again - whole log family re-proves
     "eventlog_engine_roundtrip",
@@ -131,48 +134,48 @@ _FIRST_50 = [
     "log_scan_skip_first",
     "log_version_bounds",
     "log_compact_label_clustered",
-    # (b) the 5 rows deferred from round 6
-    "setop_except",
-    "setop_intersect",
-    "topk_orders",
-    "unpivot_lineitem_metrics",
-    "window_topk_per_group",
-    # (c) 35 of the round-7 cohort, oldest first surface
-    "agg_cube",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_percentiles",
-    "agg_rollup",
-    "approx_distinct_hll",
-    "approx_distinct_kmv",
-    "array_collect_ops",
-    "chunk_overlap_windows",
-    "dedup_embedding_cosine",
-    "explode_unnest",
-    "join_anti",
-    "join_asof",
-    "join_broadcast_dim",
-    "join_range",
-    "join_semi",
-    "join_skew_salted",
-    "json_extract",
-    "multimodal_jpeg_decode",
-    "multimodal_video_frames",
-    "multimodal_video_scene_cuts",
-    "stream_dedup",
-    "stream_interval_join",
-    "stream_session_window",
-    "stream_static_enrich",
-    "stream_threshold_alert",
-    "stream_tumbling_window",
-    "text_bpe_encode_scaled",
-    "text_bpe_train_scaled",
-    "text_fingerprint",
-    "text_lang_stats",
-    "text_quality",
-    "text_rolling_hash",
-    "text_token_count",
-    "timeseries_rollup",
+    # (b) the 15 twice-deferred round-7 rows
+    "q4_priority_late_ship",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_quantity",
+    "q19_disjunctive_revenue",
+    "q20_part_promotion",
+    "q22_idle_customers",
+    "date_functions",
+    "scalar_functions",
+    "window_running_total",
+    # (c) the 25 alphabetically-first round-8 rows
+    "ann_ivf_pq_residual",
+    "ann_recall_report",
+    "attribution_last_click",
+    "bm25_search",
+    "corpus_dataset_card",
+    "corpus_interleave_schedule",
+    "corpus_length_histogram",
+    "corpus_shard_assign",
+    "corpus_train_val_split",
+    "dedup_segments",
+    "dedup_semantic_cluster",
+    "dedup_winnowing",
+    "domain_quota_cap",
+    "embedding_centroid_assign",
+    "embedding_dim_stats",
+    "embedding_pq_codes",
+    "embedding_quantize_int8",
+    "embedding_whiten_apply",
+    "event_daily_ewma",
+    "event_funnel",
+    "event_retention",
+    "event_transition_matrix",
+    "event_type_lift",
+    "event_value_outliers",
+    "incremental_agg_merge",
 ]
 
 # catalog side effects (SparkSQL bucketed-table DDL) — dead last in the
