@@ -94,6 +94,45 @@ def main() -> None:
             v = clt.append_check(v, LABEL, PAYLOAD).version
         out["http_append_check"] = _rate(n, time.monotonic() - t0)
 
+        # 2b. CONCURRENT append — 8 clients, each its own connection,
+        # hammering the same server. The serving handlers run in
+        # ThreadingHTTPServer threads, so their appends coalesce
+        # through the round-12 group commit: sections/s stays flat as
+        # client count grows, ops/section scales. (The reference's
+        # bench suite has no concurrent-producer harness — its mutex
+        # batches implicitly; this measures our explicit analog
+        # through the full HTTP round-trip.)
+        import threading
+
+        n_cli = 8
+        per = max(1, n // n_cli)
+        gc0_commits, gc0_ops = log._gc_commits, log._gc_ops
+        errs: list = []
+
+        def hammer() -> None:
+            try:
+                c = Client("127.0.0.1", srv.server_address[1])
+                for _ in range(per):
+                    c.append(LABEL, PAYLOAD)
+            except Exception as e:  # pragma: no cover - surfaced below
+                errs.append(e)
+
+        threads = [threading.Thread(target=hammer) for _ in range(n_cli)]
+        t0 = time.monotonic()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        dt = time.monotonic() - t0
+        if errs:
+            raise AssertionError(errs)
+        r = _rate(n_cli * per, dt)
+        ops = log._gc_ops - gc0_ops
+        commits = max(1, log._gc_commits - gc0_commits)
+        r["clients"] = n_cli
+        r["ops_per_section"] = round(ops / commits, 2)
+        out["http_append_concurrent8"] = r
+
     with tempfile.TemporaryDirectory(prefix="elbench-") as tmp:
         # 3. scan 1000 events from a fresh log, paginated, count-checked
         log = EventLog.create(spark, os.path.join(tmp, "log"))
