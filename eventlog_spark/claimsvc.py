@@ -120,12 +120,64 @@ class _Handler(socketserver.StreamRequestHandler):
                 else:
                     resp = {"error": f"unknown op {op!r}"}
                 if entry is not None and srv.journal is not None:
-                    srv.journal.write(json.dumps(entry).encode() + b"\n")
+                    line = json.dumps(entry).encode() + b"\n"
+                    srv.journal.write(line)
                     srv.journal.flush()
                     os.fsync(srv.journal.fileno())
+                    srv.journal_bytes += len(line)
+                    # checkpoint roll (still under the store lock, so
+                    # the snapshot is a consistent point-in-time claim
+                    # set and no mutation can interleave): once the
+                    # journal carries 4x more history than the live
+                    # set is worth, rewrite it as one snapshot. The
+                    # 4x factor keeps a genuinely large live set from
+                    # thrashing rolls; the floor keeps tiny sets from
+                    # rolling every few mutations.
+                    if srv.journal_bytes >= max(
+                        srv.roll_bytes, 4 * srv.snapshot_bytes
+                    ):
+                        _roll_journal(srv)
             out = json.dumps(resp).encode()
             self.wfile.write(struct.pack(">I", len(out)) + out)
             self.wfile.flush()
+
+
+def _roll_journal(srv) -> None:
+    """Checkpoint-roll the journal: rewrite it as one snapshot of the
+    live claim set (plain ``put`` lines — replay needs no new record
+    kinds), atomically via temp + fsync + rename + directory fsync.
+    MUST be called under the store lock. Crash-safe at every point: a
+    crash before the rename leaves the old journal (full history, same
+    replay result); after it, the snapshot IS the journal and contains
+    every acked mutation (the triggering entry was appended and
+    fsynced before the roll, and the snapshot reflects the current
+    objects). Bounds both disk and restart-replay cost for a
+    long-lived sidecar — without it the journal grows one line per
+    commit forever while vacuum keeps the LIVE set small."""
+    tmp = srv.journal_path + ".roll"
+    total = 0
+    with open(tmp, "wb") as f:
+        for name, data in srv.objects.items():
+            line = (
+                json.dumps(
+                    {"op": "put", "name": name, "data": data.hex()}
+                ).encode()
+                + b"\n"
+            )
+            f.write(line)
+            total += len(line)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, srv.journal_path)
+    dfd = os.open(os.path.dirname(srv.journal_path) or ".", os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+    srv.journal.close()
+    srv.journal = open(srv.journal_path, "ab")
+    srv.snapshot_bytes = total
+    srv.journal_bytes = total
 
 
 class ClaimServer:
@@ -143,9 +195,21 @@ class ClaimServer:
     trailing line (SIGKILL mid-write) is dropped on replay — by
     construction it was never acknowledged, so the client saw a
     transport error and the manifest layer's content disambiguation
-    already covers that outcome."""
+    already covers that outcome.
 
-    def __init__(self, socket_path: str, journal_path: str | None = None):
+    The journal is CHECKPOINT-ROLLED so a long-lived sidecar's disk
+    and restart-replay cost track the LIVE claim set, not total commit
+    history: once the file carries ``max(roll_bytes, 4x live set)``
+    of lines it is atomically rewritten as one snapshot (see
+    :func:`_roll_journal`), and startup compacts a history-heavy
+    journal the same way after replay."""
+
+    def __init__(
+        self,
+        socket_path: str,
+        journal_path: str | None = None,
+        roll_bytes: int = 64 * 1024,
+    ):
         class _Srv(socketserver.ThreadingUnixStreamServer):
             daemon_threads = True
             allow_reuse_address = True  # no effect on AF_UNIX — see below
@@ -153,9 +217,16 @@ class ClaimServer:
         objects: dict[str, bytes] = {}
         self.journal_path = journal_path
         self._journal = None
+        journal_bytes = snapshot_bytes = 0
         if journal_path is not None:
             objects = self._replay(journal_path)
             self._journal = open(journal_path, "ab")
+            journal_bytes = os.path.getsize(journal_path)
+            snapshot_bytes = sum(
+                len(json.dumps({"op": "put", "name": k, "data": v.hex()}))
+                + 1
+                for k, v in objects.items()
+            )
         # allow_reuse_address is a no-op for AF_UNIX sockets: a stale
         # socket FILE left by a crashed/killed predecessor (stop()
         # never ran) makes the bind fail EADDRINUSE, wedging the
@@ -178,7 +249,19 @@ class ClaimServer:
         self._srv = _Srv(socket_path, _Handler)
         self._srv.objects = objects  # type: ignore[attr-defined]
         self._srv.journal = self._journal  # type: ignore[attr-defined]
+        self._srv.journal_path = journal_path  # type: ignore[attr-defined]
+        self._srv.journal_bytes = journal_bytes  # type: ignore[attr-defined]
+        self._srv.snapshot_bytes = snapshot_bytes  # type: ignore[attr-defined]
+        self._srv.roll_bytes = roll_bytes  # type: ignore[attr-defined]
         self._srv.store_lock = threading.Lock()  # type: ignore[attr-defined]
+        # startup compaction: a history-heavy journal (e.g. after a
+        # storm whose claims vacuum has since deleted) is rolled once
+        # here so restart-replay cost never compounds across restarts
+        if self._journal is not None and journal_bytes >= max(
+            roll_bytes, 4 * snapshot_bytes
+        ):
+            _roll_journal(self._srv)
+            self._journal = self._srv.journal  # type: ignore[attr-defined]
         self._thread = threading.Thread(
             target=self._srv.serve_forever, name="claimsvc", daemon=True
         )
@@ -221,8 +304,10 @@ class ClaimServer:
     def stop(self) -> None:
         self._srv.shutdown()
         self._srv.server_close()
-        if self._journal is not None:
-            self._journal.close()
+        # a checkpoint roll swaps the journal handle on the server —
+        # close the CURRENT one, not the handle __init__ opened
+        if getattr(self._srv, "journal", None) is not None:
+            self._srv.journal.close()  # type: ignore[attr-defined]
         try:
             os.unlink(self.socket_path)
         except OSError:
@@ -322,15 +407,21 @@ def main(argv: list[str] | None = None) -> None:
     """Run the claim service as its own OS process (the ops-sidecar
     shape, and what the server-SIGKILL chaos test kills):
 
-        python -m eventlog_spark.claimsvc SOCKET_PATH [JOURNAL_PATH]
+        python -m eventlog_spark.claimsvc SOCKET_PATH [JOURNAL_PATH [ROLL_BYTES]]
 
     Prints ``READY`` once the socket is listening, then serves until
     killed. With a journal path, a restart at the same paths resumes
-    the exact acked claim set."""
+    the exact acked claim set; ``ROLL_BYTES`` overrides the checkpoint
+    roll floor (tests use a tiny value so kills interleave with
+    rolls)."""
     import sys
 
     args = sys.argv[1:] if argv is None else argv
-    srv = ClaimServer(args[0], args[1] if len(args) > 1 else None).start()
+    srv = ClaimServer(
+        args[0],
+        args[1] if len(args) > 1 else None,
+        roll_bytes=int(args[2]) if len(args) > 2 else 64 * 1024,
+    ).start()
     print("READY", flush=True)
     try:
         threading.Event().wait()

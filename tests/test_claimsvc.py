@@ -85,6 +85,61 @@ def test_malformed_response_key_raises_claim_service_error():
         SocketClaimStore._expect({"unexpected": 1}, "ok")
 
 
+def test_journal_checkpoint_rolls_at_threshold(svc_dir):
+    """A long-lived sidecar's journal must track the LIVE claim set,
+    not total history: with a tiny roll floor, sustained put/delete
+    churn keeps the file bounded, and a restart resumes the exact
+    claim set from the rolled snapshot."""
+    sock, jr = os.path.join(svc_dir, "s"), os.path.join(svc_dir, "j")
+    srv = ClaimServer(sock, jr, roll_bytes=2048).start()
+    st = SocketClaimStore(sock)
+    try:
+        for i in range(300):  # ~60 B/record → ~18 KiB of raw history
+            assert st.put_if_absent(f"c{i}", b"x" * 8) is True
+            if i >= 3:  # keep a 4-claim live window
+                assert st.delete(f"c{i - 3}") is True
+        live = sorted(st.names())
+    finally:
+        srv.stop()
+    # bounded: max(roll floor, 4x live set) + one churn cycle, far
+    # below the ~18 KiB an unrolled journal would hold
+    assert os.path.getsize(jr) < 4096, os.path.getsize(jr)
+    srv2 = ClaimServer(sock, jr).start()
+    try:
+        assert sorted(SocketClaimStore(sock).names()) == live == [
+            "c297",
+            "c298",
+            "c299",
+        ]
+    finally:
+        srv2.stop()
+
+
+def test_startup_compacts_history_heavy_journal(svc_dir):
+    """Restart-replay cost must not compound across restarts: a
+    journal whose history dwarfs its live set (claims created then
+    vacuumed) is rolled to a snapshot once on startup."""
+    sock, jr = os.path.join(svc_dir, "s"), os.path.join(svc_dir, "j")
+    # roll_bytes high enough that the churn below never rolls inline
+    srv = ClaimServer(sock, jr, roll_bytes=1 << 20).start()
+    st = SocketClaimStore(sock)
+    try:
+        for i in range(200):
+            st.put(f"h{i}", b"y" * 8)
+            if i >= 2:
+                st.delete(f"h{i - 2}")
+    finally:
+        srv.stop()
+    heavy = os.path.getsize(jr)
+    assert heavy > 10_000  # genuinely history-heavy
+    srv2 = ClaimServer(sock, jr, roll_bytes=2048).start()
+    try:
+        assert sorted(SocketClaimStore(sock).names()) == ["h198", "h199"]
+    finally:
+        srv2.stop()
+    assert os.path.getsize(jr) < 1024, os.path.getsize(jr)
+
+
 def test_stale_socket_file_reclaimed_live_server_refused(svc_dir):
     sock = os.path.join(svc_dir, "s")
     # a crashed/killed predecessor leaves the socket FILE with no

@@ -425,7 +425,15 @@ print("WINS:" + ",".join(map(str, wins)))
 """
 
 
-def test_cas_storm_survives_claim_server_sigkill(tmp_path):
+@pytest.mark.parametrize(
+    "roll_bytes",
+    [
+        64 * 1024,  # default floor: the storm never rolls
+        512,  # tiny floor: checkpoint rolls interleave with the kill
+    ],
+    ids=["no-roll", "rolling"],
+)
+def test_cas_storm_survives_claim_server_sigkill(tmp_path, roll_bytes):
     """Round-11 verdict item 2 — the OTHER side of the crash story:
     SIGKILL the claim SERVICE (not a writer) mid-storm, restart it at
     the same socket from its durable journal, and the storm completes
@@ -434,7 +442,10 @@ def test_cas_storm_survives_claim_server_sigkill(tmp_path):
     (b) the stale socket FILE left by the kill is reclaimed on
     restart; (c) clients reconnect and the ambiguous outage-window
     appends resolve exactly-once through published-truth re-checks
-    (the manifest disambiguation's cross-restart analog)."""
+    (the manifest disambiguation's cross-restart analog). The
+    ``rolling`` variant runs the same storm with a tiny checkpoint
+    floor so the kill lands around journal rolls — the snapshot
+    rewrite must be atomic against SIGKILL at any point."""
     import signal
     import tempfile
     import time as _t
@@ -447,7 +458,10 @@ def test_cas_storm_survives_claim_server_sigkill(tmp_path):
 
     def serve() -> subprocess.Popen:
         p = subprocess.Popen(
-            [sys.executable, "-m", "eventlog_spark.claimsvc", sock, journal],
+            [
+                sys.executable, "-m", "eventlog_spark.claimsvc",
+                sock, journal, str(roll_bytes),
+            ],
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             text=True,
