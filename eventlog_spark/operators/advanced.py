@@ -414,9 +414,19 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     of one. Cost: 8× the dimension-side shuffle volume, zero extra on
     the fact side; result provably identical to the unsalted join (each
     fact row meets each matching dim row exactly once, at its own salt).
-    The shuffle_hash hint forces a real exchange so the demo exercises
-    the salted path even where stats would pick a broadcast (where
+    The merge hint forces a real exchange so the demo exercises the
+    salted path even where stats would pick a broadcast (where
     broadcast fits, salting is moot — the skewed key never shuffles).
+
+    Scale lesson (round-12, found by the sf3 sweep): this hint was
+    previously ``shuffle_hash``, which pins a shuffled hash join —
+    and SHJ's per-partition build map CANNOT spill, so its memory
+    footprint grows linearly with data per partition: at sf3 the
+    x8-exploded orders build side OOMed the executor pool
+    ("SparkOutOfMemoryError: not enough memory to build hash map"),
+    and at 100 TB it is guaranteed death. Sort-merge spills both
+    sides gracefully at any scale and serves the demo identically —
+    never pin shuffle_hash on a side that scales with the corpus.
     The oracle IS the plain join: equivalence is the test."""
     li = _t(spark, sf_dir, "lineitem").withColumn(
         "salt", F.pmod(F.col("l_linenumber"), F.lit(N_SALTS))
@@ -428,7 +438,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0) - F.col("l_discount")
     ).cast("decimal(12,2)")
     return (
-        li.join(o.hint("shuffle_hash"), (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt))
+        li.join(o.hint("merge"), (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt))
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_items"), F.sum(disc).alias("revenue"))
     )

@@ -110,11 +110,16 @@ _loaded = False
 # (b) the 15 rows deferred from round 7 (twice-deferred, now oldest):
 #     q4/q6/q7/q8/q13/q14/q15/q16/q17/q19/q20/q22, date_functions,
 #     scalar_functions, window_running_total;
-# (c) the 25 alphabetically-first rows of the 41-row round-8 cohort
-#     (the next-oldest latest-checks).
+# (c) 24 of the alphabetically-first rows of the 41-row round-8 cohort
+#     (the next-oldest latest-checks), plus join_skew_salted — round 12
+#     changed its join strategy (shuffle_hash → merge: the sf3 sweep
+#     proved the pinned shuffled hash join OOM-fatal at scale, its
+#     build map can't spill), so it re-proves this round;
+#     incremental_agg_merge moves to the round-13 cohort to make room.
 #     join_bucketed_colocated stays pinned in _LAST (side-effectful)
 #     and is checked by its own suite tests.
-# ROUND-13 NOTE: rotate in the 16 deferred r8 rows (merge_upsert_orders,
+# ROUND-13 NOTE: rotate in the 17 deferred r8 rows (incremental_agg_merge,
+# merge_upsert_orders,
 # multimodal_manifest, pack_token_budget, quality_gopher_rules,
 # quality_model_scores, quality_relative_filter, sample_hash_stats,
 # sample_stratified, sample_temperature_mixture, source_overlap_matrix,
@@ -150,7 +155,8 @@ _FIRST_50 = [
     "date_functions",
     "scalar_functions",
     "window_running_total",
-    # (c) the 25 alphabetically-first round-8 rows
+    # (c) 24 alphabetically-first round-8 rows + the re-proving
+    #     join_skew_salted (strategy changed this round)
     "ann_ivf_pq_residual",
     "ann_recall_report",
     "attribution_last_click",
@@ -175,7 +181,8 @@ _FIRST_50 = [
     "event_transition_matrix",
     "event_type_lift",
     "event_value_outliers",
-    "incremental_agg_merge",
+    # round 12 changed this query's join strategy — re-proves now
+    "join_skew_salted",
 ]
 
 # catalog side effects (SparkSQL bucketed-table DDL) — dead last in the

@@ -131,9 +131,15 @@ def test_shingle_shuffles_carry_hashed_keys(spark, sf_dir):
 
 def test_salted_join_really_shuffles(spark, sf_dir):
     """The skew demo must exercise the salted SHUFFLE path — if it
-    silently degrades to a broadcast, the salt proves nothing."""
+    silently degrades to a broadcast, the salt proves nothing. It must
+    be a SORT-MERGE join specifically: the round-12 sf3 sweep proved
+    the earlier shuffle_hash pin fatal at scale (SHJ's per-partition
+    build map can't spill — the x8-exploded dim side OOMs), so a
+    reappearing ShuffledHashJoin here is a scale regression."""
     df = q(spark, sf_dir, "join_skew_salted")
-    assert has_node(df, "ShuffledHashJoin")
+    assert has_node(df, "SortMergeJoin")
+    assert not has_node(df, "ShuffledHashJoin")
+    assert not has_node(df, "BroadcastHashJoin")
 
 
 @pytest.mark.parametrize("name", ["q7_volume_shipping", "q8_market_share"])
