@@ -437,22 +437,30 @@ def log_scan_label_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension beyond the reference's version-only scan (an Iceberg-
     style per-column data-skipping read over the log-structured
     manifest, log.py ``_label_stats_entry``/``label_candidate_files``):
-    events are bulk-ingested in label-RANGE batches — the partitioned-
-    ingest shape, each batch's fragments carrying label bounds from
-    their footers — then ``scan(label='purchase')`` consults the
-    manifest stats and opens ONLY the fragments whose bounds/bloom may
-    hold the label (asserted as 100%-binding in tests/test_log.py;
-    correctness never depends on it — the exact label filter stays in
-    the plan). Range batching, not one-batch-per-label (the r9
-    label-skew rehearsal's finding): per-label ingest is O(labels)
-    Spark jobs — 201 sequential bulk appends = 187 s on the sf1zl
-    201-label corpus — while ≤8 label-sorted range batches cost the
-    same handful of jobs at ANY label cardinality and their footer
-    bounds prune just as hard. Batches are processed in sorted label
-    order and each is internally ordered by (label, event_id), so the
-    assigned versions are IDENTICAL to the per-label form and the
-    oracle is unchanged: versions dense in (label, event_id) append
-    order, the label filter selecting the 'purchase' slice."""
+    events are bulk-ingested as ONE (label, event_id)-range-ordered
+    batch — ``append_dataframe(order_cols=["label","event_id"])``
+    range-partitions the batch, so every written fragment holds a
+    contiguous label range and carries tight label bounds from its
+    footer (``_parquet_label_range``) — then ``scan(label='purchase')``
+    consults the manifest stats and opens ONLY the fragments whose
+    bounds may hold the label (correctness never depends on the
+    pruning — the exact label filter stays in the plan).
+
+    ROUND-12 OPTIMIZATION (guide §1.2: fix the distributed algorithm
+    first): the previous shape ingested the SAME sorted order as ≤8
+    sequential label-range batches — 8 full scans of the events table,
+    8 versioning/commit jobs, plus a distinct-labels collect to plan
+    the ranges (measured 11-14 s warm at sf0.1 on the round-12 host;
+    the r9 note already reduced it from 201 per-label appends = 187 s
+    at sf1zl). One range-ordered bulk append produces byte-identical
+    version assignment (range partitions sorted by (label, event_id)
+    ARE the global sort the per-batch form emulated) and fragments
+    whose footer label bounds prune just as hard — at ANY label
+    cardinality — for one scan, one shuffle, one commit (2.0-2.4 s warm,
+    same host, with 8/32 fragments opened for the label scan; evidence
+    in plans/r12/ and OPTIMIZATION_r12.md). The oracle is
+    unchanged: versions dense in (label, event_id) append order, the
+    label filter selecting the 'purchase' slice."""
     import shutil
     import tempfile
 
@@ -463,20 +471,11 @@ def log_scan_label_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("label"),
         F.regexp_replace("props", ": ", ":").alias("payload"),
         "event_id",
-        "event_type",
     )
     path = tempfile.mkdtemp(prefix="eventlog_lbl_")
     shutil.rmtree(path)
     log = EventLog.create(spark, path)
-    labels = [r[0] for r in src.select("event_type").distinct().orderBy("event_type").collect()]
-    per = -(-len(labels) // 8)  # ≤8 range batches at any cardinality
-    for i in range(0, len(labels), per):
-        chunk = labels[i : i + per]
-        log.append_dataframe(
-            src.where(F.col("event_type").isin(chunk)).drop("event_type"),
-            on_invalid="error",
-            order_cols=["label", "event_id"],
-        )
+    log.append_dataframe(src, on_invalid="error", order_cols=["label", "event_id"])
     return (
         log.scan(label="purchase")
         .select("version", "label", "payload")

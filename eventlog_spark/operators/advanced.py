@@ -372,7 +372,17 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             (names[1], o, "o_orderkey"),
         ):
             (
-                df.write.format("parquet")
+                # ROUND-12 OPTIMIZATION (guide §6, small files): without
+                # the pre-repartition every scan task writes its own copy
+                # of every bucket — 32 tasks × 8 buckets = 256 files per
+                # table, each a separately-opened sorted spill target.
+                # Hash-repartitioning by the bucket key first routes each
+                # bucket's rows to one task: exactly 8 files per table,
+                # one sorted run each (the layout a production bucketed
+                # table write uses), and the downstream zero-shuffle
+                # merge join is unchanged (plans/r12/).
+                df.repartition(8, F.col(key))
+                .write.format("parquet")
                 .bucketBy(8, key)
                 .sortBy(key)
                 .option("path", f"{wh}/{name}")

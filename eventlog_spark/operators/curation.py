@@ -1304,6 +1304,7 @@ def _ivf_pq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= N_PROBE)
         .select("query_id", "cid")
     )
+    qlocal = None
     if _art.ENABLED:
         # THE QUERY ROUTER: resolve the probed lists on the driver
         # (≤ |Q|·n_probe rows — control plane, same role as a FAISS
@@ -1320,34 +1321,101 @@ def _ivf_pq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         lists = sorted({int(r["cid"]) for r in rows})
         codes = codes.where(F.col("list_id").isin(lists))
-
-    # ---- ADC: per-query LUT joins over the pruned candidate codes ----
-    luts = []
-    for s in range(PQ_M):
-        qsv = q.select("query_id", F.slice("qnv", s * PQ_SUB + 1, PQ_SUB).alias("qsv"))
-        luts.append(
-            cent.where(F.col("s") == s)
-            .crossJoin(F.broadcast(qsv))
+        # ROUND-12 OPTIMIZATION (guide §2.4/§3.1 — remove exchanges):
+        # the per-query ADC LUT is control-plane sized (M·K longs per
+        # query — exactly the table FAISS computes per query and ships
+        # with it), so it rides the probes broadcast as ONE array
+        # column instead of M separately broadcast-joined tables. The
+        # previous shape paid M BroadcastExchange builds, each its own
+        # job re-scanning the emb artifact for the query subvectors
+        # (measured: the 8 LUT builds were the bulk of the serving
+        # wall-clock at sf0.1). The l values are computed by the SAME
+        # JVM expression (sequential squared-distance fold, floor·FXP)
+        # in one codebook×queries job and collected (M·K·|Q| longs);
+        # adc_fp below is the same Σ_s l_s over identical longs, so the
+        # result is bit-identical (oracle-checked).
+        qrows = q.select("query_id", "qnv").collect()
+        qlocal = spark.createDataFrame(
+            [(int(r["query_id"]), list(r["qnv"])) for r in qrows],
+            "query_id long, qnv array<double>",
+        )
+        acc = F.lit(0.0)
+        for i in range(PQ_SUB):
+            d = F.element_at(
+                "qnv", (F.col("s") * PQ_SUB + i + 1).cast("int")
+            ) - F.col("cv").getItem(i)
+            acc = acc + d * d
+        lut_rows = (
+            cent.crossJoin(F.broadcast(qlocal))
             .select(
                 "query_id",
-                F.col("cid").alias(f"c{s}"),
-                F.floor(sd(F.col("qsv"), F.col("cv")) * PQ_FXP)
-                .cast("long")
-                .alias(f"l{s}"),
+                "s",
+                "cid",
+                F.floor(acc * PQ_FXP).cast("long").alias("l"),
             )
+            .collect()
         )
+        arrs: dict[int, list[int]] = {
+            int(r["query_id"]): [0] * (PQ_M * PQ_KT) for r in qrows
+        }
+        for r in lut_rows:
+            arrs[int(r["query_id"])][int(r["s"]) * PQ_KT + int(r["cid"])] = int(
+                r["l"]
+            )
+        probes = spark.createDataFrame(
+            [(int(r["query_id"]), int(r["cid"]), arrs[int(r["query_id"])]) for r in rows],
+            "query_id long, cid long, lut array<long>",
+        )
+
     adc = (
         codes.join(F.broadcast(probes), codes["list_id"] == probes["cid"])
         .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", *[f"c{s}" for s in range(PQ_M)])
+        .select(
+            "query_id",
+            "vec_id",
+            *[f"c{s}" for s in range(PQ_M)],
+            *(["lut"] if qlocal is not None else []),
+        )
     )
-    for s in range(PQ_M):
-        adc = adc.join(F.broadcast(luts[s]), ["query_id", f"c{s}"])
-    adc = adc.select(
-        "query_id",
-        "vec_id",
-        sum(F.col(f"l{s}") for s in range(PQ_M)).cast("long").alias("adc_fp"),
-    )
+    if qlocal is not None:
+        adc = adc.select(
+            "query_id",
+            "vec_id",
+            sum(
+                F.element_at(
+                    "lut", (F.lit(s * PQ_KT) + F.col(f"c{s}") + 1).cast("int")
+                )
+                for s in range(PQ_M)
+            )
+            .cast("long")
+            .alias("adc_fp"),
+        )
+    else:
+        # plan-audit path (artifacts.ENABLED=False): keep the full
+        # M-broadcast-LUT-join tree visible for tests/test_plans.py
+        luts = []
+        for s in range(PQ_M):
+            qsv = q.select(
+                "query_id", F.slice("qnv", s * PQ_SUB + 1, PQ_SUB).alias("qsv")
+            )
+            luts.append(
+                cent.where(F.col("s") == s)
+                .crossJoin(F.broadcast(qsv))
+                .select(
+                    "query_id",
+                    F.col("cid").alias(f"c{s}"),
+                    F.floor(sd(F.col("qsv"), F.col("cv")) * PQ_FXP)
+                    .cast("long")
+                    .alias(f"l{s}"),
+                )
+            )
+        for s in range(PQ_M):
+            adc = adc.join(F.broadcast(luts[s]), ["query_id", f"c{s}"])
+        adc = adc.select(
+            "query_id",
+            "vec_id",
+            sum(F.col(f"l{s}") for s in range(PQ_M)).cast("long").alias("adc_fp"),
+        )
 
     # ---- ADC shortlist → exact re-rank on normalized vectors ----
     ws = Window.partitionBy("query_id").orderBy("adc_fp", "vec_id")
@@ -1373,9 +1441,16 @@ def _ivf_pq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         # the shortlist (≤ RERANK·|Q| rows) BROADCASTS against the corpus
         # to fetch full vectors — the scale plan for "re-rank few rows"
+        # (qlocal reuses the already-collected query vectors instead of
+        # a broadcast build that re-scans the emb artifact)
         emb.select("vec_id", F.col("nv").alias("env"))
         .join(F.broadcast(short), "vec_id")
-        .join(F.broadcast(q.select("query_id", "qnv")), "query_id")
+        .join(
+            F.broadcast(
+                qlocal if qlocal is not None else q.select("query_id", "qnv")
+            ),
+            "query_id",
+        )
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
@@ -1821,6 +1896,7 @@ def _ivf_pq_residual_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= N_PROBE)
         .select("query_id", "cid")
     )
+    qlocal = None
     if _art.ENABLED:
         # query router: literal probed-list filter → static partition
         # pruning on the list_id-partitioned codes table (same contract
@@ -1832,6 +1908,11 @@ def _ivf_pq_residual_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         lists = sorted({int(r["cid"]) for r in rows})
         codes = codes.where(F.col("list_id").isin(lists))
+        qrows = q.select("query_id", "qnv").collect()
+        qlocal = spark.createDataFrame(
+            [(int(r["query_id"]), list(r["qnv"])) for r in qrows],
+            "query_id long, qnv array<double>",
+        )
 
     # ---- per-probed-list query-residual LUTs ----
     cnv = emb.where(F.col("vec_id") < K_LISTS).select(
@@ -1839,42 +1920,107 @@ def _ivf_pq_residual_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qr = (
         probes.join(F.broadcast(cnv), probes["cid"] == cnv["pcid"])
-        .join(F.broadcast(q.select("query_id", "qnv")), "query_id")
+        .join(
+            F.broadcast(
+                qlocal if qlocal is not None else q.select("query_id", "qnv")
+            ),
+            "query_id",
+        )
         .select(
             "query_id",
             F.col("cid").alias("list_id"),
             F.zip_with("qnv", "cnv", lambda a, b: a - b).alias("rq"),
         )
     )
-    luts = []
-    for s in range(PQ_M):
-        qsv = qr.select(
-            "query_id", "list_id", F.slice("rq", s * PQ_SUB + 1, PQ_SUB).alias("qsv")
-        )
-        luts.append(
-            cent.where(F.col("s") == s)
-            .crossJoin(F.broadcast(qsv))
+    if qlocal is not None:
+        # ROUND-12 OPTIMIZATION (same shape as _ivf_pq_build): the
+        # per-(query, probed-list) residual LUT is control-plane sized
+        # (M·K longs per probe pair), so it rides the probes broadcast
+        # as ONE array column instead of M separately broadcast-joined
+        # tables. l values come from the SAME JVM fold (sequential
+        # squared-distance, floor·FXP) in one codebook×probe-pairs job;
+        # adc_fp is the same Σ_s over identical longs — bit-identical
+        # output (oracle-checked).
+        acc = F.lit(0.0)
+        for i in range(PQ_SUB):
+            d = F.element_at(
+                "rq", (F.col("s") * PQ_SUB + i + 1).cast("int")
+            ) - F.col("cv").getItem(i)
+            acc = acc + d * d
+        lut_rows = (
+            cent.crossJoin(F.broadcast(qr))
             .select(
                 "query_id",
                 "list_id",
-                F.col("cid").alias(f"c{s}"),
-                F.floor(sd(F.col("qsv"), F.col("cv")) * PQ_FXP)
+                "s",
+                "cid",
+                F.floor(acc * PQ_FXP).cast("long").alias("l"),
+            )
+            .collect()
+        )
+        arrs: dict[tuple[int, int], list[int]] = {
+            (int(r["query_id"]), int(r["cid"])): [0] * (PQ_M * PQ_KTR)
+            for r in rows
+        }
+        for r in lut_rows:
+            arrs[(int(r["query_id"]), int(r["list_id"]))][
+                int(r["s"]) * PQ_KTR + int(r["cid"])
+            ] = int(r["l"])
+        probes = spark.createDataFrame(
+            [
+                (int(r["query_id"]), int(r["cid"]), arrs[(int(r["query_id"]), int(r["cid"]))])
+                for r in rows
+            ],
+            "query_id long, cid long, lut array<long>",
+        )
+        adc = (
+            codes.join(F.broadcast(probes), codes["list_id"] == probes["cid"])
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "vec_id",
+                sum(
+                    F.element_at(
+                        "lut", (F.lit(s * PQ_KTR) + F.col(f"c{s}") + 1).cast("int")
+                    )
+                    for s in range(PQ_M)
+                )
                 .cast("long")
-                .alias(f"l{s}"),
+                .alias("adc_fp"),
             )
         )
-    adc = (
-        codes.join(F.broadcast(probes), codes["list_id"] == probes["cid"])
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "list_id", "vec_id", *[f"c{s}" for s in range(PQ_M)])
-    )
-    for s in range(PQ_M):
-        adc = adc.join(F.broadcast(luts[s]), ["query_id", "list_id", f"c{s}"])
-    adc = adc.select(
-        "query_id",
-        "vec_id",
-        sum(F.col(f"l{s}") for s in range(PQ_M)).cast("long").alias("adc_fp"),
-    )
+    else:
+        # plan-audit path (artifacts.ENABLED=False): keep the full
+        # M-broadcast-LUT-join tree visible for tests/test_plans.py
+        luts = []
+        for s in range(PQ_M):
+            qsv = qr.select(
+                "query_id", "list_id", F.slice("rq", s * PQ_SUB + 1, PQ_SUB).alias("qsv")
+            )
+            luts.append(
+                cent.where(F.col("s") == s)
+                .crossJoin(F.broadcast(qsv))
+                .select(
+                    "query_id",
+                    "list_id",
+                    F.col("cid").alias(f"c{s}"),
+                    F.floor(sd(F.col("qsv"), F.col("cv")) * PQ_FXP)
+                    .cast("long")
+                    .alias(f"l{s}"),
+                )
+            )
+        adc = (
+            codes.join(F.broadcast(probes), codes["list_id"] == probes["cid"])
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "list_id", "vec_id", *[f"c{s}" for s in range(PQ_M)])
+        )
+        for s in range(PQ_M):
+            adc = adc.join(F.broadcast(luts[s]), ["query_id", "list_id", f"c{s}"])
+        adc = adc.select(
+            "query_id",
+            "vec_id",
+            sum(F.col(f"l{s}") for s in range(PQ_M)).cast("long").alias("adc_fp"),
+        )
 
     # ---- ADC shortlist → exact re-rank (identical to _ivf_pq_build) ----
     ws = Window.partitionBy("query_id").orderBy("adc_fp", "vec_id")
@@ -1899,7 +2045,12 @@ def _ivf_pq_residual_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.select("vec_id", F.col("nv").alias("env"))
         .join(F.broadcast(short), "vec_id")
-        .join(F.broadcast(q.select("query_id", "qnv")), "query_id")
+        .join(
+            F.broadcast(
+                qlocal if qlocal is not None else q.select("query_id", "qnv")
+            ),
+            "query_id",
+        )
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
