@@ -518,8 +518,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One explode + two partial-aggregating groupBys; every bit test is
     integer arithmetic on the md5-derived word hash, so the fingerprint
     is engine-independent. Near-dup = small Hamming distance; pair it
-    with a band join on simhash prefixes for retrieval at scale."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    with a band join on simhash prefixes for retrieval at scale.
+
+    ROUND-12 OPTIMIZATION (guide §2.4 — share one exchange): the raw
+    documents are hash-repartitioned by doc_id ONCE, up front; both
+    groupBys' clustering requirements (doc_id+word, then doc_id) are
+    satisfied by that partitioning, so the exploded word rows and the
+    tf rows never shuffle at all. The previous plan paid a round-robin
+    spread of the raw text PLUS a (doc_id, word) exchange of the tf
+    rows plus a (doc_id) exchange — 3 exchanges → 1, and the one that
+    remains carries the same raw-text bytes the spread already moved
+    (plans/r12/dedup_simhash_{before,after}.txt). Result unchanged:
+    grouping/partitioning choices are invisible to the aggregates."""
+    n = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(n, F.col("doc_id"))
     tfs = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .groupBy("doc_id", "word")

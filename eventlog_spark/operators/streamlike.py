@@ -713,18 +713,25 @@ def stream_real_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cutoff = F.lit(_RESTART_CUTOFF).cast("timestamp")
     halves = _stream_tmp("rs_halves_")
-    ev.where(F.col("ts") < cutoff).coalesce(1).write.parquet(f"{halves}/p1")
-    ev.where(F.col("ts") >= cutoff).coalesce(1).write.parquet(f"{halves}/p2")
+    # ONE classification pass stages both halves (round-12, the same
+    # shape stream_real_watermark_drop already used): tag rows,
+    # hash-repartition on the tag so each half lands in one task, write
+    # partitionBy(tag) — one events scan + one file per half, vs two
+    # full scan+filter+single-task-write jobs.
+    half_tag = F.when(F.col("ts") < cutoff, "p1").otherwise("p2")
+    ev.withColumn("half", half_tag).repartition("half").write.partitionBy(
+        "half"
+    ).mode("overwrite").parquet(halves)
 
     stream_src = _stream_tmp("rs_src_")
     sink = _stream_tmp("rs_sink_")
     ckpt = _stream_tmp("rs_ckpt_")
-    ev_schema = spark.read.parquet(f"{halves}/p1").schema
+    ev_schema = spark.read.parquet(f"{halves}/half=p1").schema
 
     def add_half(half: str) -> None:
-        for f in os.listdir(f"{halves}/{half}"):
-            if f.endswith(".parquet"):
-                shutil.copy(f"{halves}/{half}/{f}", f"{stream_src}/{half}_{f}")
+        for f in os.listdir(f"{halves}/half={half}"):
+            if f.endswith(".parquet") and not f.startswith("."):
+                shutil.copy(f"{halves}/half={half}/{f}", f"{stream_src}/{half}_{f}")
 
     def run(run_id: int) -> None:
         raw = spark.readStream.schema(ev_schema).parquet(stream_src)
