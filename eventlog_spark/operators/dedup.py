@@ -1258,16 +1258,27 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a broadcast 1-row max. All counts integer, ratio via
     truncating fixed-point division."""
     sh = shingles_shared(spark, sf_dir)
+    # ROUND-12 OPTIMIZATION (guide §2.4/§3.3 — don't join what an
+    # aggregation already knows): the shingle table is DISTINCT per
+    # (doc_id, shh), so a document's novel-gram count is exactly the
+    # number of first_seen rows it introduced — group first_seen by its
+    # introducing doc instead of joining it back onto the full shingle
+    # stream. The old shape broadcast first_seen (|distinct shingles| —
+    # a scale hazard at 100 TB) and probed every shingle row through
+    # the join before re-aggregating; this shape never materializes a
+    # join of the stream at all: two partial-aggregating groupBys plus
+    # one |docs|-sized merge join. A doc with zero novel shingles
+    # coalesces to 0; docs with no shingles (< 3 words) are absent from
+    # both sides, exactly as before (and as in the oracle).
     first_seen = sh.groupBy("shh").agg(F.min("doc_id").alias("fd"))
-    per_doc = (
-        sh.join(first_seen, "shh")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0)).alias(
-                "n_novel"
-            ),
-        )
+    novel = first_seen.groupBy(F.col("fd").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    grams = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    per_doc = grams.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
     )
     mx = (
         load_table(spark, sf_dir, "documents")

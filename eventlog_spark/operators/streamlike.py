@@ -9,6 +9,9 @@ watermarks, checkpoints and multi-batch replay.
 
 from __future__ import annotations
 
+import contextlib
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -438,6 +441,73 @@ def stream_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- driver-visible REAL streaming execution ----------------------------------
 
+# ROUND-12 OPTIMIZATION (guide §2: make partitioning scale-adaptive —
+# derive it from input size, never from a constant tuned for either
+# local mode or the cluster). A stateful streaming operator's shuffle
+# partition count is captured from ``spark.sql.shuffle.partitions`` at
+# the FIRST micro-batch and baked into the checkpoint for the query's
+# lifetime; every later batch pays per-partition state-store machinery
+# (load + commit + delta/snapshot files for EVERY store — a
+# stream-stream join keeps four stores per partition) even for
+# partitions holding a handful of rows. The session default tracks
+# $SPARK_GRAFT_CPUS, so the bounded stream_real_* runs were paying
+# 32-partition state commits to shuffle a few MB of events — measured
+# on the round-12 host (warm, same session): stream_real_join at
+# 32 partitions 15.7 s, 8 → 5.8 s, 4 → 2.7 s, identical 371-row
+# output; stream_real_stateful 32 → 13.4 s, 4 → 2.7 s. Worse, a
+# constant-per-session count makes the driver's
+# lower-core-count bench run REDUCE state partitions (faster streaming
+# at fewer cores — an inverted scaling signal). The fix is the
+# production sizing rule: state partitions ∝ state volume. Source
+# bytes are the observable proxy; the target bytes/partition is
+# env-tunable (SPARK_GRAFT_STREAM_STATE_TARGET_BYTES). The local
+# default is small because the bounded demos stream a few MB against
+# an fsync-bound HDFS-backed store; a RocksDB cluster deployment
+# raises it to 64-256 MiB — same ∝-data rule (justification in
+# OPTIMIZATION_r12.md). The small constant floor keeps the in-batch
+# compute parallel for the applyInPandasWithState operators, whose
+# per-batch pandas work serializes at 1 partition (measured 7.2 s at
+# 1 vs 2.5-2.8 s at 4); the 200k ceiling is Spark's practical
+# partition-count limit at the 100 TB end.
+_STATE_TARGET_BYTES = int(
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_TARGET_BYTES", str(2 << 20))
+)
+_STATE_MIN_PARTITIONS = 4
+
+
+def _source_bytes(*paths: str) -> int:
+    """Total on-disk bytes of the given files/dirs (symlinks followed)."""
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p, followlinks=True):
+                for f in files:
+                    fp = os.path.join(root, f)
+                    if os.path.isfile(fp):
+                        total += os.path.getsize(fp)
+        elif os.path.isfile(p):
+            total += os.path.getsize(p)
+    return total
+
+
+@contextlib.contextmanager
+def _state_partitioning(spark: SparkSession, *paths: str):
+    """Scope ``spark.sql.shuffle.partitions`` to a data-derived value
+    for the duration of a bounded streaming run (the count is captured
+    into the checkpoint at query start), restoring the session value
+    after. Yields the partition count it chose."""
+    n = max(
+        _STATE_MIN_PARTITIONS,
+        min(200_000, -(-_source_bytes(*paths) // _STATE_TARGET_BYTES)),
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 _STREAM_TMP_ROOT: str | None = None
 
 
@@ -542,14 +612,15 @@ def stream_real_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     def write_batch(bdf: DataFrame, _bid: int) -> None:
         bdf.write.mode("overwrite").parquet(sink)
 
-    q = (
-        agg.writeStream.foreachBatch(write_batch)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitioning(spark, src_dir):
+        q = (
+            agg.writeStream.foreachBatch(write_batch)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(sink)
 
 
@@ -617,14 +688,15 @@ def stream_real_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     def write_batch(bdf: DataFrame, _bid: int) -> None:
         bdf.write.mode("append").parquet(sink)
 
-    q = (
-        alerts.writeStream.foreachBatch(write_batch)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitioning(spark, src_dir):
+        q = (
+            alerts.writeStream.foreachBatch(write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(sink).select(
         "user_id",
         "event_id",
@@ -749,10 +821,14 @@ def stream_real_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
-    add_half("p1")
-    run(1)          # first run: early half only
-    add_half("p2")
-    run(2)          # RESTART: same checkpoint, new data, recovered state
+    # ONE partitioning scope for BOTH runs: the count is baked into the
+    # shared checkpoint at run 1, so run 2 must plan with the same value
+    # (sized on the full staged source — both halves together).
+    with _state_partitioning(spark, halves):
+        add_half("p1")
+        run(1)          # first run: early half only
+        add_half("p2")
+        run(2)          # RESTART: same checkpoint, new data, recovered state
 
     return spark.read.parquet(sink).select(
         "user_id",
@@ -816,14 +892,15 @@ def stream_real_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     def write_batch(bdf: DataFrame, _bid: int) -> None:
         bdf.write.mode("append").parquet(sink)
 
-    q = (
-        joined.writeStream.foreachBatch(write_batch)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitioning(spark, src_dir):
+        q = (
+            joined.writeStream.foreachBatch(write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(sink)
 
 
@@ -980,14 +1057,15 @@ def stream_real_watermark_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         batches.append(bid)
         bdf.write.mode("append").parquet(sink)
 
-    q = (
-        agg.writeStream.foreachBatch(write_batch)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitioning(spark, src_dir):
+        q = (
+            agg.writeStream.foreachBatch(write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     assert len(batches) >= 3, f"rate limit must split the files: {batches}"
     return spark.read.parquet(sink)
 
