@@ -210,9 +210,18 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, score, rk) — the BM25 top-``BM25_TOP`` ranking, shared
     by ``bm25_search`` and the lexical branch of ``hybrid_rrf_fusion``.
     Mirrors ``_BM25_CTES_SQL``'s d/dl/stats/tf/idf/scored/lex chain."""
+    from .artifacts import lazy_checkpoint
+
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select("doc_id", F.split("text", " ").alias("w"))
-    dl = d.select("doc_id", F.size("w").alias("dl"))
+    # ROUND-12 OPTIMIZATION (guide §1.2): dl feeds the corpus-stats
+    # aggregate AND the scored join — as a lazy frame each consumer
+    # re-ran the full text scan + split, so the corpus was tokenized
+    # three times per ranking (tf's explode pass + two dl passes). The
+    # checkpoint pins dl to two ints per doc, leaving exactly one
+    # tokenizing pass (tf) plus one cheap length pass; plan-shape tests
+    # flip artifacts.ENABLED off and still see the full tree.
+    dl = lazy_checkpoint(d.select("doc_id", F.size("w").alias("dl")))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),

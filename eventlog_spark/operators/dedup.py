@@ -449,9 +449,27 @@ def connected_components(
     Returns (doc_id, component_id) with component_id = min doc_id of the
     component. See dedup_connected_components for the scale rationale.
     """
+    # ROUND-12 OPTIMIZATION (guide §1.2): symmetrize with explode, not a
+    # union of two selects — the union's branches each embed their own
+    # static copy of the `pairs` subtree, so the checkpoint
+    # materialization paid the full candidate pipeline twice (for
+    # pipeline_curate that includes both survivor semi-joins). One
+    # computation, two generated rows per pair; the edge multiset is
+    # identical.
     edges = (
-        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
-        .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .localCheckpoint()
     )
     # Only vertices touching an edge can ever change label; iterate over

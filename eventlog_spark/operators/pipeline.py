@@ -97,7 +97,15 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("n_words").between(20, 95) & (F.col("stop_ratio") >= 0.02)).select(
         "doc_id"
     )
-    survivors = exact_keep.join(qual, "doc_id", "left_semi")
+    # ROUND-12 OPTIMIZATION (guide §1.2): survivors feeds the pair
+    # semi-joins AND the component loop's vertex/singleton pass — as a
+    # plain lazy frame each consumer re-ran the md5-fingerprint groupBy
+    # over the full document text plus the quality scan (~3 full
+    # recomputations per run). One lazy checkpoint computes it once;
+    # plan-shape tests flip artifacts.ENABLED off and see the full tree.
+    from .artifacts import lazy_checkpoint
+
+    survivors = lazy_checkpoint(exact_keep.join(qual, "doc_id", "left_semi"))
     pairs = (
         lsh_candidate_pairs(spark, sf_dir)
         .join(survivors.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")

@@ -1100,9 +1100,22 @@ def embedding_isolation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(eb, "vec_b")
         .select("vec_a", "vec_b", cosine_expr(F.col("e_a"), F.col("e_b")).alias("cos"))
     )
-    sym = pc.select(F.col("vec_a").alias("vec_id"), "cos").unionByName(
-        pc.select(F.col("vec_b").alias("vec_id"), "cos")
-    )
+    # ROUND-12 OPTIMIZATION (guide §1.2 — don't compute things twice):
+    # symmetrizing with a UNION of two selects over `pc` plants TWO
+    # static copies of the whole pair⋈emb⋈emb + cosine-fold subtree in
+    # the plan (the branches differ in their top Project, so no reuse
+    # fires) — every candidate pair paid both joins and the 64-dim
+    # fold twice. explode() emits the same two (vec_id, cos) rows from
+    # ONE computation of the subtree; the row multiset is identical,
+    # so the max-aggregate (and the oracle hash) is unchanged.
+    sym = pc.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("vec_a").alias("vec_id"), F.col("cos")),
+                F.struct(F.col("vec_b").alias("vec_id"), F.col("cos")),
+            )
+        ).alias("s")
+    ).select("s.vec_id", "s.cos")
     best = sym.groupBy("vec_id").agg(F.max("cos").alias("best_cos"))
     band = F.when(F.col("best_cos").isNull(), F.lit(ISO_NONE_BAND)).otherwise(
         F.floor(F.col("best_cos") * ISO_BAND_SCALE).cast("int")
