@@ -307,11 +307,20 @@ def _hex_be_sql(expr: str, nbytes: int) -> str:
 
 
 def _hex_le_col(col, nbytes: int):
-    parts = [
-        F.lpad(F.lower(F.hex((col / (256**i)).cast("long") % 256)), 2, "0")
-        for i in range(nbytes)
-    ]
-    return F.concat(*parts)
+    # ROUND-12 OPTIMIZATION (guide §1.2 — per-task work): build ONE
+    # byte-swapped big-endian value and hex it once, instead of
+    # hex+lpad+lower per byte plus a concat. Output string identical
+    # (same bytes after unhex, same lowercase zero-padded hex); the
+    # expression shrinks from ~15 nodes to ~9 for the 2-byte case that
+    # runs 64×/row inside the audio sample lambda.
+    sw = None
+    for i in range(nbytes):
+        byte = (col % 256 if i == 0 else (col / (256**i)).cast("long") % 256).cast(
+            "long"
+        )
+        term = byte * F.lit(256 ** (nbytes - 1 - i)).cast("long") if i < nbytes - 1 else byte
+        sw = term if sw is None else sw + term
+    return F.lpad(F.lower(F.hex(sw)), 2 * nbytes, "0")
 
 
 def _hex_le_sql(expr: str, nbytes: int) -> str:
