@@ -648,9 +648,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def sample_ids() -> DataFrame:
         # the EMB_EXACT_CAP gate (see constant above): smallest
-        # (md5(vec_id), vec_id) — TakeOrdered over a one-column scan
+        # (md5(vec_id), vec_id) — TakeOrdered over a one-column scan.
+        # fresh=True for the same leg-independence reason as gated_scan.
         return (
-            load_table(spark, sf_dir, "embeddings")
+            load_table(spark, sf_dir, "embeddings", fresh=True)
             .select("vec_id", md5_int_col(F.col("vec_id").cast("string")).alias("h"))
             .orderBy("h", "vec_id")
             .limit(EMB_EXACT_CAP)
@@ -668,7 +669,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def gated_scan() -> DataFrame:
-        t = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        # fresh=True: each call must be an INDEPENDENT plan instance —
+        # the two cogroup legs below share no attribute ids (the memoized
+        # reader would hand both legs one instance, which
+        # flatMapCoGroupsInPandas cannot disambiguate; see load_table)
+        t = load_table(spark, sf_dir, "embeddings", fresh=True).select(
+            "vec_id", "embedding"
+        )
         return t.join(F.broadcast(sample_ids()), "vec_id") if gated else t
 
     emb = gated_scan()

@@ -469,8 +469,17 @@ def stream_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-batch pandas work serializes at 1 partition (measured 7.2 s at
 # 1 vs 2.5-2.8 s at 4); the 200k ceiling is Spark's practical
 # partition-count limit at the 100 TB end.
+# Default re-tuned by the round-12 sf1 rehearsal: 2 MiB/partition kept
+# the sf0.1 shape (4 partitions) but derived only ~6 at sf1, where the
+# per-batch applyInPandasWithState compute is 10× and wants the
+# parallelism back — measured at sf1 on the round-12 host (fresh
+# session each): stateful 48.2 s @ n=6, 21.5 s @ n=23, 19.0 s @ n=46;
+# join 20.7 / 9.8 / 12.8. 512 KiB derives the same n=4 at sf0.1
+# (identical driver-scale behavior) and n≈23 at sf1 — the knee of both
+# curves. The ∝-data rule and the cluster guidance (64-256 MiB with
+# RocksDB state) are unchanged.
 _STATE_TARGET_BYTES = int(
-    os.environ.get("SPARK_GRAFT_STREAM_STATE_TARGET_BYTES", str(2 << 20))
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_TARGET_BYTES", str(512 << 10))
 )
 _STATE_MIN_PARTITIONS = 4
 

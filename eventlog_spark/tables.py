@@ -30,7 +30,9 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fresh: bool = False
+) -> DataFrame:
     """Read one testdata table. Column pruning + predicate pushdown reach
     the parquet scan automatically because we return the raw reader
     DataFrame (no caching, no materialization).
@@ -50,20 +52,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     This caches METADATA only — no rows, no results; every action on
     the returned frame still scans the parquet inputs. The memo lives on
     the session object, so a fresh driver session (the grading flow)
-    rebuilds it from disk."""
+    rebuilds it from disk.
+
+    ``fresh=True`` bypasses the memo and returns a NEW reader instance
+    with fresh attribute ids (reusing the memoized instance's schema, so
+    footer inference is still paid once). Required by consumers that
+    build a self-cogroup or self-join whose legs must be independent
+    plans — ``flatMapCoGroupsInPandas`` has no dataset-id
+    disambiguation, so two legs sharing one plan instance's attribute
+    ids fail analysis (or worse, dedup one leg's columns). The memoized
+    common case cannot serve those sites."""
     cache: dict | None = getattr(spark, "_eventlog_table_plans", None)
     if cache is None:
         cache = {}
         spark._eventlog_table_plans = cache  # type: ignore[attr-defined]
     key = (sf_dir, name)
-    cached = cache.get(key)
-    if cached is not None:
-        return cached
+    if not fresh:
+        cached = cache.get(key)
+        if cached is not None:
+            return cached
     if name == "events":
         # runtime-settable, so this also holds on sessions we didn't build
         # (the correctness driver constructs its own SparkSession)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    raw_schema = cache.get(("_raw_schema",) + key)
+    if raw_schema is not None:
+        # fresh attribute ids, memoized RAW (pre-normalization) schema:
+        # a new reader instance without paying footer re-inference
+        df = spark.read.schema(raw_schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        cache[("_raw_schema",) + key] = df.schema
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # integer div — float division would lose precision above 2^53 ns
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -73,7 +93,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
     for col in ntz:
         df = df.withColumn(col, F.col(col).cast("timestamp"))
-    cache[key] = df
+    if not fresh:
+        cache[key] = df
     return df
 
 
