@@ -1429,3 +1429,45 @@ def test_lsh_star_cull_preserves_components(spark, sf_dir, monkeypatch):
 
     assert comp_star == comp_uncapped  # cluster semantics unchanged
     assert n_star <= n_uncapped  # star edges never exceed all-pairs
+
+
+def test_load_table_fresh_gives_independent_plan_instances(spark, sf_dir):
+    """Round-12 regression contract: the memoized reader returns ONE
+    instance per (sf_dir, table), and ``fresh=True`` returns a NEW
+    instance whose attribute ids are distinct — the invariant
+    self-cogroups need (flatMapCoGroupsInPandas cannot disambiguate two
+    legs sharing one plan instance's attribute ids)."""
+    from eventlog_spark.tables import load_table
+
+    a = load_table(spark, sf_dir, "embeddings")
+    b = load_table(spark, sf_dir, "embeddings")
+    assert a is b  # memo: same instance, plan/metadata reuse
+
+    f1 = load_table(spark, sf_dir, "embeddings", fresh=True)
+    f2 = load_table(spark, sf_dir, "embeddings", fresh=True)
+    assert f1 is not a and f1 is not f2
+
+    def expr_ids(df):
+        out = df._jdf.queryExecution().analyzed().output()
+        return [out.apply(i).exprId().id() for i in range(out.size())]
+
+    assert expr_ids(f1) != expr_ids(a)
+    assert expr_ids(f1) != expr_ids(f2)
+    # fresh instances read the same data
+    assert f1.count() == a.count()
+
+
+def test_embedding_cosine_gated_branch_analyzes(spark, sf_dir, monkeypatch):
+    """Round-12 regression: the EMB_EXACT_CAP-gated tile path builds a
+    self-cogroup whose legs each embed a broadcast sample join — with
+    the memoized (shared-instance) readers this failed analysis with an
+    ambiguous-column error, which the driver's small-SF flows can never
+    see (the gate engages only above the cap). Force the gate at test
+    scale and execute the cogroup end to end."""
+    from eventlog_spark.operators import dedup as D
+
+    monkeypatch.setattr(D, "EMB_EXACT_CAP", 8)  # gate engages at any SF
+    out = D.dedup_embedding_cosine(spark, sf_dir)
+    rows = out.collect()  # pre-fix: AnalysisException at plan time
+    for r in rows:
+        assert r.vec_a < r.vec_b
