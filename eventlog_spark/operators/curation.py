@@ -1315,6 +1315,17 @@ def _ivf_pq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         # plan-audit flag the lazy probes frame joins instead, keeping
         # the full tree visible without executing jobs.
         rows = probes.collect()
+        # control-plane guard (round-12 advice): the router + LUT path
+        # collects |Q|·n_probe rows and M·K longs per query to the
+        # driver — fine at query-set sizes, catastrophic if a caller
+        # ever feeds a corpus-sized "query set". Fail loudly instead
+        # of OOMing the driver.
+        assert len(rows) <= 100_000, (
+            f"IVF-PQ query router collected {len(rows)} probe rows — "
+            "the driver-side LUT path is sized for control-plane query "
+            "sets (≤ ~10k queries); shard the query set or disable "
+            "artifacts.ENABLED to take the distributed plan"
+        )
         probes = spark.createDataFrame(
             [(int(r["query_id"]), int(r["cid"])) for r in rows],
             "query_id long, cid long",
@@ -1902,6 +1913,17 @@ def _ivf_pq_residual_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pruning on the list_id-partitioned codes table (same contract
         # as _ivf_pq_build; plan-audit mode keeps the lazy tree)
         rows = probes.collect()
+        # control-plane guard (round-12 advice): the router + LUT path
+        # collects |Q|·n_probe rows and M·K longs per query to the
+        # driver — fine at query-set sizes, catastrophic if a caller
+        # ever feeds a corpus-sized "query set". Fail loudly instead
+        # of OOMing the driver.
+        assert len(rows) <= 100_000, (
+            f"IVF-PQ query router collected {len(rows)} probe rows — "
+            "the driver-side LUT path is sized for control-plane query "
+            "sets (≤ ~10k queries); shard the query set or disable "
+            "artifacts.ENABLED to take the distributed plan"
+        )
         probes = spark.createDataFrame(
             [(int(r["query_id"]), int(r["cid"])) for r in rows],
             "query_id long, cid long",

@@ -313,6 +313,13 @@ def _hex_le_col(col, nbytes: int):
     # (same bytes after unhex, same lowercase zero-padded hex); the
     # expression shrinks from ~15 nodes to ~9 for the 2-byte case that
     # runs 64×/row inside the audio sample lambda.
+    #
+    # CONTRACT (round-12 advice): the input column must be NON-NEGATIVE
+    # (callers pre-bias signed samples into [0, 2^16)). The old
+    # per-byte form and this folded form diverge for negative inputs
+    # (e.g. -1 @ 2 bytes: per-byte 'ff00' vs folded 'ffff'), so the
+    # narrowed domain is part of the helper's signature, not a bug
+    # hazard left to call-site review.
     sw = None
     for i in range(nbytes):
         byte = (col % 256 if i == 0 else (col / (256**i)).cast("long") % 256).cast(
@@ -566,6 +573,106 @@ def audio_features(doc_id: int, payload: bytes) -> tuple:
         int((a >= AUDIO_CLIP).sum()),
     )
 
+# -- round-13 optimization (guide §4.2): batch the WAV path at the Arrow
+# boundary. The JVM hex synth priced the query (~6 s of the ~6 s sf1
+# row — the interpreted per-sample transform lambda), and the per-row
+# Python decode loop priced the rest; both are replaced by vectorized
+# numpy over whole Arrow batches. Independence guards move from
+# "encoder in SQL / decoder in Python" to explicit pins:
+#   * synth_wav_pcm_batch is asserted BYTE-IDENTICAL to the SQL encoder
+#     (audio_blobs, kept) in tests/test_pipeline_ops.py;
+#   * the vectorized decoder validates the canonical container layout
+#     field by field and is asserted row-identical to the generic
+#     per-row RIFF walk (decode_wav_pcm), which remains the fallback
+#     for any payload failing canonical validation;
+#   * the formula-restated oracle still checks every decoded stat.
+
+
+def synth_wav_pcm_batch(doc_ids):
+    """Vectorized WAV synthesis: one (n, 44+2·AUDIO_N) uint8 matrix of
+    complete valid WAV files, byte-identical to ``audio_blobs``'s SQL
+    hex encoder (pinned by test). Header fields per row: channels,
+    sample rate, byte rate, block align; samples are the deterministic
+    PCM16-LE mix."""
+    import numpy as np
+
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    n = len(ids)
+    rate = (ids % 6 + 1) * 8000
+    ch = ids % 2 + 1
+    data_len = 2 * AUDIO_N
+    out = np.zeros((n, 44 + data_len), dtype=np.uint8)
+
+    def le(value, off, nbytes):
+        v = np.asarray(value, dtype=np.int64)
+        for i in range(nbytes):
+            out[:, off + i] = (v >> (8 * i)) & 0xFF
+
+    out[:, 0:4] = np.frombuffer(b"RIFF", dtype=np.uint8)
+    le(36 + data_len, 4, 4)
+    out[:, 8:16] = np.frombuffer(b"WAVEfmt ", dtype=np.uint8)
+    le(16, 16, 4)
+    le(1, 20, 2)  # PCM
+    le(ch, 22, 2)
+    le(rate, 24, 4)
+    le(rate * ch * 2, 28, 4)  # byte rate
+    le(ch * 2, 32, 2)  # block align
+    le(16, 34, 2)  # bits/sample
+    out[:, 36:40] = np.frombuffer(b"data", dtype=np.uint8)
+    le(data_len, 40, 4)
+    k = np.arange(AUDIO_N, dtype=np.int64)
+    u = (ids[:, None] * _AUDIO_MIX + k[None, :] * _AUDIO_STEP) % 65536
+    # two's-complement LE16 of the signed sample (u - 32768)
+    words = ((u + 32768) % 65536).astype(np.uint16)
+    out[:, 44:] = words.astype("<u2").view(np.uint8).reshape(n, data_len)
+    return out
+
+
+def decode_wav_pcm_canonical_batch(payloads):
+    """Vectorized REAL decode of canonical-layout WAV files: validates
+    every fixed container field (RIFF/WAVE magics, fmt chunk length,
+    PCM format tag, 16 bits/sample, data chunk header, both length
+    fields) across the batch, then reads rate/channels/samples from
+    the verified byte offsets. Returns (rate, ch, samples[n, k]) or
+    None when any row is non-canonical — the caller then falls back to
+    the generic per-row RIFF chunk walk (``decode_wav_pcm``)."""
+    import numpy as np
+
+    p = payloads
+    n, L = p.shape
+    if L < 46 or (L - 44) % 2:
+        return None
+    fixed = (
+        (p[:, 0:4] == np.frombuffer(b"RIFF", np.uint8)).all()
+        and (p[:, 8:16] == np.frombuffer(b"WAVEfmt ", np.uint8)).all()
+        and (p[:, 36:40] == np.frombuffer(b"data", np.uint8)).all()
+    )
+    if not fixed:
+        return None
+
+    def le(off, nbytes):
+        acc = p[:, off].astype(np.int64)
+        for i in range(1, nbytes):
+            acc |= p[:, off + i].astype(np.int64) << (8 * i)
+        return acc
+
+    if not (
+        (le(4, 4) == L - 8).all()       # RIFF length
+        and (le(16, 4) == 16).all()     # fmt chunk length
+        and (le(20, 2) == 1).all()      # PCM format tag
+        and (le(34, 2) == 16).all()     # bits per sample
+        and (le(40, 4) == L - 44).all() # data chunk length
+    ):
+        return None
+    rate, ch = le(24, 4), le(22, 2)
+    if (rate == 0).any() or (ch == 0).any():
+        return None
+    samples = (
+        np.ascontiguousarray(p[:, 44:]).view("<i2").astype(np.int64)
+    )
+    return rate, ch, samples
+
+
 _V = _wav_sample_sql()
 
 
@@ -610,22 +717,59 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     All features are exact integers (no float audio math). Shuffle-free
     Arrow map stage; payloads never leave their partition — the same
     plumbing real object-store audio would use, with the UDF fetching
-    by URI instead of synthesizing."""
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = [
-                audio_features(doc_id, bytes(p))
-                for doc_id, p in zip(pdf["doc_id"], pdf["payload"])
-            ]
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "sample_rate", "channels", "n_samples",
-                    "duration_ms", "peak", "abs_sum", "sq_sum", "clip_count",
-                ],
-            ).astype({"sample_rate": "int32", "channels": "int32", "n_samples": "int32"})
+    by URI instead of synthesizing.
 
-    return audio_blobs(spark, sf_dir).mapInPandas(extract, schema=AUDIO_SCHEMA)
+    Round 13 (guide §4.2): synthesis and decode are both vectorized
+    numpy over the whole Arrow batch — the JVM hex synth (interpreted
+    per-sample lambda) and the per-row Python decode loop are gone.
+    ``synth_wav_pcm_batch`` is pinned byte-identical to the kept SQL
+    encoder (``audio_blobs``), and the vectorized decoder is pinned
+    row-identical to the generic per-row RIFF walk it falls back to —
+    see the round-13 block above ``synth_wav_pcm_batch``."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            payloads = synth_wav_pcm_batch(ids)
+            decoded = decode_wav_pcm_canonical_batch(payloads)
+            if decoded is None:  # non-canonical: generic per-row walk
+                rows = [
+                    audio_features(int(d), p.tobytes())
+                    for d, p in zip(ids, payloads)
+                ]
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "sample_rate", "channels", "n_samples",
+                        "duration_ms", "peak", "abs_sum", "sq_sum",
+                        "clip_count",
+                    ],
+                ).astype(
+                    {"sample_rate": "int32", "channels": "int32",
+                     "n_samples": "int32"}
+                )
+                continue
+            rate, ch, s = decoded
+            a = np.abs(s)
+            n_samples = np.full(len(ids), s.shape[1], dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "sample_rate": rate.astype(np.int32),
+                    "channels": ch.astype(np.int32),
+                    "n_samples": n_samples.astype(np.int32),
+                    "duration_ms": (n_samples // ch) * 1000 // rate,
+                    "peak": a.max(axis=1),
+                    "abs_sum": a.sum(axis=1),
+                    "sq_sum": (a * a).sum(axis=1),
+                    "clip_count": (a >= AUDIO_CLIP).sum(axis=1).astype(np.int64),
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(extract, schema=AUDIO_SCHEMA)
 
 
 # -- REAL full-pixel decode: PNG via stdlib zlib ------------------------------
@@ -1005,6 +1149,78 @@ def _encode_jpeg_for_dcs(dcs: tuple[int, ...]) -> bytes:
     return bytes(out)
 
 
+_IDCT_BASIS = None  # lazily built once: the 8x8 DCT-III basis is constant
+# dezigzag permutation as plain index lists (module import stays
+# numpy-free); consumed by one fancy-index assignment per block
+_ZZ_ROWS = [r for r, _ in _JPEG_ZZ]
+_ZZ_COLS = [c for _, c in _JPEG_ZZ]
+
+
+def _huff_lut(table: dict) -> tuple:
+    """Flat peek table for table-driven Huffman decode (round 13, guide
+    §4.2 per-task work — the classic fast decoder): peek
+    max-code-length bits once and resolve (symbol, length), instead of
+    consuming the stream bit by bit through a dict probe per bit. The
+    standard construction: every code owns the 2^(maxlen-len) slots
+    under its prefix. Decode order and error behavior match the
+    per-bit walk (parity-pinned in tests)."""
+    maxlen = max(ln for ln, _ in table)
+    lut: list = [None] * (1 << maxlen)
+    for (ln, code), sym in table.items():
+        shift = maxlen - ln
+        base = code << shift
+        for off in range(1 << shift):
+            lut[base + off] = (sym, ln)
+    return maxlen, (1 << maxlen) - 1, lut
+
+
+@functools.lru_cache(maxsize=64)
+def _dht_tables(seg: bytes) -> tuple:
+    """Parse one DHT segment into ((tc, th), peek-table) pairs.
+    Memoized on the raw segment bytes — a corpus's frames share a
+    handful of distinct Huffman tables, so the canonical table walk +
+    LUT expansion runs once per distinct segment per worker, not per
+    image (content-addressed, bounded; same policy as the decode
+    LRUs below)."""
+    out = []
+    j = 0
+    while j < len(seg):
+        tc, th = seg[j] >> 4, seg[j] & 15
+        j += 1
+        counts = list(seg[j : j + 16])
+        j += 16
+        code, table = 0, {}
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                table[(length, code)] = seg[j]
+                j += 1
+                code += 1
+            code <<= 1
+        out.append(((tc, th), _huff_lut(table)))
+    return tuple(out)
+
+
+def _idct_basis():
+    """The separable IDCT basis matrix. Round 13: built once per
+    process instead of per decode call (64 math.cos + a numpy alloc per
+    image was ~15% of the raw decode path); the values are exactly the
+    ones the per-call build produced."""
+    global _IDCT_BASIS
+    if _IDCT_BASIS is None:
+        import math
+
+        import numpy as np
+
+        basis = np.zeros((8, 8))
+        for u in range(8):
+            cu = math.sqrt(0.5) if u == 0 else 1.0
+            for x in range(8):
+                basis[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+        basis.setflags(write=False)
+        _IDCT_BASIS = basis
+    return _IDCT_BASIS
+
+
 def decode_jpeg(b: bytes, dc_only: bool = False):
     """REAL baseline JPEG decoder (8-bit grayscale, one scan): walks
     markers, builds canonical Huffman tables from DHT counts/values,
@@ -1022,7 +1238,6 @@ def decode_jpeg(b: bytes, dc_only: bool = False):
     minus the 128 level shift. This is how DC-domain video analysis
     (scene-cut detection, brightness histograms) runs over compressed
     frames without ever materializing pixels."""
-    import math
     import struct
 
     import numpy as np
@@ -1055,43 +1270,37 @@ def decode_jpeg(b: bytes, dc_only: bool = False):
             h, w = struct.unpack(">HH", seg[1:5])
             comp_q = seg[8]
         elif marker == 0xC4:
-            j = 0
-            while j < len(seg):
-                tc, th = seg[j] >> 4, seg[j] & 15
-                j += 1
-                counts = list(seg[j : j + 16])
-                j += 16
-                code, table = 0, {}
-                for length in range(1, 17):
-                    for _ in range(counts[length - 1]):
-                        table[(length, code)] = seg[j]
-                        j += 1
-                        code += 1
-                    code <<= 1
-                hts[(tc, th)] = table
+            for key, tbl in _dht_tables(bytes(seg)):
+                hts[key] = tbl
         elif marker == 0xDA:
             comp_dc, comp_ac = seg[2] >> 4, seg[2] & 15
             i += ln
             break
         i += ln
-    data = bytearray()
+    # 0xFF00 unstuffing by marker search instead of a per-byte loop:
+    # iterate only over the 0xFF positions (round 13; byte-identical
+    # result, same stop-at-next-marker semantics)
+    parts = []
     j = i
-    while j < len(b):
-        if b[j] == 0xFF:
-            if j + 1 < len(b) and b[j + 1] == 0x00:
-                data.append(0xFF)
-                j += 2
-                continue
-            break  # next marker (EOI)
-        data.append(b[j])
-        j += 1
+    while True:
+        k = b.find(b"\xff", j)
+        if k == -1:
+            parts.append(b[j:])
+            break
+        if k + 1 < len(b) and b[k + 1] == 0x00:
+            parts.append(b[j : k + 1])  # keep the 0xFF, drop the stuffed 0x00
+            j = k + 2
+        else:
+            parts.append(b[j:k])  # next marker (EOI)
+            break
+    data = b"".join(parts)
 
     # single big-int bitstream: each read is one shift+mask instead of
     # a per-bit divmod/index loop — the same trick real decoders play
     # with 64-bit bit reservoirs, and ~2-3x on the Python hot loop
     pos = 0
     total_bits = len(data) * 8
-    big = int.from_bytes(bytes(data), "big")
+    big = int.from_bytes(data, "big")
 
     def bits(n: int) -> int:
         nonlocal pos
@@ -1101,34 +1310,36 @@ def decode_jpeg(b: bytes, dc_only: bool = False):
         pos += n
         return v
 
-    def bit() -> int:
-        return bits(1)
-
-    def huff(table) -> int:
-        code, length = 0, 0
-        while True:
-            code = (code << 1) | bit()
-            length += 1
-            if (length, code) in table:
-                return table[(length, code)]
-            if length > 16:
-                raise ValueError("bad Huffman stream")
-
     def extend(v: int, t: int) -> int:
         return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
-    basis = np.zeros((8, 8))
-    for u in range(8):
-        cu = math.sqrt(0.5) if u == 0 else 1.0
-        for x in range(8):
-            basis[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    def huff(tbl) -> int:
+        # table-driven decode (see _huff_lut): one peek, one lookup
+        nonlocal pos
+        maxlen, mask, lut = tbl
+        avail = total_bits - pos
+        if avail >= maxlen:
+            peek = (big >> (avail - maxlen)) & mask
+        elif avail > 0:  # stream tail: pad the peek with zeros
+            peek = (big & ((1 << avail) - 1)) << (maxlen - avail)
+        else:
+            raise ValueError("bad Huffman stream: truncated")
+        hit = lut[peek]
+        if hit is None:
+            raise ValueError("bad Huffman stream")
+        sym, ln = hit
+        if ln > avail:
+            raise ValueError("bad Huffman stream: truncated")
+        pos += ln
+        return sym
+
     qt = qts[comp_q]
     dc_table, ac_table = hts[(0, comp_dc)], hts[(1, comp_ac)]
     blocks_w, blocks_h = w // 8, h // 8
-    img = np.zeros((h, w), dtype=np.int64)
     dcs: list[int] = []
+    coefs: list[list[int]] = []
     pred = 0
-    for bi in range(blocks_w * blocks_h):
+    for _bi in range(blocks_w * blocks_h):
         coef = [0] * 64
         t = huff(dc_table)
         pred += extend(bits(t), t) if t else 0
@@ -1152,15 +1363,30 @@ def decode_jpeg(b: bytes, dc_only: bool = False):
             # the dequantized DC — enough for block-mean analytics
             # (brightness, scene cuts) at a fraction of decode cost
             dcs.append(coef[0])
-            continue
-        Fm = np.zeros((8, 8))
-        for zi, (r, c) in enumerate(_JPEG_ZZ):
-            Fm[r, c] = coef[zi]
-        px = np.floor(basis.T @ Fm @ basis + 0.5).astype(np.int64) + 128
-        r0, c0 = (bi // blocks_w) * 8, (bi % blocks_w) * 8
-        img[r0 : r0 + 8, c0 : c0 + 8] = np.clip(px, 0, 255)
+        else:
+            coefs.append(coef)
     if dc_only:
         return w, h, dcs
+    if not coefs:
+        return w, h, np.zeros((h, w), dtype=np.int64)
+    # Dezigzag + dequant-domain IDCT for ALL blocks in one numpy pass
+    # (round 13): the zigzag permutation is one fancy-index assignment,
+    # and the separable IDCT runs as stacked per-slice 2-D matmuls —
+    # np.matmul broadcasts the (8,8) basis over the (nb,8,8) stack,
+    # executing the SAME dgemm per slice as the old per-block form, so
+    # pixels stay bit-identical (pinned by
+    # test_jpeg_batched_idct_matches_per_block on random coefficients).
+    basis = _idct_basis()
+    Fm = np.zeros((len(coefs), 8, 8))
+    Fm[:, _ZZ_ROWS, _ZZ_COLS] = np.asarray(coefs, dtype=np.float64)
+    px = np.floor(basis.T @ Fm @ basis + 0.5).astype(np.int64) + 128
+    px = np.minimum(np.maximum(px, 0), 255)
+    img = (
+        px.reshape(blocks_h, blocks_w, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(h, w)
+        .copy()
+    )
     return w, h, img
 
 
@@ -1198,8 +1424,13 @@ def decode_jpeg_dc_cached(b: bytes):
 
 @functools.lru_cache(maxsize=1024)
 def decode_avi_cached(b: bytes):
+    # MappingProxyType (round-12 advice): the cached meta dict is
+    # shared across every row with this payload — hand out a read-only
+    # view so a future consumer mutating it cannot corrupt the LRU
+    import types
+
     meta, frames = decode_avi(b)
-    return meta, tuple(frames)
+    return types.MappingProxyType(meta), tuple(frames)
 
 
 @functools.lru_cache(maxsize=4096)

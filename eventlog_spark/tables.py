@@ -117,22 +117,17 @@ def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
 
     ROUND-12: the scan-width probe (``df.rdd.getNumPartitions()`` forces
     a full analyze+plan+RDD conversion, ~30 ms of driver work) is
-    memoized per session × plan object — load_table hands out the same
-    memoized frame, so repeat consumers skip the probe; the decision
-    itself is unchanged."""
+    memoized — load_table hands out the same memoized frame, so repeat
+    consumers skip the probe; the decision itself is unchanged.
+    ROUND-13 (round-12 advice): the memo rides on the DataFrame object
+    itself instead of an id()-keyed session dict that had to pin every
+    probed frame alive — no driver-memory growth for fresh readers."""
     spark = df.sparkSession
     n = parallelism or spark.sparkContext.defaultParallelism
-    cache: dict | None = getattr(spark, "_eventlog_scan_widths", None)
-    if cache is None:
-        cache = {}
-        spark._eventlog_scan_widths = cache  # type: ignore[attr-defined]
-    key = id(df)
-    width = cache.get(key)
+    width = getattr(df, "_eventlog_scan_width", None)
     if width is None:
         width = df.rdd.getNumPartitions()
-        # hold the frame so the id() key cannot be recycled by the GC
-        cache[key] = width
-        cache.setdefault("_pins", []).append(df)
+        df._eventlog_scan_width = width  # type: ignore[attr-defined]
     if width >= n:
         return df
     return df.repartition(n)

@@ -380,6 +380,7 @@ repo, path, wid, n = sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4]
 pace = float(sys.argv[5]) if len(sys.argv) > 5 else 0.0
 sys.path.insert(0, repo)
 from eventlog_spark.log import EventLog
+from eventlog_spark.errors import InvalidVersion
 from eventlog_spark.claimsvc import SocketClaimStore
 sock = os.environ["SPARK_GRAFT_CLAIM_SOCK"]
 
@@ -413,8 +414,14 @@ for i in range(n):
             outages += 1
             time.sleep(0.1)
             log = fresh()
-            landed = [row for row in log.scan_rows(label=label)
-                      if json.loads(row.payload)["seq"] == i]
+            try:
+                landed = [row for row in log.scan_rows(label=label)
+                          if json.loads(row.payload)["seq"] == i]
+            except InvalidVersion:
+                # published truth is an EMPTY log (the kill landed before
+                # any writer's first commit): event i definitely did not
+                # land — fall through to the retry
+                landed = []
             if landed:
                 wins.append(landed[0].version)
                 break

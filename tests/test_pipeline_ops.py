@@ -958,6 +958,48 @@ def test_wav_malformed_payload_yields_sentinel_row():
         assert multimodal.audio_features(7, bad) == (7, 0, 0, 0, 0, 0, 0, 0, 0)
 
 
+def test_wav_numpy_synth_matches_sql_encoder(spark, sf_dir):
+    """Round-13 independence pin: the vectorized numpy WAV synthesis
+    (synth_wav_pcm_batch, the production encode path) is BYTE-IDENTICAL
+    to the JVM SQL hex encoder (audio_blobs, kept as the audit path) —
+    a byte-offset or endianness bug in the numpy encoder cannot hide
+    behind a matching decoder bug."""
+    import numpy as np
+
+    rows = multimodal.audio_blobs(spark, sf_dir).limit(24).collect()
+    assert rows
+    ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+    batch = multimodal.synth_wav_pcm_batch(ids)
+    for r, row in zip(rows, batch):
+        assert bytes(r["payload"]) == row.tobytes(), r["doc_id"]
+
+
+def test_wav_batch_decoder_matches_generic_walk():
+    """Round-13 decoder pin: the vectorized canonical-layout decoder
+    returns exactly what the generic per-row RIFF chunk walk returns on
+    the same payloads, and refuses (None -> per-row fallback) anything
+    whose container fields don't validate."""
+    import numpy as np
+
+    ids = np.arange(0, 97, dtype=np.int64) * 13 + 5
+    payloads = multimodal.synth_wav_pcm_batch(ids)
+    dec = multimodal.decode_wav_pcm_canonical_batch(payloads)
+    assert dec is not None
+    rate, ch, s = dec
+    for i, d in enumerate(ids):
+        g_rate, g_ch, g_samples = multimodal.decode_wav_pcm(
+            payloads[i].tobytes()
+        )
+        assert (int(rate[i]), int(ch[i])) == (g_rate, g_ch)
+        assert list(s[i]) == list(g_samples)
+    # every canonical field is actually checked: flipping any one of
+    # them must reject the whole batch into the generic fallback
+    for off in (0, 9, 16, 20, 34, 37, 40):
+        bad = payloads.copy()
+        bad[3, off] ^= 0xFF
+        assert multimodal.decode_wav_pcm_canonical_batch(bad) is None, off
+
+
 def test_png_codec_roundtrip_filters_and_crc():
     """encode_png really emits all three cycling filter types and CRCs
     that a tampered byte breaks; decode_png recovers the exact formula
@@ -1378,6 +1420,60 @@ def test_avi_decoder_rejects_corruption():
     bad2[28:32] = struct.pack("<I", 10_000_000)
     with _pytest.raises(ValueError, match="overruns"):
         multimodal.decode_avi(bytes(bad2))
+
+
+def test_jpeg_batched_idct_matches_per_block():
+    """Round-13 pin: the stacked (nb,8,8) IDCT matmul the decoder now
+    runs is BIT-identical to the per-block 2-D form it replaced, on
+    arbitrary coefficient blocks (not just this corpus's plans) — the
+    float op order is the same dgemm per slice."""
+    import numpy as np
+
+    basis = multimodal._idct_basis()
+    rng = np.random.default_rng(13)
+    Fm = rng.integers(-4000, 4000, size=(500, 8, 8)).astype(np.float64)
+    batched = np.floor(basis.T @ Fm @ basis + 0.5)
+    per = np.stack([np.floor(basis.T @ f @ basis + 0.5) for f in Fm])
+    assert batched.view(np.uint64).tobytes() == per.view(np.uint64).tobytes()
+
+
+def test_jpeg_fast_huffman_lut_parity():
+    """Round-13 pin: the peek-table Huffman decode (_huff_lut) resolves
+    exactly the symbols a per-bit canonical walk resolves, for every
+    code of an arbitrary canonical table (incl. max-depth codes), and
+    every LUT slot under a code's prefix maps back to that code."""
+    import itertools
+    import random
+
+    rng = random.Random(131)
+    for _trial in range(50):
+        # random canonical table: random code lengths, canonical codes
+        nsyms = rng.randint(2, 12)
+        lengths = sorted(rng.randint(1, 9) for _ in range(nsyms))
+        code, table = 0, {}
+        ok = True
+        sym = 0
+        prev_len = lengths[0]
+        for ln in lengths:
+            code <<= ln - prev_len
+            prev_len = ln
+            if code >= (1 << ln):  # over-subscribed draw: skip trial
+                ok = False
+                break
+            table[(ln, code)] = 0xA0 + sym
+            sym += 1
+            code += 1
+        if not ok:
+            continue
+        maxlen, mask, lut = multimodal._huff_lut(table)
+        assert maxlen == max(ln for ln, _ in table)
+        for (ln, c), s in table.items():
+            # every padded slot under the code's prefix resolves to it
+            for pad in range(1 << (maxlen - ln)):
+                assert lut[(c << (maxlen - ln)) + pad] == (s, ln), (ln, c)
+        # slots under no code prefix stay None (decode raises on them)
+        covered = sum(1 << (maxlen - ln) for ln, _ in table)
+        assert sum(x is not None for x in lut) == covered
 
 
 def test_jpeg_dc_only_matches_full_decode():
