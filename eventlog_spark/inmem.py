@@ -88,10 +88,16 @@ class InMemEventLog(EventLog):
             for (v, vp, ts, label, payload) in rows
         )
 
-    def _write_out(self, out: DataFrame) -> None:
+    def _write_out(self, out: DataFrame, post_write_check=None) -> None:
         # an inmem log is driver-bound by definition (inmem.go holds a
         # slice); collect() here is the engine's storage, not a data path
-        self._rows.extend(tuple(r) for r in out.collect())
+        collected = [tuple(r) for r in out.collect()]
+        if post_write_check is not None:
+            # streamed ingest: the collect above ran the write job, so
+            # the observed validity tally is available; a raise here
+            # keeps the rows out of the engine (all-or-nothing)
+            post_write_check()
+        self._rows.extend(collected)
 
     def _read_raw(self) -> DataFrame | None:
         if not self._rows:

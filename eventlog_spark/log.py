@@ -1651,7 +1651,7 @@ class EventLog:
         entry.update(_label_stats_entry({r[3] for r in rows}))
         self._pending_add.append(entry)
 
-    def _write_out(self, out: DataFrame) -> None:
+    def _write_out(self, out: DataFrame, post_write_check=None) -> None:
         """Bulk-commit seam: persist an already-versioned, checksummed
         frame. The storage engines differ only here and in ``_read_raw``
         + the state/lifecycle hooks (the reference's engine seam,
@@ -1679,6 +1679,12 @@ class EventLog:
         tmp = self.path + f".bulk.{uuid.uuid4().hex}"
         try:
             out.write.mode("overwrite").parquet(tmp)
+            if post_write_check is not None:
+                # streamed ingest (round 13): the validity tally rode
+                # the write job as an observe metric — a raise here
+                # discards the private staging dir before ANY file
+                # becomes visible, preserving all-or-nothing semantics
+                post_write_check()
             tag = uuid.uuid4().hex[:8]
             staged: list[tuple[str, str, dict]] = []
             for f in sorted(os.listdir(tmp)):
@@ -1781,16 +1787,6 @@ class EventLog:
             F.col(payload_col).cast("string").alias("payload"),
             *[F.col(c).alias(safe[c]) for c in keep],
         )
-        # Shuffle BEFORE computing the (expensive) JSON-validation column:
-        # a narrow source (e.g. one parquet file) would otherwise evaluate
-        # from_json for every row inside a single task. Post-shuffle the
-        # validation runs at full cluster parallelism.
-        if order_cols:
-            src = src.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
-        elif spread and src.rdd.getNumPartitions() < (
-            min_parts := self.spark.sparkContext.defaultParallelism
-        ):
-            src = src.repartition(min_parts)
         # coalesce(…, false): a NULL label/payload (e.g. a JSONL line
         # missing the field) must count as INVALID, not slip through
         # three-valued logic (NULL & true = NULL, which when()/sum()
@@ -1800,6 +1796,28 @@ class EventLog:
             & payload_valid_expr(F.col("payload"), self._max_payload_len),
             F.lit(False),
         )
+        # ROUND 13: the ordered error-mode path (every bulk ingest in
+        # the repo) takes the SINGLE-MATERIALIZATION versioning flow —
+        # no pre-shuffle and no _valid column here: its one shuffle
+        # lives inside with_dense_versions_streamed, and validation is
+        # evaluated post-shuffle inside the write job (full
+        # parallelism), surfaced via an observe metric that the
+        # committer checks before any staged file becomes visible.
+        if order_cols and on_invalid != "drop":
+            return self._append_dataframe_locked(
+                src, on_invalid, order_cols, txn, valid_expr=valid
+            )
+        # Legacy/persisted flow (arrival order, and drop-mode ordered
+        # appends): shuffle BEFORE computing the (expensive)
+        # JSON-validation column — a narrow source (e.g. one parquet
+        # file) would otherwise evaluate from_json for every row inside
+        # a single task.
+        if order_cols:
+            src = src.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+        elif spread and src.rdd.getNumPartitions() < (
+            min_parts := self.spark.sparkContext.defaultParallelism
+        ):
+            src = src.repartition(min_parts)
         if on_invalid == "drop":
             src = src.where(valid)
         else:
@@ -1813,35 +1831,60 @@ class EventLog:
         on_invalid: str,
         order_cols: list[str] | None = None,
         txn: tuple[str, int] | None = None,
+        valid_expr: Column | None = None,
     ) -> AppendResult | None:
-        from .functions.versioning import with_dense_versions_counted
+        from .functions.versioning import (
+            with_dense_versions_counted,
+            with_dense_versions_streamed,
+        )
 
         with self._commit_section():
             if txn is not None and self._stream_commits.get(txn[0], -1) >= txn[1]:
                 return None  # replayed batch: already committed, skip
             base = self._latest
             ts = max(int(time.time()), self._last_ts)
-            # One materialization serves everything: the versioning pass
-            # persists the post-shuffle tagged frame, so the count pass,
-            # the validity probe, and the final write all reuse it
-            # (pinning also guarantees identical partitions for
-            # nondeterministic upstreams).
-            # order_cols=None: append_dataframe already applied the
-            # ordering shuffle (pre-validation); re-shuffling here would
-            # both waste a pass and bury validation below the exchange.
-            # The invalid tally rides along in the count pass, so the
-            # all-or-nothing check (reference multi-append rollback,
-            # file.go:343-360) costs no extra job.
-            batch = with_dense_versions_counted(
-                src,
-                base=base,
-                order_cols=None,
-                persist=True,
-                valid_col="_valid" if on_invalid != "drop" else None,
-            )
-            versioned, total, unpersist = batch.df, batch.total, batch.unpersist
+            post_write_check = None
+            if valid_expr is not None:
+                # ROUND 13 — ordered error-mode bulk ingest, SINGLE
+                # materialization (guide §1.2/§5; design block in
+                # functions/versioning.py): a pruned count job replaces
+                # the batch-sized persisted cache, the one full pass is
+                # the staged write itself, and the validity tally rides
+                # that write as an observe metric checked below BEFORE
+                # any staged file is renamed into the log.
+                batch = with_dense_versions_streamed(
+                    src, base=base, order_cols=order_cols, valid_expr=valid_expr
+                )
+                versioned, total = batch.df, batch.total
+                unpersist = lambda: None  # noqa: E731 - no cache to release
+
+                def post_write_check() -> None:
+                    if batch.invalid_observed():
+                        from .errors import InvalidPayload
+
+                        raise InvalidPayload(
+                            "append_dataframe: batch contains invalid events"
+                        )
+
+            else:
+                # Persisted flow (arrival order, and drop-mode ordered
+                # appends): one materialization serves everything — the
+                # versioning pass persists the post-shuffle tagged
+                # frame, so the count pass, the validity probe, and the
+                # final write all reuse it (pinning also guarantees
+                # identical partitions for nondeterministic upstreams).
+                # order_cols=None: append_dataframe already applied the
+                # ordering shuffle (pre-validation).
+                batch = with_dense_versions_counted(
+                    src,
+                    base=base,
+                    order_cols=None,
+                    persist=True,
+                    valid_col="_valid" if on_invalid != "drop" else None,
+                )
+                versioned, total, unpersist = batch.df, batch.total, batch.unpersist
             try:
-                if on_invalid != "drop":
+                if valid_expr is None and on_invalid != "drop":
                     if batch.invalid:
                         from .errors import InvalidPayload
 
@@ -1868,18 +1911,20 @@ class EventLog:
                 # file becomes visible, so only a crash mid-job (nothing
                 # visible yet) ever pays the listing on the next open
                 self._write_intent(None, base + total)
-                self._write_out(out)
+                self._write_out(out, post_write_check=post_write_check)
             finally:
                 unpersist()
             # Head is known exactly from the versioning count pass — no
             # re-scan of the log to publish state. Caveat (documented
-            # trade): this trusts that the persisted tagged frame served
-            # both the count and the write. On a cluster, losing a cached
-            # partition of a NONdeterministic upstream between the two
-            # jobs could recompute different rows; callers with such
-            # sources should checkpoint upstream or verify post-write
-            # (max(version) == head). The reference's analog is its
-            # mid-batch rollback (file.go:343-360).
+            # trade): the count pass and the write must see the same
+            # rows — the persisted flow trusts its cache, the streamed
+            # flow trusts source determinism (fixed bucket literals +
+            # a stable source; both jobs recompute the same scan). On a
+            # cluster, a NONdeterministic upstream could diverge
+            # between the two jobs; callers with such sources should
+            # checkpoint upstream or verify post-write (max(version) ==
+            # head). The reference's analog is its mid-batch rollback
+            # (file.go:343-360).
             prev_initial, prev_last_ts = self._initial, self._last_ts
             prev_marker = (
                 self._stream_commits.get(txn[0], None) if txn is not None else None

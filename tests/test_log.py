@@ -285,6 +285,95 @@ def test_append_dataframe_bulk(spark, log):
     assert r2.version == 1004
 
 
+def test_streamed_ordered_append_contract(spark, tmp_path):
+    """Round-13 single-materialization ordered ingest: versions are the
+    exact order_cols ranks (same contract as the persisted path it
+    replaced), fragment footer ranges stay DISJOINT and contiguous (the
+    steering trick — pruning depends on it), integrity holds, and an
+    invalid row aborts with nothing staged or visible."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "streamed")
+    log = EventLog.create(spark, path)
+    # skewed, shuffled keys: most rows share a narrow key range so the
+    # sampled boundaries dedupe; versions must still be exact ranks
+    rows = [(f"l{i % 7}", json.dumps({"i": i}), (i * 37) % 1000 if i % 3 else 5)
+            for i in range(2000)]
+    src = spark.createDataFrame(rows, "label string, payload string, k long")
+    # tie-break with label so the order is total (k has heavy dupes)
+    r = log.append_dataframe(src, on_invalid="error", order_cols=["k", "label"])
+    assert (r.version_first, r.version) == (1, 2000)
+    got = sorted(
+        (x.version, x.k if hasattr(x, "k") else None)
+        for x in log.dataframe().select("version").collect()
+    )
+    assert [v for v, _ in got] == list(range(1, 2001))
+    # versions follow (k, label) order exactly
+    want = sorted(rows, key=lambda t: (t[2], t[0]))
+    by_version = {
+        x.version: (x.label, x.payload)
+        for x in log.dataframe().select("version", "label", "payload").collect()
+    }
+    for v, (lab, pay, _k) in enumerate(want, start=1):
+        assert by_version[v] == (lab, pay)
+    audit = log.check_integrity().collect()[0]
+    assert (audit.checksum_violations, audit.chain_violations,
+            audit.density_violation) == (0, 0, 0)
+    # fragment version ranges are disjoint and cover [1, 2000]
+    ranges = []
+    for f in glob.glob(os.path.join(path, "part-*.parquet")):
+        rng = EventLog._parquet_version_range(f)
+        if rng:
+            ranges.append(rng)
+    ranges.sort()
+    assert ranges[0][0] == 1 and ranges[-1][1] == 2000
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 + 1 == lo2, ranges  # contiguous, non-overlapping
+    # all-or-nothing: one invalid payload -> raise, head unchanged,
+    # no new fragments, no leftover staging dirs
+    n_files = len(os.listdir(path))
+    bad = spark.createDataFrame(
+        [("a", '{"x":1}', 1), ("b", "{}", 2)],
+        "label string, payload string, k long",
+    )
+    with pytest.raises(InvalidPayload):
+        log.append_dataframe(bad, on_invalid="error", order_cols=["k"])
+    assert log.version() == 2000
+    assert len(os.listdir(path)) == n_files
+    assert not glob.glob(path + ".bulk.*")
+    # tiny ordered batches (1 row, empty-ish) keep working
+    one = spark.createDataFrame([("z", '{"y":2}', 9)],
+                                "label string, payload string, k long")
+    assert log.append_dataframe(one, order_cols=["k"]).version == 2001
+
+
+def test_streamed_versioning_internals(spark):
+    """The pieces the steering trick rests on: the Python murmur3
+    replica equals Spark's hash() for longs, and steering values route
+    bucket b to physical partition b under repartition(n, steer)."""
+    from pyspark.sql import functions as F
+
+    from eventlog_spark.functions.versioning import (
+        _mmh3_long,
+        _steering_values,
+    )
+
+    vals = list(range(64)) + [-1, -99, 2**40 + 7, -(2**35), 123456789012345]
+    rows = spark.createDataFrame([(v,) for v in vals], "v long").select(
+        "v", F.hash("v").alias("h")
+    ).collect()
+    assert all(_mmh3_long(r["v"]) == r["h"] for r in rows)
+    for n in (1, 2, 7, 32):
+        steer = _steering_values(n)
+        df = spark.createDataFrame(
+            [(b, steer[b]) for b in range(n)], "b int, s long"
+        ).repartition(n, "s")
+        got = df.select(F.spark_partition_id().alias("p"), "b").collect()
+        assert all(r["p"] == r["b"] for r in got), n
+
+
 def test_compact_preserves_data(spark, tmp_path):
     path = str(tmp_path / "compacted")
     log = EventLog.create(spark, path)
