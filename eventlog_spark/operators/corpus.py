@@ -109,7 +109,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf, so the per-document ranking criterion is the familiar one."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    # ROUND 13 (guide §1.2, the round-12 bm25 `dl` shape): pin tf — it
+    # feeds BOTH the broadcast dfreq build and the scored join probe,
+    # and without the pin each consumer re-embeds the full tokenize +
+    # explode + first aggregation (6 document scans in the plan; 2
+    # after). (doc, word, tf) rows are the small side of the ranking.
+    from .artifacts import lazy_checkpoint
+
+    tf = lazy_checkpoint(
+        words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    )
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     score = F.col("tf").cast("double") * (

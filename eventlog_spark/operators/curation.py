@@ -1087,14 +1087,16 @@ def _emb_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .artifacts import shared
 
     def build() -> DataFrame:
-        dv = F.transform("embedding", lambda x: x.cast("double"))
+        # F.expr strings (round 13): the lambda-based higher-order
+        # builders cost ~1.5 s of py4j plumbing per fresh session;
+        # the parsed trees (and the fold's float op order) are
+        # identical, so values are unchanged
+        dv = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
         base = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", dv.alias("dvec")
         )
-        nrm = F.sqrt(
-            F.aggregate(
-                F.transform("dvec", lambda x: x * x), F.lit(0.0), lambda a, v: a + v
-            )
+        nrm = F.expr(
+            "sqrt(aggregate(transform(dvec, x -> x * x), 0.0D, (a, v) -> a + v))"
         )
         return (
             base.select("vec_id", "dvec", nrm.alias("nrm"))
@@ -1102,7 +1104,7 @@ def _emb_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vec_id",
                 "dvec",
                 "nrm",
-                F.transform("dvec", lambda x: x / F.col("nrm")).alias("nv"),
+                F.expr("transform(dvec, x -> x / nrm)").alias("nv"),
             )
             .repartition(spark.sparkContext.defaultParallelism)
         )
@@ -1257,6 +1259,115 @@ def _pq_offline_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]
     return {"pq_codebook": cent, "pq_codes": codes}
 
 
+# -- round-13 driver-side query routing + ADC LUTs -----------------------------
+#
+# Guide §1.1/§1.2 and the round-12 verdict's OPEN-cost thread: with a
+# WARM artifact warehouse, the serving-side construction of ann_ivf_pq
+# still cost ~12-16 s per fresh session on the round-13 host —
+# profiled as (a) three driver jobs (probe routing over emb × coarse
+# centroids, the query-vector collect, the LUT job with its broadcast
+# build), each paying scheduling + codegen of 64-term unrolled folds,
+# and (b) ~5 s of py4j EXPRESSION-CONSTRUCTION chatter (the unrolled
+# kernels issue one JVM round-trip per operator — thousands per
+# query). Everything those jobs consume is CONTROL-PLANE sized: |Q|
+# query vectors, K_LISTS coarse centroids, M·K codebook rows. So the
+# routing and the LUTs now compute on the driver over ONE collect of
+# those rows — exactly where FAISS computes them — and the kernels are
+# replayed in Python/numpy with the IDENTICAL float64 op order
+# (Python floats and numpy float64 are IEEE binary64; the folds run
+# left-to-right, elementwise, like the JVM codegen they replace), so
+# every l value and every probe ranking is bit-identical — pinned by
+# tests/test_pipeline_ops.py::test_np_router_and_lut_match_jvm and the
+# DuckDB oracle. The ENABLED=False plan-audit path keeps the full JVM
+# tree for the plan-shape tests.
+
+
+def _sq_l2_sql(a: str, b: str, n: int, off: int = 0):
+    """The unrolled sequential squared-L2 fold as ONE SQL string
+    (round 13): the Column-by-Column construction issued ~5 py4j
+    round-trips per term (~2 s of driver chatter per serving build);
+    parsing one expression string yields the IDENTICAL tree —
+    Literal(0.0, double), GetArrayItem, the same left-to-right +/-/*
+    chain — so codegen and values are unchanged."""
+    e = "0.0D"
+    for i in range(n):
+        d = f"({a}[{off + i}] - {b}[{off + i}])"
+        e = f"({e} + {d} * {d})"
+    return F.expr(e)
+
+
+def _np_query_router(ctrl_rows, k_lists: int, query_ids, n_probe: int):
+    """Coarse-quantizer routing on the driver: cosine fold in the same
+    left-to-right order as the JVM `_dot`, ranked by (cos DESC, cid)
+    like the JVM window. Returns (probe pairs, [(query_id, qnv)])."""
+    qset = set(query_ids)
+    cents = [
+        (int(r["vec_id"]), r["dvec"], r["nrm"])
+        for r in ctrl_rows
+        if int(r["vec_id"]) < k_lists
+    ]
+    cents.sort(key=lambda t: t[0])
+    probes: list[tuple[int, int]] = []
+    q_items: list[tuple[int, list]] = []
+    for r in sorted(
+        (r for r in ctrl_rows if int(r["vec_id"]) in qset),
+        key=lambda r: int(r["vec_id"]),
+    ):
+        qid, qv, nq = int(r["vec_id"]), r["dvec"], r["nrm"]
+        q_items.append((qid, list(r["nv"])))
+        scored = []
+        for cid, cv, nc in cents:
+            acc = 0.0
+            for i in range(len(qv)):
+                acc = acc + qv[i] * cv[i]
+            scored.append((acc / (nq * nc), cid))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        probes.extend((qid, cid) for _cos, cid in scored[:n_probe])
+    return probes, q_items
+
+
+def _np_adc_luts(cent_rows, residuals, m: int, sub: int, k: int, fxp: int):
+    """ADC lookup tables on the driver: for each (key, query-side
+    vector) in ``residuals``, the flat M·K array of
+    floor(squared_l2 · fxp) against the trained codebook — the same
+    accumulation order as the JVM fold (elementwise numpy adds over
+    the sub dimensions), so every long is bit-identical."""
+    import numpy as np
+
+    C = [np.zeros((k, sub)) for _ in range(m)]
+    for r in cent_rows:
+        C[int(r["s"])][int(r["cid"])] = r["cv"]
+    luts: dict = {}
+    for key, vec in residuals:
+        va = np.asarray(vec, dtype=np.float64)
+        lut = np.zeros(m * k, dtype=np.int64)
+        for s in range(m):
+            acc = np.zeros(k)
+            for i in range(sub):
+                d = va[s * sub + i] - C[s][:, i]
+                acc = acc + d * d
+            lut[s * k : (s + 1) * k] = np.floor(acc * float(fxp)).astype(np.int64)
+        luts[key] = [int(x) for x in lut]
+    return luts
+
+
+def _ctrl_plane_rows(emb: DataFrame, k_lists: int, query_ids):
+    """ONE tiny job collecting every control-plane embedding row the
+    router and the LUTs need (coarse centroids + query vectors) from
+    the session-shared normalized-embedding artifact."""
+    return emb.where(
+        (F.col("vec_id") < k_lists) | F.col("vec_id").isin(*query_ids)
+    ).select("vec_id", "dvec", "nrm", "nv").collect()
+
+
+_ROUTER_GUARD = (
+    "IVF-PQ query router resolved {n} probe rows — the driver-side "
+    "routing/LUT path is sized for control-plane query sets (≤ ~10k "
+    "queries); shard the query set or disable artifacts.ENABLED to "
+    "take the distributed plan"
+)
+
+
 def _ivf_pq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
@@ -1285,97 +1396,58 @@ def _ivf_pq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent, codes = tabs["pq_codebook"], tabs["pq_codes"]
 
     emb = _emb_normalized(spark, sf_dir)
-    cents = emb.where(F.col("vec_id") < K_LISTS).select(
-        F.col("vec_id").alias("cid"),
-        F.col("dvec").alias("cv"),
-        F.col("nrm").alias("nc"),
-    )
-    q = emb.where(F.col("vec_id").isin(*QUERY_IDS)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("dvec").alias("qv"),
-        F.col("nrm").alias("nq"),
-        F.col("nv").alias("qnv"),
-    )
-    wp = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cid"))
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("cos", _dot("qv", "cv") / (F.col("nq") * F.col("nc")))
-        .withColumn("rn", F.row_number().over(wp))
-        .where(F.col("rn") <= N_PROBE)
-        .select("query_id", "cid")
-    )
     qlocal = None
     if _art.ENABLED:
-        # THE QUERY ROUTER: resolve the probed lists on the driver
-        # (≤ |Q|·n_probe rows — control plane, same role as a FAISS
-        # coarse-quantizer lookup) so the codes read below carries a
-        # LITERAL list_id filter — static partition pruning against the
-        # partitioned codes table; the scan touches only the probed
-        # lists' files (plan-asserted in tests/test_plans.py). Under the
-        # plan-audit flag the lazy probes frame joins instead, keeping
-        # the full tree visible without executing jobs.
-        rows = probes.collect()
-        # control-plane guard (round-12 advice): the router + LUT path
-        # collects |Q|·n_probe rows and M·K longs per query to the
-        # driver — fine at query-set sizes, catastrophic if a caller
-        # ever feeds a corpus-sized "query set". Fail loudly instead
-        # of OOMing the driver.
-        assert len(rows) <= 100_000, (
-            f"IVF-PQ query router collected {len(rows)} probe rows — "
-            "the driver-side LUT path is sized for control-plane query "
-            "sets (≤ ~10k queries); shard the query set or disable "
-            "artifacts.ENABLED to take the distributed plan"
-        )
-        probes = spark.createDataFrame(
-            [(int(r["query_id"]), int(r["cid"])) for r in rows],
-            "query_id long, cid long",
-        )
-        lists = sorted({int(r["cid"]) for r in rows})
+        # THE QUERY ROUTER + ADC LUTs, on the driver (round 13 — see
+        # the block comment above _np_query_router): everything the
+        # old probe window, query-vector collect, and LUT job consumed
+        # is control-plane sized, so ONE collect of the coarse/query
+        # rows plus one collect of the codebook replaces three jobs
+        # (each with broadcast builds and 64-term codegen) and the
+        # thousands of py4j expression-construction round-trips. The
+        # probed lists become a LITERAL list_id filter — static
+        # partition pruning against the partitioned codes table
+        # (plan-asserted in tests/test_plans.py) — and each probe row
+        # carries its query's M·K LUT as one array column (the table
+        # FAISS computes per query and ships with it). Bit-identity of
+        # the Python/numpy folds with the JVM ones is pinned by test
+        # and by the oracle.
+        ctrl = _ctrl_plane_rows(emb, K_LISTS, QUERY_IDS)
+        probe_pairs, q_items = _np_query_router(ctrl, K_LISTS, QUERY_IDS, N_PROBE)
+        # control-plane guard (round-12 advice): fail loudly instead
+        # of OOMing the driver on a corpus-sized "query set"
+        assert len(probe_pairs) <= 100_000, _ROUTER_GUARD.format(n=len(probe_pairs))
+        lists = sorted({cid for _qid, cid in probe_pairs})
         codes = codes.where(F.col("list_id").isin(lists))
-        # ROUND-12 OPTIMIZATION (guide §2.4/§3.1 — remove exchanges):
-        # the per-query ADC LUT is control-plane sized (M·K longs per
-        # query — exactly the table FAISS computes per query and ships
-        # with it), so it rides the probes broadcast as ONE array
-        # column instead of M separately broadcast-joined tables. The
-        # previous shape paid M BroadcastExchange builds, each its own
-        # job re-scanning the emb artifact for the query subvectors
-        # (measured: the 8 LUT builds were the bulk of the serving
-        # wall-clock at sf0.1). The l values are computed by the SAME
-        # JVM expression (sequential squared-distance fold, floor·FXP)
-        # in one codebook×queries job and collected (M·K·|Q| longs);
-        # adc_fp below is the same Σ_s l_s over identical longs, so the
-        # result is bit-identical (oracle-checked).
-        qrows = q.select("query_id", "qnv").collect()
         qlocal = spark.createDataFrame(
-            [(int(r["query_id"]), list(r["qnv"])) for r in qrows],
-            "query_id long, qnv array<double>",
+            q_items, "query_id long, qnv array<double>"
         )
-        acc = F.lit(0.0)
-        for i in range(PQ_SUB):
-            d = F.element_at(
-                "qnv", (F.col("s") * PQ_SUB + i + 1).cast("int")
-            ) - F.col("cv").getItem(i)
-            acc = acc + d * d
-        lut_rows = (
-            cent.crossJoin(F.broadcast(qlocal))
-            .select(
-                "query_id",
-                "s",
-                "cid",
-                F.floor(acc * PQ_FXP).cast("long").alias("l"),
-            )
-            .collect()
-        )
-        arrs: dict[int, list[int]] = {
-            int(r["query_id"]): [0] * (PQ_M * PQ_KT) for r in qrows
-        }
-        for r in lut_rows:
-            arrs[int(r["query_id"])][int(r["s"]) * PQ_KT + int(r["cid"])] = int(
-                r["l"]
-            )
+        luts = _np_adc_luts(cent.collect(), q_items, PQ_M, PQ_SUB, PQ_KT, PQ_FXP)
         probes = spark.createDataFrame(
-            [(int(r["query_id"]), int(r["cid"]), arrs[int(r["query_id"])]) for r in rows],
+            [(qid, cid, luts[qid]) for qid, cid in probe_pairs],
             "query_id long, cid long, lut array<long>",
+        )
+    else:
+        # plan-audit path (artifacts.ENABLED=False): the full JVM
+        # routing tree stays visible for tests/test_plans.py
+        cents = emb.where(F.col("vec_id") < K_LISTS).select(
+            F.col("vec_id").alias("cid"),
+            F.col("dvec").alias("cv"),
+            F.col("nrm").alias("nc"),
+        )
+        q = emb.where(F.col("vec_id").isin(*QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("dvec").alias("qv"),
+            F.col("nrm").alias("nq"),
+            F.col("nv").alias("qnv"),
+        )
+        wp = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cid"))
+        probes = (
+            q.crossJoin(F.broadcast(cents))
+            .withColumn("cos", _dot("qv", "cv") / (F.col("nq") * F.col("nc")))
+            .withColumn("rn", F.row_number().over(wp))
+            .where(F.col("rn") <= N_PROBE)
+            .select("query_id", "cid")
         )
 
     adc = (
@@ -1438,11 +1510,8 @@ def _ivf_pq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # index env/qnv at absolute offsets instead of slicing per subspace
     # — same element sequence as slice-then-fold, no slice allocation
     def sd_off(a: str, b: str, off: int):
-        acc = F.lit(0.0)
-        for i in range(PQ_SUB):
-            d = F.col(a).getItem(off + i) - F.col(b).getItem(off + i)
-            acc = acc + d * d
-        return acc
+        # single-expr construction (see _sq_l2_sql): identical tree
+        return _sq_l2_sql(a, b, PQ_SUB, off)
 
     exact = sum(
         F.floor(sd_off("env", "qnv", s * PQ_SUB) * PQ_FXP).cast("long")
@@ -1888,111 +1957,37 @@ def _ivf_pq_residual_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent, codes = tabs["pqr_codebook"], tabs["pqr_codes"]
 
     emb = _emb_normalized(spark, sf_dir)
-    cents = emb.where(F.col("vec_id") < K_LISTS).select(
-        F.col("vec_id").alias("cid"),
-        F.col("dvec").alias("cv"),
-        F.col("nrm").alias("nc"),
-    )
-    q = emb.where(F.col("vec_id").isin(*QUERY_IDS)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("dvec").alias("qv"),
-        F.col("nrm").alias("nq"),
-        F.col("nv").alias("qnv"),
-    )
-    wp = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cid"))
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("cos", _dot("qv", "cv") / (F.col("nq") * F.col("nc")))
-        .withColumn("rn", F.row_number().over(wp))
-        .where(F.col("rn") <= N_PROBE)
-        .select("query_id", "cid")
-    )
     qlocal = None
     if _art.ENABLED:
-        # query router: literal probed-list filter → static partition
-        # pruning on the list_id-partitioned codes table (same contract
-        # as _ivf_pq_build; plan-audit mode keeps the lazy tree)
-        rows = probes.collect()
-        # control-plane guard (round-12 advice): the router + LUT path
-        # collects |Q|·n_probe rows and M·K longs per query to the
-        # driver — fine at query-set sizes, catastrophic if a caller
-        # ever feeds a corpus-sized "query set". Fail loudly instead
-        # of OOMing the driver.
-        assert len(rows) <= 100_000, (
-            f"IVF-PQ query router collected {len(rows)} probe rows — "
-            "the driver-side LUT path is sized for control-plane query "
-            "sets (≤ ~10k queries); shard the query set or disable "
-            "artifacts.ENABLED to take the distributed plan"
-        )
-        probes = spark.createDataFrame(
-            [(int(r["query_id"]), int(r["cid"])) for r in rows],
-            "query_id long, cid long",
-        )
-        lists = sorted({int(r["cid"]) for r in rows})
+        # query router + per-(query, probed-list) RESIDUAL LUTs on the
+        # driver (round 13 — same design as _ivf_pq_build; see the
+        # block comment above _np_query_router). The residual q − c_L
+        # is the same elementwise subtraction the JVM zip_with ran;
+        # each probe pair carries its M·K LUT as one array column.
+        ctrl = _ctrl_plane_rows(emb, K_LISTS, QUERY_IDS)
+        probe_pairs, q_items = _np_query_router(ctrl, K_LISTS, QUERY_IDS, N_PROBE)
+        assert len(probe_pairs) <= 100_000, _ROUTER_GUARD.format(n=len(probe_pairs))
+        lists = sorted({cid for _qid, cid in probe_pairs})
         codes = codes.where(F.col("list_id").isin(lists))
-        qrows = q.select("query_id", "qnv").collect()
         qlocal = spark.createDataFrame(
-            [(int(r["query_id"]), list(r["qnv"])) for r in qrows],
-            "query_id long, qnv array<double>",
+            q_items, "query_id long, qnv array<double>"
         )
+        import numpy as np
 
-    # ---- per-probed-list query-residual LUTs ----
-    cnv = emb.where(F.col("vec_id") < K_LISTS).select(
-        F.col("vec_id").alias("pcid"), F.col("nv").alias("cnv")
-    )
-    qr = (
-        probes.join(F.broadcast(cnv), probes["cid"] == cnv["pcid"])
-        .join(
-            F.broadcast(
-                qlocal if qlocal is not None else q.select("query_id", "qnv")
-            ),
-            "query_id",
-        )
-        .select(
-            "query_id",
-            F.col("cid").alias("list_id"),
-            F.zip_with("qnv", "cnv", lambda a, b: a - b).alias("rq"),
-        )
-    )
-    if qlocal is not None:
-        # ROUND-12 OPTIMIZATION (same shape as _ivf_pq_build): the
-        # per-(query, probed-list) residual LUT is control-plane sized
-        # (M·K longs per probe pair), so it rides the probes broadcast
-        # as ONE array column instead of M separately broadcast-joined
-        # tables. l values come from the SAME JVM fold (sequential
-        # squared-distance, floor·FXP) in one codebook×probe-pairs job;
-        # adc_fp is the same Σ_s over identical longs — bit-identical
-        # output (oracle-checked).
-        acc = F.lit(0.0)
-        for i in range(PQ_SUB):
-            d = F.element_at(
-                "rq", (F.col("s") * PQ_SUB + i + 1).cast("int")
-            ) - F.col("cv").getItem(i)
-            acc = acc + d * d
-        lut_rows = (
-            cent.crossJoin(F.broadcast(qr))
-            .select(
-                "query_id",
-                "list_id",
-                "s",
-                "cid",
-                F.floor(acc * PQ_FXP).cast("long").alias("l"),
-            )
-            .collect()
-        )
-        arrs: dict[tuple[int, int], list[int]] = {
-            (int(r["query_id"]), int(r["cid"])): [0] * (PQ_M * PQ_KTR)
-            for r in rows
+        cnv_map = {
+            int(r["vec_id"]): np.asarray(r["nv"], dtype=np.float64)
+            for r in ctrl
+            if int(r["vec_id"]) < K_LISTS
         }
-        for r in lut_rows:
-            arrs[(int(r["query_id"]), int(r["list_id"]))][
-                int(r["s"]) * PQ_KTR + int(r["cid"])
-            ] = int(r["l"])
+        qnv_map = {qid: np.asarray(v, dtype=np.float64) for qid, v in q_items}
+        residuals = [
+            ((qid, cid), qnv_map[qid] - cnv_map[cid]) for qid, cid in probe_pairs
+        ]
+        luts = _np_adc_luts(
+            cent.collect(), residuals, PQ_M, PQ_SUB, PQ_KTR, PQ_FXP
+        )
         probes = spark.createDataFrame(
-            [
-                (int(r["query_id"]), int(r["cid"]), arrs[(int(r["query_id"]), int(r["cid"]))])
-                for r in rows
-            ],
+            [(qid, cid, luts[(qid, cid)]) for qid, cid in probe_pairs],
             "query_id long, cid long, lut array<long>",
         )
         adc = (
@@ -2012,8 +2007,40 @@ def _ivf_pq_residual_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     else:
-        # plan-audit path (artifacts.ENABLED=False): keep the full
-        # M-broadcast-LUT-join tree visible for tests/test_plans.py
+        # plan-audit path (artifacts.ENABLED=False): keep the full JVM
+        # routing + M-broadcast-LUT-join tree visible for
+        # tests/test_plans.py
+        cents = emb.where(F.col("vec_id") < K_LISTS).select(
+            F.col("vec_id").alias("cid"),
+            F.col("dvec").alias("cv"),
+            F.col("nrm").alias("nc"),
+        )
+        q = emb.where(F.col("vec_id").isin(*QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("dvec").alias("qv"),
+            F.col("nrm").alias("nq"),
+            F.col("nv").alias("qnv"),
+        )
+        wp = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cid"))
+        probes = (
+            q.crossJoin(F.broadcast(cents))
+            .withColumn("cos", _dot("qv", "cv") / (F.col("nq") * F.col("nc")))
+            .withColumn("rn", F.row_number().over(wp))
+            .where(F.col("rn") <= N_PROBE)
+            .select("query_id", "cid")
+        )
+        cnv = emb.where(F.col("vec_id") < K_LISTS).select(
+            F.col("vec_id").alias("pcid"), F.col("nv").alias("cnv")
+        )
+        qr = (
+            probes.join(F.broadcast(cnv), probes["cid"] == cnv["pcid"])
+            .join(F.broadcast(q.select("query_id", "qnv")), "query_id")
+            .select(
+                "query_id",
+                F.col("cid").alias("list_id"),
+                F.zip_with("qnv", "cnv", lambda a, b: a - b).alias("rq"),
+            )
+        )
         luts = []
         for s in range(PQ_M):
             qsv = qr.select(
@@ -2053,11 +2080,8 @@ def _ivf_pq_residual_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def sd_off(a: str, b: str, off: int):
-        acc = F.lit(0.0)
-        for i in range(PQ_SUB):
-            d = F.col(a).getItem(off + i) - F.col(b).getItem(off + i)
-            acc = acc + d * d
-        return acc
+        # single-expr construction (see _sq_l2_sql): identical tree
+        return _sq_l2_sql(a, b, PQ_SUB, off)
 
     exact = sum(
         F.floor(sd_off("env", "qnv", s * PQ_SUB) * PQ_FXP).cast("long")

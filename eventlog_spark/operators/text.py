@@ -461,8 +461,19 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(pairs).alias("p"))
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
-    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt2"))
-    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("cnt1"))
+    # ROUND 13 (guide §1.2): c1 is exactly the w2-marginal of c2
+    # (every bigram row contributes one count to both tables), so it
+    # folds from the vocabulary²-sized c2 instead of re-tokenizing the
+    # corpus; pinning c2 stops the broadcast build and the probe from
+    # each re-embedding the tokenize+explode pass (3 document scans →
+    # 1 in the plan). Counts are value-identical: SUM of the per-(w1,
+    # w2) counts over w2 == COUNT of bigrams per w1.
+    from .artifacts import lazy_checkpoint
+
+    c2 = lazy_checkpoint(
+        big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt2"))
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("cnt2").cast("long").alias("cnt1"))
     s = F.expr(f"({_BIG_FP} * cnt1) DIV cnt2")
     return (
         big.join(F.broadcast(c2), ["w1", "w2"])

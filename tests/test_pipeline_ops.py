@@ -1567,3 +1567,96 @@ def test_embedding_cosine_gated_branch_analyzes(spark, sf_dir, monkeypatch):
     rows = out.collect()  # pre-fix: AnalysisException at plan time
     for r in rows:
         assert r.vec_a < r.vec_b
+
+
+def test_np_router_and_lut_match_jvm(spark, sf_dir):
+    """Round-13 bit-identity pin for the driver-side IVF-PQ serving
+    path: the Python cosine routing reproduces the JVM window
+    (cos DESC, cid) exactly, and the numpy ADC LUT reproduces the JVM
+    sequential squared-distance fold long for long — on the REAL
+    artifacts for this dataset."""
+    import numpy as np
+    from pyspark.sql.window import Window
+
+    from eventlog_spark.operators import curation as C
+    from eventlog_spark.operators.corpus import PQ_FXP
+    from eventlog_spark.operators.similarity import K_LISTS, N_PROBE, QUERY_IDS
+
+    PQ_M, PQ_SUB, PQ_K = C.PQ_MT, C.PQ_SUBT, C.PQ_KT
+    emb = C._emb_normalized(spark, sf_dir)
+    ctrl = C._ctrl_plane_rows(emb, K_LISTS, QUERY_IDS)
+    probe_pairs, q_items = C._np_query_router(ctrl, K_LISTS, QUERY_IDS, N_PROBE)
+
+    # JVM routing: the exact pre-round-13 formulation
+    cents = emb.where(F.col("vec_id") < K_LISTS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("dvec").alias("cv"),
+        F.col("nrm").alias("nc"),
+    )
+    q = emb.where(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("dvec").alias("qv"),
+        F.col("nrm").alias("nq"),
+        F.col("nv").alias("qnv"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cid"))
+    jvm_probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("cos", C._dot("qv", "cv") / (F.col("nq") * F.col("nc")))
+        .withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= N_PROBE)
+        .select("query_id", "cid")
+        .collect()
+    )
+    assert sorted(probe_pairs) == sorted(
+        (int(r["query_id"]), int(r["cid"])) for r in jvm_probes
+    )
+
+    # JVM LUT: the exact pre-round-13 fold, against the same codebook
+    from eventlog_spark.operators.artifacts import persisted_bundle
+
+    tabs = persisted_bundle(
+        spark, sf_dir,
+        [("pq_codebook", None), ("pq_codes", ("list_id",))],
+        lambda: C._pq_offline_frames(spark, sf_dir),
+        inputs=("embeddings",),
+        params=f"kt{C.PQ_KT}-r{C.PQ_ROUNDS}-cap{C.PQ_TRAIN_CAP}-k{K_LISTS}"
+        f"-m{C.PQ_MT}x{C.PQ_SUBT}",
+    )
+    cent = tabs["pq_codebook"]
+    np_luts = C._np_adc_luts(cent.collect(), q_items, PQ_M, PQ_SUB, PQ_K, PQ_FXP)
+    qlocal = spark.createDataFrame(q_items, "query_id long, qnv array<double>")
+    acc = F.lit(0.0)
+    for i in range(PQ_SUB):
+        d = F.element_at(
+            "qnv", (F.col("s") * PQ_SUB + i + 1).cast("int")
+        ) - F.col("cv").getItem(i)
+        acc = acc + d * d
+    jvm_rows = (
+        cent.crossJoin(F.broadcast(qlocal))
+        .select("query_id", "s", "cid", F.floor(acc * PQ_FXP).cast("long").alias("l"))
+        .collect()
+    )
+    for r in jvm_rows:
+        got = np_luts[int(r["query_id"])][int(r["s"]) * PQ_K + int(r["cid"])]
+        assert got == int(r["l"]), (r, got)
+
+    # the single-expr squared-L2 evaluates bit-identically to the
+    # Column-by-Column form it replaced (same left-to-right fold)
+    a = F.lit(0.0)
+    for i in range(PQ_SUB):
+        d = F.col("x").getItem(3 + i) - F.col("y").getItem(3 + i)
+        a = a + d * d
+    import random
+
+    rng = random.Random(7)
+    frame = spark.createDataFrame(
+        [([rng.uniform(-1, 1) for _ in range(16)],
+          [rng.uniform(-1, 1) for _ in range(16)]) for _ in range(64)],
+        "x array<double>, y array<double>",
+    )
+    got = frame.select(
+        C._sq_l2_sql("x", "y", PQ_SUB, 3).alias("s"), a.alias("r")
+    ).collect()
+    for r in got:
+        assert r["s"] == r["r"] and str(r["s"]) == str(r["r"])
