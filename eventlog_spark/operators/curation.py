@@ -1054,7 +1054,11 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sq_l2(a, b, n: int):
-    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    # string args take the single-expr construction (round 13 — see
+    # _sq_l2_sql below): identical tree, none of the ~5 py4j
+    # round-trips per term
+    if isinstance(a, str) and isinstance(b, str):
+        return _sq_l2_sql(a, b, n)
     acc = F.lit(0.0)
     for i in range(n):
         d = a.getItem(i) - b.getItem(i)
@@ -1063,7 +1067,11 @@ def _sq_l2(a, b, n: int):
 
 
 def _dot(a, b, n: int = 64):
-    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    if isinstance(a, str) and isinstance(b, str):
+        e = "0.0D"
+        for i in range(n):
+            e = f"({e} + {a}[{i}] * {b}[{i}])"
+        return F.expr(e)
     acc = F.lit(0.0)
     for i in range(n):
         acc = acc + a.getItem(i) * b.getItem(i)
@@ -1170,10 +1178,9 @@ def _pq_offline_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]
     cent = sub.where(F.col("vec_id") < PQ_KT).select(
         "s", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
     )
-    key = F.floor(sd(F.col("sv"), F.col("cv")) * PQ_FXP).cast("long") * PQ_KT + F.col(
+    key = F.floor(sd("sv", "cv") * PQ_FXP).cast("long") * PQ_KT + F.col(
         "cid"
     )
-    zeros = F.expr(f"array_repeat(CAST(0 AS BIGINT), {PQ_SUB})")
     for _ in range(PQ_ROUNDS):
         # argmin via MIN over (dist_fp · K + cid) keys; sv is constant
         # within each (vec_id, s) group so first() is deterministic
@@ -1188,14 +1195,12 @@ def _pq_offline_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]
         # irrelevant), then divide by the member count. Value-identical
         # to a posexplode + per-dim SUM/COUNT (what the oracle does),
         # without the second exchange and the array re-assembly.
-        iv_sums = F.aggregate(
-            F.collect_list("sv"),
-            zeros,
-            lambda acc, v: F.zip_with(
-                acc,
-                v,
-                lambda a, x: a + F.floor(x * PQ_FXP).cast("long"),
-            ),
+        # single-expr construction (round 13; identical tree to the
+        # lambda form — see _sq_l2_sql)
+        iv_sums = F.expr(
+            f"aggregate(collect_list(sv), array_repeat(CAST(0 AS BIGINT), "
+            f"{PQ_SUB}), (acc, v) -> zip_with(acc, v, "
+            f"(a, x) -> a + CAST(FLOOR(x * {PQ_FXP}) AS BIGINT)))"
         )
         newc = (
             asg.groupBy("s", "cid")
@@ -1487,7 +1492,7 @@ def _ivf_pq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(
                     "query_id",
                     F.col("cid").alias(f"c{s}"),
-                    F.floor(sd(F.col("qsv"), F.col("cv")) * PQ_FXP)
+                    F.floor(sd("qsv", "cv") * PQ_FXP)
                     .cast("long")
                     .alias(f"l{s}"),
                 )
@@ -1878,24 +1883,21 @@ def _pq_residual_offline_frames(
     cent = sub.where(F.col("vec_id") < PQ_KTR).select(
         "s", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
     )
-    key = F.floor(sd(F.col("sv"), F.col("cv")) * PQ_FXP).cast("long") * PQ_KTR + F.col(
+    key = F.floor(sd("sv", "cv") * PQ_FXP).cast("long") * PQ_KTR + F.col(
         "cid"
     )
-    zeros = F.expr(f"array_repeat(CAST(0 AS BIGINT), {PQ_SUB})")
     for _ in range(PQ_ROUNDS):
         asg = (
             tsub.join(F.broadcast(cent), "s")
             .groupBy("vec_id", "s")
             .agg((F.min(key) % PQ_KTR).alias("cid"), F.first("sv").alias("sv"))
         )
-        iv_sums = F.aggregate(
-            F.collect_list("sv"),
-            zeros,
-            lambda acc, v: F.zip_with(
-                acc,
-                v,
-                lambda a, x: a + F.floor(x * PQ_FXP).cast("long"),
-            ),
+        # single-expr construction (round 13; identical tree to the
+        # lambda form — see _sq_l2_sql)
+        iv_sums = F.expr(
+            f"aggregate(collect_list(sv), array_repeat(CAST(0 AS BIGINT), "
+            f"{PQ_SUB}), (acc, v) -> zip_with(acc, v, "
+            f"(a, x) -> a + CAST(FLOOR(x * {PQ_FXP}) AS BIGINT)))"
         )
         newc = (
             asg.groupBy("s", "cid")
@@ -2053,7 +2055,7 @@ def _ivf_pq_residual_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "query_id",
                     "list_id",
                     F.col("cid").alias(f"c{s}"),
-                    F.floor(sd(F.col("qsv"), F.col("cv")) * PQ_FXP)
+                    F.floor(sd("qsv", "cv") * PQ_FXP)
                     .cast("long")
                     .alias(f"l{s}"),
                 )

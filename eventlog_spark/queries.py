@@ -118,71 +118,83 @@ _loaded = False
 #     incremental_agg_merge moves to the round-13 cohort to make room.
 #     join_bucketed_colocated stays pinned in _LAST (side-effectful)
 #     and is checked by its own suite tests.
-# ROUND-13 NOTE: rotate in the 17 deferred r8 rows (incremental_agg_merge,
-# merge_upsert_orders,
-# multimodal_manifest, pack_token_budget, quality_gopher_rules,
-# quality_model_scores, quality_relative_filter, sample_hash_stats,
-# sample_stratified, sample_temperature_mixture, source_overlap_matrix,
-# stream_late_arrival_audit, text_bigram_surprisal,
-# text_blocklist_filter, text_bpe_pair_counts, text_decontaminate,
-# text_inverse_freq_score) plus the oldest r9 cohort, plus anything
-# round 13 touches.
+# ROUND-13 ROTATION (executes the round-12 note): (a) everything round
+# 13 touched re-proves — the streamed ordered bulk-ingest path (the
+# four ingest-bearing log queries), the vectorized WAV/JPEG decode
+# internals (four media queries), the sqrt state sizing (the two
+# pandas-stateful streams), the tokenize-once text pins, and the
+# driver-side IVF-PQ routing/LUTs with their two consumers; (b) the 17
+# round-8 rows deferred at round 12 (now the oldest latest-checks);
+# (c) the 17 alphabetically-first remaining round-9 rows.
+# ROUND-14 NOTE: rotate in the remaining 17 r9 rows (q9_product_type_profit, scd2_user_state, setop_union,
+# sketch_bloom_filter, sketch_count_min, stream_real_availablenow,
+# stream_sliding_window, subquery_above_group_avg,
+# subquery_argmin_per_group, text_repetition_score,
+# udaf_pandas_weighted_avg, udtf_span_split, vocab_topk,
+# window_range_frame, window_rank_suite, window_sessionize,
+# zorder_layout_key) plus the oldest r10 cohort, plus anything round
+# 14 touches.
 _FIRST_50 = [
-    # (a) storage layer changed again - whole log family re-proves
+    # (a) round-13-touched: streamed ordered ingest
     "eventlog_engine_roundtrip",
     "eventlog_inmem_roundtrip",
-    "eventlog_binary_roundtrip",
-    "log_integrity_audit",
-    "log_scan_forward",
-    "log_scan_label_pruned",
-    "log_scan_reverse",
-    "log_scan_skip_first",
-    "log_version_bounds",
     "log_compact_label_clustered",
-    # (b) the 15 twice-deferred round-7 rows
-    "q4_priority_late_ship",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q17_small_quantity",
-    "q19_disjunctive_revenue",
-    "q20_part_promotion",
-    "q22_idle_customers",
-    "date_functions",
-    "scalar_functions",
-    "window_running_total",
-    # (c) 24 alphabetically-first round-8 rows + the re-proving
-    #     join_skew_salted (strategy changed this round)
+    "log_scan_label_pruned",
+    # (a) vectorized media decode internals
+    "multimodal_audio_decode",
+    "multimodal_jpeg_decode",
+    "multimodal_video_frames",
+    "multimodal_video_scene_cuts",
+    # (a) sqrt state-partition sizing
+    "stream_real_stateful",
+    "stream_real_restart",
+    # (a) tokenize-once pins
+    "tfidf_top_terms",
+    "text_bigram_surprisal",
+    # (a) driver-side IVF-PQ routing/LUTs + consumers
+    "ann_ivf_pq",
     "ann_ivf_pq_residual",
     "ann_recall_report",
-    "attribution_last_click",
-    "bm25_search",
-    "corpus_dataset_card",
-    "corpus_interleave_schedule",
-    "corpus_length_histogram",
-    "corpus_shard_assign",
-    "corpus_train_val_split",
-    "dedup_segments",
-    "dedup_semantic_cluster",
-    "dedup_winnowing",
-    "domain_quota_cap",
-    "embedding_centroid_assign",
-    "embedding_dim_stats",
-    "embedding_pq_codes",
-    "embedding_quantize_int8",
-    "embedding_whiten_apply",
-    "event_daily_ewma",
-    "event_funnel",
-    "event_retention",
-    "event_transition_matrix",
-    "event_type_lift",
-    "event_value_outliers",
-    # round 12 changed this query's join strategy — re-proves now
-    "join_skew_salted",
+    "ann_hard_negatives",
+    # (b) the 17 round-8 rows deferred at round 12
+    "incremental_agg_merge",
+    "merge_upsert_orders",
+    "multimodal_manifest",
+    "pack_token_budget",
+    "quality_gopher_rules",
+    "quality_model_scores",
+    "quality_relative_filter",
+    "sample_hash_stats",
+    "sample_stratified",
+    "sample_temperature_mixture",
+    "source_overlap_matrix",
+    "stream_late_arrival_audit",
+    "text_blocklist_filter",
+    "text_bpe_pair_counts",
+    "text_decontaminate",
+    "text_inverse_freq_score",
+    # (b') text_bigram_surprisal is the 17th r8-deferred row — it
+    # already sits in group (a) (touched this round), so its slot goes
+    # to the 18th-oldest r9 row
+    "q5_local_supplier_volume",
+    # (c) 17 alphabetically-first remaining round-9 rows
+    "corpus_diversity_simpson",
+    "dedup_exact",
+    "dedup_simhash",
+    "graph_pagerank",
+    "join_full_outer",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "multimodal_header_probe",
+    "pipeline_curate",
+    "pivot_returnflag",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_shipping_priority",
+    "q18_large_volume_customer",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
 ]
 
 # catalog side effects (SparkSQL bucketed-table DDL) — dead last in the
