@@ -593,11 +593,11 @@ def test_cas_bulk_loser_restores_txn_marker_and_interloper_survives(
 
     orig = EventLog._write_out
 
-    def sabotaged(out):
+    def sabotaged(out, post_write_check=None):
         # lands a whole commit inside w's write window: claims the seq
         # w's _write_state is about to take
         b.append("interloper", '{"landed":"mid-bulk"}')
-        return orig(w, out)
+        return orig(w, out, post_write_check=post_write_check)
 
     w._write_out = sabotaged
     with pytest.raises(MismatchingVersions):
